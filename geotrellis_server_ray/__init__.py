@@ -1,0 +1,18 @@
+"""geotrellis_server_ray — a Ray-Data-native batch spatial engine.
+
+A from-scratch rewrite of the query / data-processing capabilities of
+geotrellis/geotrellis-server (reference at /root/reference, read-only) as
+streaming ``ray.data.Dataset`` pipelines over zero-copy Arrow batches.
+
+Layout:
+  functions/  pure kernels (tile math, cell ids, geometry, map algebra, text)
+  sources/    corpus synthesis + parquet readers/writers
+  stages/     map_batches stage callables (stateless fns + actor-pool classes)
+  pipelines/  end-to-end pipelines and the query registry
+  state/      broadcast helpers, caches, checkpoint manifests
+
+Nothing in this package calls ``ray.init`` / ``ray.shutdown`` — sessions are
+owned by bench.py / tests / the driver.
+"""
+
+__version__ = "0.1.0"

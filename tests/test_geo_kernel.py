@@ -1,0 +1,156 @@
+"""Golden tests for the geo kernel — everything downstream depends on these.
+
+Goldens are hand-checked slippy/WebMercator values (public formulas), NOT
+copied from the reference; semantics mirror ZoomedLayoutScheme(WebMercator,
+256) per SURVEY.md §2 C7 / §3.2.
+"""
+
+import numpy as np
+import pytest
+
+from geotrellis_server_ray.functions import cells, geometry, tiles
+
+
+def test_lonlat_webmercator_roundtrip():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179.9, 179.9, 1000)
+    lat = rng.uniform(-85.0, 85.0, 1000)
+    x, y = tiles.lonlat_to_webmercator(lon, lat)
+    lon2, lat2 = tiles.webmercator_to_lonlat(x, y)
+    np.testing.assert_allclose(lon, lon2, atol=1e-9)
+    np.testing.assert_allclose(lat, lat2, atol=1e-9)
+
+
+def test_known_tile_keys():
+    # slippy-map convention goldens (computed by hand from the formula)
+    # (lon, lat, z) -> (x, y); row 0 at north
+    cases = [
+        (0.0, 0.0, 1, 1, 1),            # just SE of the origin
+        (-180.0, 0.0, 1, 0, 1),
+        (13.377778, 52.516389, 17, 70406, 42987),  # Brandenburg Gate, OSM wiki example
+        (-122.4194, 37.7749, 12, 655, 1583),       # San Francisco
+    ]
+    for lon, lat, z, ex, ey in cases:
+        x, y = tiles.lonlat_to_tile(np.array([lon]), np.array([lat]), z)
+        assert (x[0], y[0]) == (ex, ey), (lon, lat, z, x[0], y[0])
+
+
+def test_tile_extent_world():
+    # zoom 0: the single tile is the whole world extent
+    xmin, ymin, xmax, ymax = tiles.tile_extent(np.array([0]), np.array([0]), 0)
+    assert xmin[0] == -tiles.WORLD and xmax[0] == tiles.WORLD
+    assert ymin[0] == -tiles.WORLD and ymax[0] == tiles.WORLD
+    # zoom 1 tile (1,0) is the NE quadrant
+    xmin, ymin, xmax, ymax = tiles.tile_extent(np.array([1]), np.array([0]), 1)
+    assert xmin[0] == 0.0 and ymin[0] == 0.0
+    assert xmax[0] == tiles.WORLD and ymax[0] == tiles.WORLD
+
+
+def test_tile_extent_contains_its_point():
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-84.9, 84.9, 500)
+    for z in (4, 9, 14):
+        x, y = tiles.lonlat_to_tile(lon, lat, z)
+        xmin, ymin, xmax, ymax = tiles.tile_extent(x, y, z)
+        wx, wy = tiles.lonlat_to_webmercator(lon, lat)
+        eps = 1e-6
+        assert ((wx >= xmin - eps) & (wx <= xmax + eps)).all()
+        assert ((wy >= ymin - eps) & (wy <= ymax + eps)).all()
+
+
+def test_cell_size_and_zoom_selection():
+    assert tiles.tile_cell_size(0) == pytest.approx(2 * tiles.WORLD / 256)
+    # each zoom halves the cell size
+    assert tiles.tile_cell_size(5) == pytest.approx(tiles.tile_cell_size(4) / 2)
+    cs = tiles.tile_cell_size(7)
+    assert tiles.zoom_for_cell_size(cs) == 7
+    assert tiles.zoom_for_cell_size(cs * 1.01) == 7
+    assert tiles.zoom_for_cell_size(cs * 0.99) == 8
+
+
+def test_morton_roundtrip_and_prefix():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2**16, 1000)
+    y = rng.integers(0, 2**16, 1000)
+    code = cells.morton_encode(x.astype(np.uint64), y.astype(np.uint64))
+    x2, y2 = cells.morton_decode(code)
+    assert np.array_equal(x, x2) and np.array_equal(y, y2)
+    # parent = 2-bit prefix
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-84, 84, 200)
+    c12 = cells.cell_id(lon, lat, 12)
+    c11 = cells.cell_id(lon, lat, 11)
+    assert np.array_equal(cells.cell_parent(c12), c11)
+
+
+def test_cell_ring():
+    c = cells.cell_id(np.array([10.0]), np.array([50.0]), 10)
+    ring = cells.cell_ring(c, 10, k=1)
+    assert ring.shape == (1, 9)
+    assert c[0] in ring[0]
+    xs, ys = cells.morton_decode(ring[0])
+    x0, y0 = cells.morton_decode(c)
+    assert set(xs.tolist()) == {x0[0] - 1, x0[0], x0[0] + 1}
+    assert set(ys.tolist()) == {y0[0] - 1, y0[0], y0[0] + 1}
+
+
+def test_hilbert_locality_and_bijection():
+    n = 1 << 5
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n))
+    d = cells.hilbert_key(xx.ravel(), yy.ravel(), 5)
+    assert len(np.unique(d)) == n * n  # bijective
+    # consecutive d are grid neighbors (the defining property)
+    order = np.argsort(d)
+    x_s, y_s = xx.ravel()[order], yy.ravel()[order]
+    step = np.abs(np.diff(x_s)) + np.abs(np.diff(y_s))
+    assert (step == 1).all()
+
+
+def test_neighbor_keys():
+    ox, oy, tag = tiles.neighbor_keys(np.array([5]), np.array([5]), 4)
+    assert len(ox) == 9
+    assert sorted(zip(ox.tolist(), oy.tolist())) == sorted(
+        (5 + dx, 5 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    # pole clipping: y=0 drops the northern row
+    ox, oy, tag = tiles.neighbor_keys(np.array([0]), np.array([0]), 4)
+    assert len(ox) == 6
+    assert (oy >= 0).all()
+    # antimeridian wrap on x
+    assert set(ox.tolist()) == {15, 0, 1}
+
+
+def test_extent_ops_order_independent():
+    # mirrors ExtentMergeStrategyTest's permutation property
+    import itertools
+
+    es = [geometry.Extent(0, 0, 10, 10), geometry.Extent(5, 5, 15, 15), geometry.Extent(8, 2, 12, 9)]
+    inters = [geometry.intersect_extents(list(p)) for p in itertools.permutations(es)]
+    assert all(i == inters[0] for i in inters)
+    assert inters[0] == geometry.Extent(8, 5, 10, 9)
+    unions = [geometry.union_extents(list(p)) for p in itertools.permutations(es)]
+    assert all(u == geometry.Extent(0, 0, 15, 15) for u in unions)
+    # disjoint -> None
+    assert geometry.intersect_extents([geometry.Extent(0, 0, 1, 1), geometry.Extent(2, 2, 3, 3)]) is None
+
+
+def test_polygon_covers_points():
+    # unit square: inside, outside, boundary (covers = inclusive)
+    sq = geometry.Polygon([0, 1, 1, 0], [0, 0, 1, 1])
+    px = np.array([0.5, 2.0, 0.0, 1.0, 0.5])
+    py = np.array([0.5, 0.5, 0.0, 1.0, 0.0])
+    got = sq.covers_points(px, py)
+    assert got.tolist() == [True, False, True, True, True]
+    # triangle
+    tri = geometry.Polygon([0, 4, 0], [0, 0, 4])
+    px = np.array([1.0, 3.0, 2.0, 1.9])
+    py = np.array([1.0, 3.0, 2.0, 2.0])
+    assert tri.covers_points(px, py).tolist() == [True, False, True, True]
+
+
+def test_haversine():
+    # Paris -> London ~ 343-344 km
+    d = geometry.haversine_m(2.3522, 48.8566, -0.1276, 51.5074)
+    assert 341_000 < d < 346_000
+    assert geometry.haversine_m(10.0, 50.0, 10.0, 50.0) == 0.0
