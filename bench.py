@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline tile-assignment + PIP-join throughput
+(docs/sec) plus per-query wall times over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "flagship_tile_pip_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs": N, "docs_per_sec": N}
+
+--scaling runs the headline job in two fresh subprocesses (8 and 32 cpus, or
+$RAY_GRAFT_SCALE_LO/HI) on the same input and reports throughput at both plus
+efficiency = (t_lo / t_hi) / (cpus_hi / cpus_lo) — the sandbox evidence
+protocol for the N vs 4N cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# corpus replication for the headline job: sized so the run measures compute,
+# not session startup (~200k docs/replica-set at sf0.1)
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "1024"))
+BENCH_QUERIES = os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1"
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from geotrellis_server_ray.pipelines import geo
+    from geotrellis_server_ray.pipelines.registry import queries
+
+    # setup (untimed): materialize the corpus to parquet once — the real
+    # engine reads an existing interleaved table from storage — and warm the
+    # Ray worker pool + page cache with one small pipeline.
+    import pyarrow.parquet as pq
+
+    from geotrellis_server_ray.sources.corpus import materialize_corpus
+
+    n_seed_docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"]).num_rows
+    n_docs = n_seed_docs * REPEAT
+    corpus_path = materialize_corpus(SF_DIR, REPEAT)
+    geo.pip_joined(SF_DIR, corpus_path=corpus_path).count()  # warm (same job)
+
+    headline = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        joined = geo.pip_joined(SF_DIR, corpus_path=corpus_path)
+        n_join_rows = joined.count()
+        headline = min(headline, time.perf_counter() - t0)
+
+    qtimes = {}
+    if BENCH_QUERIES:
+        for name, fn in queries().items():
+            t = time.perf_counter()
+            _consume(fn(SF_DIR))
+            qtimes[name] = round(time.perf_counter() - t, 3)
+
+    out = {
+        "metric": "flagship_tile_pip_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "join_rows": n_join_rows,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    # Default N=2 vs 4N=8: this VM advertises 32 vCPUs but a multiprocessing
+    # busy-loop capacity probe measures only ~17 effective cores (host
+    # oversubscription; see BASELINE.md for the full 2/4/8/16/32 ladder), so
+    # pairs above 8 measure the host's ceiling, not the engine. 2-vs-8 keeps
+    # both levels inside the linear hardware region.
+    lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("RAY_GRAFT_SCALE_HI", "8"))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(lo)  # warm-up (page cache + spawn overheads), untimed
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "docs": r_lo["docs"],
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

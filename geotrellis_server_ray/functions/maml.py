@@ -1,0 +1,139 @@
+"""MAML-style map-algebra expression evaluator over numpy tiles.
+
+The reference binds runtime JSON map-algebra ASTs (maml-jvm 0.7.0) to raster
+vars and evaluates per request (LayerExtent.scala:58-61 bindParams + interpret;
+NDVI example example/.../NdviService.scala:61-67; '+' '-' '/' configs in
+ogc-example/.../application.conf:631-712). Here the same ASTs evaluate
+*vectorized* over batches of tiles inside map_batches.
+
+Tile representation: ``Tile`` = float64 ndarray + bool nodata mask (any
+shape — a whole batch of tiles evaluates in one numpy op). NoData semantics
+follow the reference's NoDataHandlingTest.scala:32-58: a NoData cell in any
+operand poisons the output cell; masked cells surface as NaN in float output
+and as the target NoData sentinel in integer output.
+
+Expression wire format (JSON, same shape as the reference's HOCON/JSON
+"symbol"/"args" encoding):
+
+    {"symbol": "+", "args": [{"symbol": "var", "name": "red"},
+                             {"symbol": "int", "value": 1}]}
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class Tile:
+    values: np.ndarray  # float64
+    mask: np.ndarray    # True = NoData
+
+    @staticmethod
+    def of(values, nodata: float | None = None) -> "Tile":
+        v = np.asarray(values, dtype=np.float64)
+        m = np.isnan(v)
+        if nodata is not None:
+            m = m | (v == nodata)
+        return Tile(v, m)
+
+    def to_float(self) -> np.ndarray:
+        out = self.values.copy()
+        out[self.mask] = np.nan
+        return out
+
+    def to_int(self, nodata: int, dtype=np.int32) -> np.ndarray:
+        """interpretAs(cellType) cast (LayerExtent.scala:63-64): truncate
+        toward zero, masked cells -> sentinel."""
+        out = np.where(self.mask, float(nodata), np.trunc(self.values))
+        return out.astype(dtype)
+
+
+def _binary(op, a: Tile, b: Tile) -> Tile:
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v = op(a.values, b.values)
+    m = a.mask | b.mask | ~np.isfinite(v)
+    return Tile(v, m)
+
+
+def _fold(op, tiles: list[Tile]) -> Tile:
+    acc = tiles[0]
+    for t in tiles[1:]:
+        acc = _binary(op, acc, t)
+    return acc
+
+
+_FOLDS = {
+    "+": np.add,
+    "-": np.subtract,
+    "*": np.multiply,
+    "/": np.divide,
+    "min": np.minimum,
+    "max": np.maximum,
+    "pow": np.power,
+}
+
+
+def evaluate(expr: dict, env: dict[str, Tile]) -> Tile:
+    """Evaluate an expression tree against bound raster vars. Missing var =>
+    KeyError (the reference's bindParams missing-layer error, J2)."""
+    sym = expr["symbol"]
+    if sym == "var":
+        return env[expr["name"]]
+    if sym in ("int", "dbl"):
+        v = np.float64(expr["value"])
+        shape = next(iter(env.values())).values.shape if env else ()
+        return Tile(np.broadcast_to(v, shape).copy(), np.zeros(shape, dtype=bool))
+    if sym in _FOLDS:
+        args = [evaluate(a, env) for a in expr["args"]]
+        return _fold(_FOLDS[sym], args)
+    if sym == "sqrt":
+        (a,) = [evaluate(x, env) for x in expr["args"]]
+        with np.errstate(invalid="ignore"):
+            v = np.sqrt(a.values)
+        return Tile(v, a.mask | np.isnan(v))
+    if sym == "abs":
+        (a,) = [evaluate(x, env) for x in expr["args"]]
+        return Tile(np.abs(a.values), a.mask)
+    if sym == "clamp":
+        # RGBParameters Clamp(min,max) (RGBParameters.scala:63-69)
+        (a,) = [evaluate(x, env) for x in expr["args"]]
+        return Tile(np.clip(a.values, expr["min"], expr["max"]), a.mask)
+    if sym == "rescale":
+        # Rescale(newMin,newMax): linear stretch of the tile's own range
+        # (RGBParameters.scala:77-81)
+        (a,) = [evaluate(x, env) for x in expr["args"]]
+        vmin = np.nanmin(np.where(a.mask, np.nan, a.values))
+        vmax = np.nanmax(np.where(a.mask, np.nan, a.values))
+        span = (vmax - vmin) or 1.0
+        v = (a.values - vmin) / span * (expr["new_max"] - expr["new_min"]) + expr["new_min"]
+        return Tile(v, a.mask)
+    if sym == "normalize":
+        # Normalize(oldMin,oldMax,newMin,newMax) (RGBParameters.scala:70-76)
+        (a,) = [evaluate(x, env) for x in expr["args"]]
+        span = (expr["old_max"] - expr["old_min"]) or 1.0
+        v = (a.values - expr["old_min"]) / span * (expr["new_max"] - expr["new_min"]) + expr["new_min"]
+        return Tile(v, a.mask)
+    raise ValueError(f"unknown MAML symbol: {sym}")
+
+
+def var(name: str) -> dict:
+    return {"symbol": "var", "name": name}
+
+
+def lit(value: float) -> dict:
+    return {"symbol": "dbl" if isinstance(value, float) else "int", "value": value}
+
+
+def ndvi_expr(red: str = "red", nir: str = "nir") -> dict:
+    """(red - nir) / (red + nir) — the reference's benchmark expression
+    (bench/.../TmsReificationBench.scala:39-41)."""
+    return {
+        "symbol": "/",
+        "args": [
+            {"symbol": "-", "args": [var(red), var(nir)]},
+            {"symbol": "+", "args": [var(red), var(nir)]},
+        ],
+    }

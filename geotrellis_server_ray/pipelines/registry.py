@@ -1,0 +1,600 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``(sf_dir) -> Dataset`` callable plus (where SQL-expressible) a DuckDB oracle
+twin over the same parquet tables. This is the correctness gate surface
+(driver contract in /root/repo/__ray_entry__.py).
+
+Numeric discipline for bit-stable cross-engine comparison:
+  * money/quantities -> integer cents via per-row round (no .5 ties possible
+    on 2-4 decimal data); arbitrary doubles -> per-row floor; float SUMS never
+    cross the comparison boundary (sum order is engine-dependent)
+  * every numeric output column cast to int64/float64 on the Ray side and
+    BIGINT/DOUBLE in SQL
+  * geo doubles (lon/lat/tile extents) derive from integer arithmetic through
+    identical IEEE op sequences -> bit-equal (verified in tests)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import maml
+from ..functions.tiles import WORLD
+from ..sources import corpus, layers
+from ..stages import spans as S
+from ..stages import text as T
+from . import geo
+from .relational import BroadcastJoin, BroadcastLookup, add_cents, grouped_sums, read
+
+# --------------------------------------------------------------- SQL helpers
+
+def flit(x: float) -> str:
+    """Float literal that DuckDB parses as DOUBLE (bare decimals parse as
+    DECIMAL and shift arithmetic off the IEEE path)."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+TILE_X_SQL = "floor((lon + 180.0) / 360.0 * {n})"
+TILE_Y_SQL = (
+    "floor((1.0 - ln(tan(radians(lat)) + sqrt(tan(radians(lat)) * tan(radians(lat)) + 1.0))"
+    " / pi()) / 2.0 * {n})"
+)
+
+
+def _tile_xy_sql(zoom: int) -> tuple[str, str]:
+    n = float(2**zoom)
+    lim = 2**zoom - 1
+    x = f"CAST(LEAST(GREATEST({TILE_X_SQL.format(n=n)}, 0), {lim}) AS BIGINT)"
+    y = f"CAST(LEAST(GREATEST({TILE_Y_SQL.format(n=n)}, 0), {lim}) AS BIGINT)"
+    return x, y
+
+
+def _morton_sql(col: str) -> str:
+    e = f"CAST({col} AS BIGINT)"
+    for shift, mask in (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+def _cell_sql(xe: str, ye: str) -> str:
+    return f"({_morton_sql(xe)} | ({_morton_sql(ye)} << 1))"
+
+
+def _rect_values_sql(rects: list[tuple[int, float, float, float, float]]) -> str:
+    rows = ", ".join(
+        f"({fid}, {flit(x0)}, {flit(y0)}, {flit(x1)}, {flit(y1)})" for fid, x0, y0, x1, y1 in rects
+    )
+    return f"(VALUES {rows}) AS r(feature_id, x0, y0, x1, y1)"
+
+
+def _grid_rects() -> list[tuple[int, float, float, float, float]]:
+    return [
+        (f.feature_id, f.polygon.bbox.xmin, f.polygon.bbox.ymin, f.polygon.bbox.xmax, f.polygon.bbox.ymax)
+        for f in layers.grid_zone_features()
+    ]
+
+
+SPANS = "WITH " + corpus.spans_cte_sql()
+
+
+def _cast_cols(ds, types: dict[str, pa.DataType]):
+    def cast(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.schema.names:
+            c = batch.column(name)
+            cols[name] = pc.cast(c, types[name]) if name in types else c
+        return pa.table(cols)
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+I64 = pa.int64()
+
+
+# ------------------------------------------------------------------ geo side
+
+def q_tile_assign(sf_dir: str):
+    """C7/§3.2 tile assignment: media spans -> (x, y, cell, tile extent) at
+    zoom 12 — the WMTS SpatialKey + mapTransform semantics."""
+    ds = geo.anchored_spans(sf_dir, zoom=12, cell_level=12)
+    ds = ds.map_batches(S.add_tile_extents, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: b.select(
+            ["doc_id", "span_idx", "x", "y", "cell_id", "tile_xmin", "tile_ymin", "tile_xmax", "tile_ymax"]
+        ),
+        batch_format="pyarrow",
+    )
+    return _cast_cols(ds, {"x": I64, "y": I64, "cell_id": I64})
+
+
+def sql_tile_assign() -> str:
+    xe, ye = _tile_xy_sql(12)
+    w = flit((2.0 * WORLD) / (2.0**12))
+    W = flit(WORLD)
+    return f"""{SPANS}
+, t AS (SELECT doc_id, span_idx, {xe} AS x, {ye} AS y FROM spans_flat WHERE is_media)
+SELECT doc_id, span_idx, x, y, {_cell_sql('x', 'y')} AS cell_id,
+       (-{W} + x * {w}) AS tile_xmin,
+       (({W} - y * {w}) - {w}) AS tile_ymin,
+       ((-{W} + x * {w}) + {w}) AS tile_xmax,
+       ({W} - y * {w}) AS tile_ymax
+FROM t"""
+
+
+def q_pip_hot(sf_dir: str):
+    """J1 broadcast PIP join vs the hot-zones rectangles."""
+    ds = geo.pip_joined(sf_dir, layers=["hot-zones"])
+    ds = ds.map_batches(lambda b: b.select(["doc_id", "span_idx", "feature_id"]), batch_format="pyarrow")
+    return _cast_cols(ds, {"feature_id": I64})
+
+
+def sql_pip_hot() -> str:
+    rects = _rect_values_sql(layers.hot_zone_sql_predicates())
+    return f"""{SPANS}
+SELECT s.doc_id, s.span_idx, CAST(r.feature_id AS BIGINT) AS feature_id
+FROM spans_flat s JOIN {rects}
+  ON s.is_media AND s.lon >= r.x0 AND s.lon <= r.x1 AND s.lat >= r.y0 AND s.lat <= r.y1"""
+
+
+def q_pip_grid(sf_dir: str):
+    ds = geo.pip_joined(sf_dir, layers=["grid-zones"])
+    ds = ds.map_batches(lambda b: b.select(["doc_id", "span_idx", "feature_id"]), batch_format="pyarrow")
+    return _cast_cols(ds, {"feature_id": I64})
+
+
+def sql_pip_grid() -> str:
+    rects = _rect_values_sql(_grid_rects())
+    return f"""{SPANS}
+SELECT s.doc_id, s.span_idx, CAST(r.feature_id AS BIGINT) AS feature_id
+FROM spans_flat s JOIN {rects}
+  ON s.is_media AND s.lon >= r.x0 AND s.lon <= r.x1 AND s.lat >= r.y0 AND s.lat <= r.y1"""
+
+
+def q_zonal_grid(sf_dir: str):
+    """Zonal summary: spans per grid zone (A1 generalized)."""
+    return _cast_cols(geo.zonal_counts(sf_dir, "grid-zones"), {"feature_id": I64, "n_spans": I64})
+
+
+def sql_zonal_grid() -> str:
+    rects = _rect_values_sql(_grid_rects())
+    return f"""{SPANS}
+SELECT CAST(r.feature_id AS BIGINT) AS feature_id, CAST(count(*) AS BIGINT) AS n_spans
+FROM spans_flat s JOIN {rects}
+  ON s.is_media AND s.lon >= r.x0 AND s.lon <= r.x1 AND s.lat >= r.y0 AND s.lat <= r.y1
+GROUP BY r.feature_id ORDER BY feature_id"""
+
+
+def q_tile_counts_z8(sf_dir: str):
+    """Per-tile groupby-count at zoom 8 (the tile-key shuffle, pre-aggregated
+    per batch before the wide groupby)."""
+    ds = geo.anchored_spans(sf_dir, zoom=8, cell_level=8)
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": pc.cast(b.column("x"), I64),
+                "y": pc.cast(b.column("y"), I64),
+                "n_spans": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(ones, batch_format="pyarrow")
+    return _cast_cols(grouped_sums(ds, ["x", "y"], ["n_spans"]), {"n_spans": I64})
+
+
+def sql_tile_counts_z8() -> str:
+    xe, ye = _tile_xy_sql(8)
+    return f"""{SPANS}
+SELECT {xe} AS x, {ye} AS y, CAST(count(*) AS BIGINT) AS n_spans
+FROM spans_flat WHERE is_media GROUP BY 1, 2"""
+
+
+# ------------------------------------------------------- relational operators
+
+def q_q1_pricing(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregation with per-batch combiners."""
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b.column("l_shipdate"), cutoff))
+        b = add_cents(b, {"sum_qty_c": "l_quantity", "sum_base_c": "l_extendedprice"})
+        disc = pc.multiply(b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), b.column("l_tax")))
+        b = b.append_column("sum_disc_c4", pc.cast(pc.round(pc.multiply(disc, pa.scalar(1e4))), I64))
+        b = b.append_column("sum_charge_c6", pc.cast(pc.round(pc.multiply(charge, pa.scalar(1e6))), I64))
+        return b.select(["l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_c", "sum_disc_c4", "sum_charge_c6"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_sums(ds, ["l_returnflag", "l_linestatus"],
+                       ["sum_qty_c", "sum_base_c", "sum_disc_c4", "sum_charge_c6"], count_as="count_order")
+    return _cast_cols(out, {c: I64 for c in ["sum_qty_c", "sum_base_c", "sum_disc_c4", "sum_charge_c6", "count_order"]})
+
+
+def sql_q1_pricing() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_disc_c4,
+  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_charge_c6,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_top_orders(sf_dir: str):
+    """Top-k: sort desc + deterministic tie-break + limit (O1-O4 family)."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(partial(add_cents, cols={"total_cents": "o_totalprice"}), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: b.select(["o_orderkey", "total_cents"]), batch_format="pyarrow")
+    return ds.sort(["total_cents", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def sql_top_orders() -> str:
+    return """
+SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS total_cents
+FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Two chained broadcast joins (orders ⋈ customer ⋈ nation) + grouped
+    aggregation — the J1 small-side-broadcast shape, no shuffle join."""
+    cust = BroadcastLookup(sf_dir, "customer", "c_custkey", ["c_nationkey"]).ref()
+    nation = BroadcastLookup(sf_dir, "nation", "n_nationkey", ["n_name"]).ref()
+    ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(partial(add_cents, cols={"total_cents": "o_totalprice"}), batch_format="pyarrow")
+    ds = ds.map_batches(BroadcastJoin, fn_constructor_kwargs={"lookup_ref": cust, "key": "o_custkey", "take_cols": ["c_nationkey"]},
+                        batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(BroadcastJoin, fn_constructor_kwargs={"lookup_ref": nation, "key": "c_nationkey", "take_cols": ["n_name"]},
+                        batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(
+        lambda b: pa.table({"n_name": b.column("n_name"), "revenue_c": b.column("total_cents"),
+                            }),
+        batch_format="pyarrow",
+    )
+    out = grouped_sums(ds, ["n_name"], ["revenue_c"], count_as="n_orders")
+    return _cast_cols(out, {"revenue_c": I64, "n_orders": I64})
+
+
+def sql_revenue_by_nation() -> str:
+    return """
+SELECT n.n_name,
+  CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS revenue_c,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+
+def q_brand_volume(sf_dir: str):
+    part_lk = BroadcastLookup(sf_dir, "part", "p_partkey", ["p_brand"]).ref()
+    ds = read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    ds = ds.map_batches(partial(add_cents, cols={"qty_c": "l_quantity"}), batch_format="pyarrow")
+    ds = ds.map_batches(BroadcastJoin, fn_constructor_kwargs={"lookup_ref": part_lk, "key": "l_partkey", "take_cols": ["p_brand"]},
+                        batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(lambda b: b.select(["p_brand", "qty_c"]), batch_format="pyarrow")
+    out = grouped_sums(ds, ["p_brand"], ["qty_c"], count_as="n_items")
+    return _cast_cols(out, {"qty_c": I64, "n_items": I64})
+
+
+def sql_brand_volume() -> str:
+    return """
+SELECT p.p_brand,
+  CAST(sum(CAST(round(l.l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_c,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (§2.10 streaming-shaped
+    workload as an ordered-log groupby)."""
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000))
+        val_c = pc.cast(pc.floor(pc.multiply(b.column("value"), pa.scalar(100.0))), I64)
+        return pa.table({"event_type": b.column("event_type"), "hour": pc.cast(hour, I64), "value_c": val_c})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_sums(ds, ["event_type", "hour"], ["value_c"], count_as="n_events")
+    return _cast_cols(out, {"hour": I64, "value_c": I64, "n_events": I64})
+
+
+def sql_events_hourly() -> str:
+    return """
+SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+  CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS value_c,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_between(sf_dir: str):
+    """Between(t1, t2) half-open temporal filter (Q3 semantics,
+    RasterSourceRepository.scala:56-57: t1 <= t < t2)."""
+    ds = read(sf_dir, "events", ["event_type", "ts"])
+    lo = pa.scalar(np.datetime64("2024-01-10", "us"))
+    hi = pa.scalar(np.datetime64("2024-01-20", "us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b.column("ts"), lo), pc.less(b.column("ts"), hi))
+        b = b.filter(keep)
+        return pa.table({"event_type": b.column("event_type"),
+                         "n": pa.array(np.ones(len(b), dtype=np.int64))})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return _cast_cols(grouped_sums(ds, ["event_type"], ["n"]), {"n": I64})
+
+
+def sql_events_between() -> str:
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+GROUP BY event_type"""
+
+
+def q_distinct_flags(sf_dir: str):
+    """O7 distinct via hash-partition groupby."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column("n", pa.array(np.ones(len(b), dtype=np.int64)))
+
+    ds = ds.map_batches(ones, batch_format="pyarrow")
+    return _cast_cols(grouped_sums(ds, ["l_returnflag", "l_linestatus"], ["n"]), {"n": I64})
+
+
+def sql_distinct_flags() -> str:
+    return "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2"
+
+
+def q_first_order(sf_dir: str):
+    """First-match-wins per key (O4: headOption with deterministic rank) —
+    grouped min + count."""
+    from ray.data.aggregate import Count, Min
+
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    out = ds.groupby("o_custkey").aggregate(
+        Min("o_orderdate", alias_name="first_date"), Count(alias_name="n_orders")
+    )
+    return _cast_cols(out, {"n_orders": I64})
+
+
+def sql_first_order() -> str:
+    return """
+SELECT o_custkey, min(o_orderdate) AS first_date, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey"""
+
+
+def q_or_union_dup(sf_dir: str):
+    """Or = union WITH duplicates (Q6 quirk, RasterSourceRepository.scala:64):
+    rows matching both branches appear twice."""
+    import ray.data as rd
+
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    ds = ds.map_batches(partial(add_cents, cols={"total_cents": "o_totalprice"}), batch_format="pyarrow")
+    left = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderstatus"), pa.scalar("O"))).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    right = ds.map_batches(
+        lambda b: b.filter(pc.greater(b.column("total_cents"), pa.scalar(30_000_000))).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    return left.union(right)
+
+
+def sql_or_union_dup() -> str:
+    return """
+SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey FROM orders WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) > 30000000"""
+
+
+# ------------------------------------------------------------ text operators
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: group by content, keeper = min doc_id (hash-partition +
+    per-group first). Partial min/count per batch before the shuffle."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = b.group_by(["text"]).aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["text", "keeper_doc_id", "n_copies"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby("text").aggregate(
+        Min("keeper_doc_id", alias_name="keeper_doc_id"), Sum("n_copies", alias_name="n_copies")
+    )
+    return _cast_cols(out, {"keeper_doc_id": I64, "n_copies": I64})
+
+
+def sql_exact_dedup() -> str:
+    return """
+SELECT text, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text"""
+
+
+def q_token_counts(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(T.token_count_batch, batch_format="pyarrow")
+    return ds.map_batches(lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow")
+
+
+def sql_token_counts() -> str:
+    return "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+
+
+def q_quality_scores(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(T.quality_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "n_chars_obs", "n_spaces", "n_digits", "n_alpha"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_quality_scores() -> str:
+    return """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_obs,
+  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+FROM documents"""
+
+
+# ------------------------------------------------------------- ANN operators
+
+ANN_K = 5
+ANN_NQ = 5
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: queries broadcast, candidates stream,
+    per-batch partial top-k, small final merge."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import cosine_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), ANN_NQ))
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    dim = len(qt.column("embedding")[0])
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()])
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("vec_id"), ANN_NQ)), batch_format="pyarrow"
+    )
+    out = cosine_topk(ds, (qids, qmat), k=ANN_K)
+    return _cast_cols(out, {"query_id": I64, "rank": I64, "vec_id": I64})
+
+
+def sql_ann_topk() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < {ANN_NQ}),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id >= {ANN_NQ}),
+ranked AS (
+  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+  FROM sims)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id
+FROM ranked WHERE rnk <= {ANN_K}"""
+
+
+# ------------------------------------------------------------ MAML operators
+
+MAML_GRID = 16  # 16x16 tiles of 64 cells
+
+
+def _maml_bands(x: np.ndarray, y: np.ndarray, i: np.ndarray):
+    red = (x * 64 + y * 17 + i * 3) % 256
+    nir = (x * 31 + y * 7 + i * 11) % 256
+    return red.astype(np.float64), nir.astype(np.float64)
+
+
+def q_maml_ndvi(sf_dir: str):
+    """MAML local-op evaluation: NDVI (red-nir)/(red+nir) over synthetic
+    deterministic tiles; per-tile sum of floor(ndvi*1e6) over valid cells
+    (division-by-zero cells are NoData — NoDataHandlingTest poisoning)."""
+    import ray.data as rd
+
+    expr = maml.ndvi_expr()
+
+    def build_eval(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        x = (ids % MAML_GRID).astype(np.int64)
+        y = (ids // MAML_GRID).astype(np.int64)
+        i = np.arange(64, dtype=np.int64)
+        X = np.repeat(x, 64).reshape(-1, 64)
+        Y = np.repeat(y, 64).reshape(-1, 64)
+        II = np.broadcast_to(i, X.shape)
+        red, nir = _maml_bands(X, Y, II)
+        env = {"red": maml.Tile.of(red), "nir": maml.Tile.of(nir)}
+        res = maml.evaluate(expr, env)
+        scaled = np.floor(res.values * 1e6)
+        scaled[res.mask] = 0
+        return pa.table(
+            {
+                "x": pa.array(x, type=I64),
+                "y": pa.array(y, type=I64),
+                "ndvi_sum_e6": pa.array(scaled.sum(axis=1).astype(np.int64)),
+                "n_valid": pa.array((~res.mask).sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    ds = rd.range(MAML_GRID * MAML_GRID)
+    return ds.map_batches(build_eval, batch_format="pyarrow")
+
+
+def sql_maml_ndvi() -> str:
+    return f"""
+WITH g AS (
+  SELECT gx.x, gy.y, gi.i
+  FROM (SELECT unnest(generate_series(0, {MAML_GRID - 1})) AS x) gx,
+       (SELECT unnest(generate_series(0, {MAML_GRID - 1})) AS y) gy,
+       (SELECT unnest(generate_series(0, 63)) AS i) gi),
+c AS (
+  SELECT x, y,
+         CAST((x * 64 + y * 17 + i * 3) % 256 AS DOUBLE) AS red,
+         CAST((x * 31 + y * 7 + i * 11) % 256 AS DOUBLE) AS nir
+  FROM g)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+  CAST(sum(CASE WHEN red + nir = 0 THEN 0
+                ELSE CAST(floor((red - nir) / (red + nir) * 1000000.0) AS BIGINT) END) AS BIGINT) AS ndvi_sum_e6,
+  CAST(sum(CASE WHEN red + nir = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid
+FROM c GROUP BY x, y"""
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, tuple] = {
+    # geo
+    "tile_assign": (q_tile_assign, sql_tile_assign),
+    "pip_join_hot": (q_pip_hot, sql_pip_hot),
+    "pip_join_grid": (q_pip_grid, sql_pip_grid),
+    "zonal_grid_counts": (q_zonal_grid, sql_zonal_grid),
+    "tile_counts_z8": (q_tile_counts_z8, sql_tile_counts_z8),
+    # relational / query algebra shapes
+    "q1_pricing": (q_q1_pricing, sql_q1_pricing),
+    "top_orders": (q_top_orders, sql_top_orders),
+    "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation),
+    "brand_volume": (q_brand_volume, sql_brand_volume),
+    "events_hourly": (q_events_hourly, sql_events_hourly),
+    "events_between": (q_events_between, sql_events_between),
+    "distinct_flags": (q_distinct_flags, sql_distinct_flags),
+    "first_order_per_customer": (q_first_order, sql_first_order),
+    "or_union_dup": (q_or_union_dup, sql_or_union_dup),
+    # training-data text ops
+    "exact_dedup": (q_exact_dedup, sql_exact_dedup),
+    "token_counts": (q_token_counts, sql_token_counts),
+    "quality_scores": (q_quality_scores, sql_quality_scores),
+    # similarity search
+    "ann_cosine_topk": (q_ann_topk, sql_ann_topk),
+    # map algebra
+    "maml_ndvi": (q_maml_ndvi, sql_maml_ndvi),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: sql() for name, (_fn, sql) in QUERIES.items() if sql is not None}

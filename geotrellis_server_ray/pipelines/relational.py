@@ -1,0 +1,114 @@
+"""Relational building blocks, Ray-Data-first.
+
+These implement the reference's catalog query algebra shapes (SURVEY.md §2.2 /
+§2.6-2.8: filter chains, And=pipelined intersection, Or=union-with-duplicates,
+broadcast small-side joins, first-match-wins, distinct, top-k) over the
+sandbox's TPC-H-ish tables, exactly the way they must run at 100 TB:
+
+  * column pruning at the read (``read_parquet(columns=...)``)
+  * per-batch pyarrow partial aggregation BEFORE the wide groupby (combiner),
+    so the shuffle moves one row per key per block instead of every row
+  * dimension sides broadcast via ``ray.put`` + numpy ``searchsorted`` probes
+    inside ``map_batches`` — no shuffle join for small sides
+  * money amounts carried as integer cents so engine and DuckDB oracle agree
+    bit-for-bit (float sum order is engine-dependent; int sums are exact)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def add_cents(batch: pa.Table, cols: dict[str, str], scale: int = 100) -> pa.Table:
+    """Per-row exact integer scaling: out_col = round(col * scale) as int64.
+    Row-wise (not aggregate) rounding is deterministic across engines."""
+    for out, src in cols.items():
+        v = pc.round(pc.multiply(batch.column(src), pa.scalar(float(scale))))
+        batch = batch.append_column(out, pc.cast(v, pa.int64()))
+    return batch
+
+
+def _partial_agg(batch: pa.Table, keys: list[str], sums: list[str], count_as: str | None) -> pa.Table:
+    aggs = [(c, "sum") for c in sums]
+    if count_as:
+        aggs.append((keys[0], "count"))
+    g = batch.group_by(keys).aggregate(aggs)
+    names = list(keys) + [f"{c}_sum" for c in sums] + ([f"{keys[0]}_count"] if count_as else [])
+    g = g.select(names)
+    out_names = list(keys) + sums + ([count_as] if count_as else [])
+    return g.rename_columns(out_names)
+
+
+def grouped_sums(ds, keys: list[str], sums: list[str], count_as: str | None = None):
+    """Combiner-style grouped aggregation: pyarrow group_by per batch (partial)
+    then a small global groupby over the partials. The wide shuffle sees
+    O(keys x blocks) rows, not O(rows)."""
+    from ray.data.aggregate import Sum
+
+    ds = ds.map_batches(
+        partial(_partial_agg, keys=keys, sums=sums, count_as=count_as),
+        batch_format="pyarrow",
+    )
+    aggs = [Sum(c, alias_name=c) for c in sums]
+    if count_as:
+        aggs.append(Sum(count_as, alias_name=count_as))
+    return ds.groupby(keys).aggregate(*aggs)
+
+
+class BroadcastLookup:
+    """Small-side hash join via broadcast: built once on the driver from a
+    parquet dimension table, ray.put once, probed with searchsorted per batch.
+    (J1/J2 shape — the reference's request x catalog and var x source map
+    joins, WmsModel.scala:45-91 / LayerExtent.scala:58-61.)"""
+
+    def __init__(self, sf_dir: str, table: str, key: str, value_cols: list[str]):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key] + value_cols)
+        order = pc.sort_indices(t.column(key))
+        self.keys = t.column(key).take(order).to_numpy(zero_copy_only=False)
+        self.values = {c: t.column(c).take(order).to_numpy(zero_copy_only=False) for c in value_cols}
+
+    def ref(self):
+        import ray
+
+        return ray.put(self)
+
+    def probe(self, key_arr: np.ndarray) -> dict[str, np.ndarray]:
+        idx = np.searchsorted(self.keys, key_arr)
+        idx = np.clip(idx, 0, len(self.keys) - 1)
+        found = self.keys[idx] == key_arr
+        return {"__found": found, **{c: v[idx] for c, v in self.values.items()}}
+
+
+class BroadcastJoin:
+    """map_batches actor: inner-join each batch against a broadcast lookup.
+    Fetches the lookup from the object store once per actor."""
+
+    def __init__(self, lookup_ref, key: str, take_cols: list[str]):
+        import ray
+
+        self.lookup: BroadcastLookup = (
+            ray.get(lookup_ref) if not isinstance(lookup_ref, BroadcastLookup) else lookup_ref
+        )
+        self.key = key
+        self.take_cols = take_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).to_numpy(zero_copy_only=False)
+        got = self.lookup.probe(keys)
+        mask = got.pop("__found")
+        batch = batch.filter(pa.array(mask))
+        for c in self.take_cols:
+            batch = batch.append_column(c, pa.array(got[c][mask]))
+        return batch

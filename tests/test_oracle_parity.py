@@ -1,0 +1,66 @@
+"""Driver-gate rehearsal: run every registry query on Ray AND its DuckDB
+oracle at sf0.01, compare row count, column names, and order-insensitive
+values — the same comparison CORRECTNESS_r{N}.json records."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _query_names():
+    from geotrellis_server_ray.pipelines.registry import QUERIES
+
+    return list(QUERIES.keys())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(name, ray_session, sf_correct):
+    from geotrellis_server_ray.pipelines.registry import QUERIES
+
+    fn, sql = QUERIES[name]
+    ray_df = _canon(_to_pandas(fn(sf_correct)))
+    con = _oracle_con(sf_correct)
+    ora_df = _canon(con.execute(sql()).fetch_df())
+    assert list(ray_df.columns) == list(ora_df.columns), (
+        f"{name} columns: {list(ray_df.columns)} vs {list(ora_df.columns)}"
+    )
+    assert len(ray_df) == len(ora_df), f"{name} rows: {len(ray_df)} vs {len(ora_df)}"
+    for c in ray_df.columns:
+        rv, ov = ray_df[c].values, ora_df[c].values
+        if rv.dtype.kind == "f":
+            import numpy as np
+
+            assert np.array_equal(rv, ov, equal_nan=True), f"{name}.{c} float mismatch"
+        else:
+            assert (rv == ov).all(), f"{name}.{c} mismatch"
