@@ -1,0 +1,295 @@
+"""Catalog query algebra — the engine's equivalent of the reference's
+``Query = Fix[QueryF]`` AST (core/src/main/scala/geotrellis/store/query/
+QueryF.scala:40-50) with the same JSON wire format and the same evaluation
+quirks:
+
+  * ``contains`` evaluates as ``covers`` (RasterSourceRepository.scala:60,
+    OgcSourceRepository.scala:62)
+  * ``at``/``between`` match non-temporal layers unconditionally
+    (OgcSourceRepository.scala:37-44)
+  * ``between`` is half-open t1 <= t < t2 (RasterSourceRepository.scala:56-57)
+  * ``and`` = pipelined intersection (right evaluated on left's output,
+    RasterSourceRepository.scala:61-63); ``or`` = concat WITH duplicates
+    (RasterSourceRepository.scala:64)
+
+JSON encoding mirrors QueryF's circe codec: one-key objects keyed by node
+name, e.g. {"and": {"left": {...}, "right": {...}}},
+{"intersects": {"projectedGeometry": {...bbox...}}}, {"withName": {"name":
+"x"}}, {"all": {}} (golden round-trip test in tests/test_query_algebra.py,
+modeled on QueryFSpec.scala:39-223).
+
+Evaluation targets a *catalog*: a pyarrow table / pandas frame of layer rows
+with columns (name, xmin, ymin, xmax, ymax, event_time nullable). At scale
+the catalog is the broadcast small side; the compiled predicate can also be
+pushed down to parquet row filters via ``to_arrow_filter``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+# ----------------------------------------------------------- AST constructors
+
+
+def all_() -> dict:
+    return {"all": {}}
+
+
+def nothing() -> dict:
+    return {"nothing": {}}
+
+
+def with_name(name: str) -> dict:
+    return {"withName": {"name": name}}
+
+
+def with_names(names: list[str]) -> dict:
+    return {"withNames": {"names": list(names)}}
+
+
+def intersects(xmin, ymin, xmax, ymax) -> dict:
+    return {"intersects": {"projectedGeometry": _bbox(xmin, ymin, xmax, ymax)}}
+
+
+def covers(xmin, ymin, xmax, ymax) -> dict:
+    return {"covers": {"projectedGeometry": _bbox(xmin, ymin, xmax, ymax)}}
+
+
+def contains(xmin, ymin, xmax, ymax) -> dict:
+    return {"contains": {"projectedGeometry": _bbox(xmin, ymin, xmax, ymax)}}
+
+
+def at(t: str, field_name: str = "time") -> dict:
+    return {"at": {"time": t, "fieldName": field_name}}
+
+
+def between(t1: str, t2: str, field_name: str = "time") -> dict:
+    return {"between": {"from": t1, "to": t2, "fieldName": field_name}}
+
+
+def and_(left: dict, right: dict) -> dict:
+    return {"and": {"left": left, "right": right}}
+
+
+def or_(left: dict, right: dict) -> dict:
+    return {"or": {"left": left, "right": right}}
+
+
+def _bbox(xmin, ymin, xmax, ymax) -> dict:
+    return {
+        "bbox": {"xmin": float(xmin), "ymin": float(ymin), "xmax": float(xmax), "ymax": float(ymax)},
+        "crs": "EPSG:4326",
+    }
+
+
+def to_json(q: dict) -> str:
+    return json.dumps(q, sort_keys=True)
+
+
+def from_json(s: str) -> dict:
+    return json.loads(s)
+
+
+# ----------------------------------------------------------------- analyses
+
+
+def is_universal(q: dict) -> bool:
+    """True when the query matches everything (QueryF.scala:129-141 fold)."""
+    (node, body), = q.items()
+    if node == "all":
+        return True
+    if node == "and":
+        return is_universal(body["left"]) and is_universal(body["right"])
+    if node == "or":
+        return is_universal(body["left"]) or is_universal(body["right"])
+    return False
+
+
+def is_temporal(q: dict) -> bool:
+    """True when any temporal predicate occurs (QueryF.scala:121-127)."""
+    (node, body), = q.items()
+    if node in ("at", "between"):
+        return True
+    if node in ("and", "or"):
+        return is_temporal(body["left"]) or is_temporal(body["right"])
+    return False
+
+
+def override_name(q: dict, name: str) -> dict:
+    """Rewrite name nodes (QueryF.overrideName coalgebra, QueryF.scala:108-119)."""
+    (node, body), = q.items()
+    if node in ("withName", "withNames"):
+        return with_name(name)
+    if node in ("and", "or"):
+        return {node: {"left": override_name(body["left"], name),
+                       "right": override_name(body["right"], name)}}
+    return q
+
+
+# ---------------------------------------------------------------- evaluation
+
+
+def _parse_ts(t: str) -> np.datetime64:
+    return np.datetime64(pd.Timestamp(t).tz_localize(None) if pd.Timestamp(t).tzinfo is None
+                         else pd.Timestamp(t).tz_convert("UTC").tz_localize(None), "us")
+
+
+def eval_catalog(q: dict, catalog: pd.DataFrame) -> pd.DataFrame:
+    """Evaluate a query against a layer catalog frame. Returns the matching
+    rows; ``or`` concatenates with duplicates, ``and`` pipelines (left output
+    feeds right), exactly like RasterSourceRepository.eval."""
+    (node, body), = q.items()
+    if node == "all":
+        return catalog
+    if node == "nothing":
+        return catalog.iloc[0:0]
+    if node == "withName":
+        return catalog[catalog["name"] == body["name"]]
+    if node == "withNames":
+        return catalog[catalog["name"].isin(body["names"])]
+    if node in ("intersects", "covers", "contains"):
+        b = body["projectedGeometry"]["bbox"]
+        if node == "intersects":
+            hit = ~(
+                (catalog["xmax"] < b["xmin"]) | (catalog["xmin"] > b["xmax"])
+                | (catalog["ymax"] < b["ymin"]) | (catalog["ymin"] > b["ymax"])
+            )
+        else:  # covers; contains degrades to covers (the reference quirk)
+            hit = (
+                (catalog["xmin"] >= b["xmin"]) & (catalog["xmax"] <= b["xmax"])
+                & (catalog["ymin"] >= b["ymin"]) & (catalog["ymax"] <= b["ymax"])
+            )
+        return catalog[hit]
+    if node == "at":
+        t = _parse_ts(body["time"])
+        ts = catalog["event_time"]
+        return catalog[ts.isna() | (ts.values == t)]
+    if node == "between":
+        t1, t2 = _parse_ts(body["from"]), _parse_ts(body["to"])
+        ts = catalog["event_time"]
+        return catalog[ts.isna() | ((ts.values >= t1) & (ts.values < t2))]
+    if node == "and":
+        left = eval_catalog(body["left"], catalog)
+        return eval_catalog(body["right"], left)
+    if node == "or":
+        return pd.concat(
+            [eval_catalog(body["left"], catalog), eval_catalog(body["right"], catalog)],
+            ignore_index=True,
+        )
+    raise ValueError(f"unknown query node: {node}")
+
+
+def _leaf_mask(node: str, body: dict, batch) -> "Any":
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if node == "withName":
+        return pc.equal(batch.column("name"), pa.scalar(body["name"]))
+    if node == "withNames":
+        return pc.is_in(batch.column("name"), value_set=pa.array(body["names"]))
+    if node in ("intersects", "covers", "contains"):
+        b = body["projectedGeometry"]["bbox"]
+        if node == "intersects":
+            return pc.and_(
+                pc.and_(pc.greater_equal(batch.column("xmax"), pa.scalar(b["xmin"])),
+                        pc.less_equal(batch.column("xmin"), pa.scalar(b["xmax"]))),
+                pc.and_(pc.greater_equal(batch.column("ymax"), pa.scalar(b["ymin"])),
+                        pc.less_equal(batch.column("ymin"), pa.scalar(b["ymax"]))),
+            )
+        return pc.and_(
+            pc.and_(pc.greater_equal(batch.column("xmin"), pa.scalar(b["xmin"])),
+                    pc.less_equal(batch.column("xmax"), pa.scalar(b["xmax"]))),
+            pc.and_(pc.greater_equal(batch.column("ymin"), pa.scalar(b["ymin"])),
+                    pc.less_equal(batch.column("ymax"), pa.scalar(b["ymax"]))),
+        )
+    if node in ("at", "between"):
+        ts = batch.column("event_time")
+        non_temporal = pc.is_null(ts)
+        if node == "at":
+            t = pa.scalar(_parse_ts(body["time"]))
+            return pc.or_kleene(non_temporal, pc.equal(ts, t))
+        t1 = pa.scalar(_parse_ts(body["from"]))
+        t2 = pa.scalar(_parse_ts(body["to"]))
+        return pc.or_kleene(
+            non_temporal, pc.and_(pc.greater_equal(ts, t1), pc.less(ts, t2))
+        )
+    raise ValueError(f"unknown leaf: {node}")
+
+
+def eval_catalog_dataset(q: dict, ds):
+    """Evaluate a query over a Ray Dataset catalog: leaves are vectorized
+    map_batches filters, ``and`` pipelines filters, ``or`` unions the two
+    branch datasets (duplicates preserved, Q6 semantics)."""
+    (node, body), = q.items()
+    if node == "all":
+        return ds
+    if node == "nothing":
+        return ds.limit(0)
+    if node == "and":
+        return eval_catalog_dataset(body["right"], eval_catalog_dataset(body["left"], ds))
+    if node == "or":
+        return eval_catalog_dataset(body["left"], ds).union(eval_catalog_dataset(body["right"], ds))
+
+    def f(batch):
+        mask = _leaf_mask(node, body, batch)
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def to_arrow_filter(q: dict):
+    """Compile the query to a pyarrow dataset filter expression for pushdown
+    at the read (the engine's analog of SearchFilters.eval compiling Query ->
+    STAC search, stac-example/.../SearchFiltersQuery.scala:123-146). Spatial
+    nodes compile to bbox-overlap conjunctions over (xmin..ymax) columns;
+    returns None for universal queries."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads  # noqa: F401  (expression namespace)
+
+    (node, body), = q.items()
+    if node == "all":
+        return None
+    if node == "nothing":
+        return pc.scalar(False)
+    if node == "withName":
+        return pc.field("name") == body["name"]
+    if node == "withNames":
+        return pc.field("name").isin(body["names"])
+    if node in ("intersects", "covers", "contains"):
+        b = body["projectedGeometry"]["bbox"]
+        if node == "intersects":
+            return (
+                (pc.field("xmax") >= b["xmin"]) & (pc.field("xmin") <= b["xmax"])
+                & (pc.field("ymax") >= b["ymin"]) & (pc.field("ymin") <= b["ymax"])
+            )
+        return (
+            (pc.field("xmin") >= b["xmin"]) & (pc.field("xmax") <= b["xmax"])
+            & (pc.field("ymin") >= b["ymin"]) & (pc.field("ymax") <= b["ymax"])
+        )
+    if node == "at":
+        t = _parse_ts(body["time"])
+        return pc.field("event_time").is_null() | (pc.field("event_time") == t)
+    if node == "between":
+        t1, t2 = _parse_ts(body["from"]), _parse_ts(body["to"])
+        return pc.field("event_time").is_null() | (
+            (pc.field("event_time") >= t1) & (pc.field("event_time") < t2)
+        )
+    if node == "and":
+        lf, rf = to_arrow_filter(body["left"]), to_arrow_filter(body["right"])
+        if lf is None:
+            return rf
+        if rf is None:
+            return lf
+        return lf & rf
+    if node == "or":
+        lf, rf = to_arrow_filter(body["left"]), to_arrow_filter(body["right"])
+        if lf is None or rf is None:
+            return None
+        return lf | rf
+    raise ValueError(f"unknown query node: {node}")

@@ -562,6 +562,274 @@ SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
 FROM c GROUP BY x, y"""
 
 
+# ------------------------------------------------------- focal map algebra
+
+FOCAL_GRID = 12  # 12x12 tiles of 8x8 cells
+
+
+def _dem(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    return (gx * 3 + gy * 2 + (gx * gy) % 7).astype(np.float64)
+
+
+def _dem_sql(x: str, y: str) -> str:
+    return f"CAST(({x}) * 3 + ({y}) * 2 + (({x}) * ({y})) % 7 AS DOUBLE)"
+
+
+def q_maml_focal_slope(sf_dir: str):
+    """Focal slope via the REAL 3x3 halo shuffle (flat_map x9 ->
+    groupby(owner) -> stitch -> Horn kernel); the oracle computes the same
+    cells analytically from the DEM closed form — so the shuffle/stitch path
+    is what's actually under test. Interior tiles only (border tiles have
+    NoData halo cells)."""
+    import ray.data as rd
+
+    from ..functions.focal import slope
+    from ..stages.focal import TILE, focal_dataset
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        x = (ids % FOCAL_GRID).astype(np.int64)
+        y = (ids // FOCAL_GRID).astype(np.int64)
+        col = np.arange(TILE, dtype=np.int64)
+        gx = (x[:, None, None] * TILE + col[None, None, :])
+        gy = (y[:, None, None] * TILE + col[None, :, None])
+        dem = _dem(np.broadcast_to(gx, (len(x), TILE, TILE)),
+                   np.broadcast_to(gy, (len(x), TILE, TILE)))
+        return pa.table({
+            "x": pa.array(x), "y": pa.array(y),
+            "cells": pa.array(list(dem.reshape(len(x), -1)), type=pa.list_(pa.float64())),
+        })
+
+    tiles_ds = rd.range(FOCAL_GRID * FOCAL_GRID).map_batches(build, batch_format="pyarrow")
+    res = focal_dataset(tiles_ds, kernel=lambda z, m: slope(z, m), grid_n=FOCAL_GRID)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        inner = (x >= 1) & (x <= FOCAL_GRID - 2) & (y >= 1) & (y <= FOCAL_GRID - 2)
+        b = b.filter(pa.array(inner))
+        if len(b) == 0:
+            return pa.table({"x": pa.array([], I64), "y": pa.array([], I64),
+                             "slope_sum_e6": pa.array([], I64), "n_valid": pa.array([], I64)})
+        cells = np.stack([np.asarray(c) for c in b.column("cells").to_pylist()])
+        mask = np.stack([np.asarray(m) for m in b.column("mask").to_pylist()])
+        scaled = np.floor(cells * 1e6)
+        scaled[mask] = 0
+        return pa.table({
+            "x": pc.cast(b.column("x"), I64), "y": pc.cast(b.column("y"), I64),
+            "slope_sum_e6": pa.array(scaled.sum(axis=1).astype(np.int64)),
+            "n_valid": pa.array((~mask).sum(axis=1).astype(np.int64)),
+        })
+
+    return res.map_batches(summarize, batch_format="pyarrow")
+
+
+def sql_maml_focal_slope() -> str:
+    g = FOCAL_GRID
+    lo, hi = 8, (g - 1) * 8 - 1  # interior tiles' global cell range
+    # Horn neighbors around (gx, gy); y grows downward (row-major tiles)
+    a = _dem_sql("gx-1", "gy-1"); b = _dem_sql("gx", "gy-1"); c = _dem_sql("gx+1", "gy-1")
+    d = _dem_sql("gx-1", "gy");                                f = _dem_sql("gx+1", "gy")
+    gg = _dem_sql("gx-1", "gy+1"); h = _dem_sql("gx", "gy+1"); i = _dem_sql("gx+1", "gy+1")
+    dzdx = f"((({c}) + 2.0e0 * ({f}) + ({i})) - (({a}) + 2.0e0 * ({d}) + ({gg}))) / 8.0e0"
+    dzdy = f"((({gg}) + 2.0e0 * ({h}) + ({i})) - (({a}) + 2.0e0 * ({b}) + ({c}))) / 8.0e0"
+    return f"""
+WITH cellgrid AS (
+  SELECT cx.gx, cy.gy
+  FROM (SELECT unnest(generate_series({lo}, {hi})) AS gx) cx,
+       (SELECT unnest(generate_series({lo}, {hi})) AS gy) cy),
+s AS (
+  SELECT gx // 8 AS x, gy // 8 AS y,
+         degrees(atan(sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy})))) AS slope_deg
+  FROM cellgrid)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(sum(CAST(floor(slope_deg * 1000000.0e0) AS BIGINT)) AS BIGINT) AS slope_sum_e6,
+       CAST(count(*) AS BIGINT) AS n_valid
+FROM s GROUP BY x, y"""
+
+
+# ------------------------------------------------------------ mosaic merge
+
+MOSAIC_GRID = 8
+
+
+def _mosaic_vals(gx, gy, src: int):
+    if src == 0:
+        v = (gx + gy * 2) % 50
+        nod = (gx + gy) % 5 == 0
+    else:
+        v = (gx * 7 + gy * 3) % 40
+        nod = gx % 3 == 0
+    return np.where(nod, np.nan, v.astype(np.float64))
+
+
+def q_mosaic_merge(sf_dir: str):
+    """Left-biased mosaic merge (S4/J4): two synthetic sources with NoData
+    holes, ranked groupby merge; first-wins per cell in rank order."""
+    import ray.data as rd
+
+    from ..stages.focal import TILE
+    from ..stages.mosaic import mosaic
+
+    def build(batch: pa.Table, src: int) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        x = (ids % MOSAIC_GRID).astype(np.int64)
+        y = (ids // MOSAIC_GRID).astype(np.int64)
+        col = np.arange(TILE, dtype=np.int64)
+        gx = np.broadcast_to(x[:, None, None] * TILE + col[None, None, :], (len(x), TILE, TILE))
+        gy = np.broadcast_to(y[:, None, None] * TILE + col[None, :, None], (len(x), TILE, TILE))
+        v = _mosaic_vals(gx, gy, src)
+        return pa.table({
+            "x": pa.array(x), "y": pa.array(y),
+            "rank": pa.array(np.full(len(x), src, dtype=np.int64)),
+            "cells": pa.array(list(v.reshape(len(x), -1)), type=pa.list_(pa.float64())),
+        })
+
+    n = MOSAIC_GRID * MOSAIC_GRID
+    s0 = rd.range(n).map_batches(partial(build, src=0), batch_format="pyarrow")
+    s1 = rd.range(n).map_batches(partial(build, src=1), batch_format="pyarrow")
+    merged = mosaic(s0.union(s1))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"x": pa.array([], I64), "y": pa.array([], I64),
+                             "merged_sum": pa.array([], I64), "n_valid": pa.array([], I64)})
+        cells = np.stack([np.asarray(c) for c in b.column("cells").to_pylist()])
+        mask = np.stack([np.asarray(m) for m in b.column("mask").to_pylist()])
+        vals = np.where(mask, 0.0, cells)
+        return pa.table({
+            "x": pc.cast(b.column("x"), I64), "y": pc.cast(b.column("y"), I64),
+            "merged_sum": pa.array(vals.sum(axis=1).astype(np.int64)),
+            "n_valid": pa.array((~mask).sum(axis=1).astype(np.int64)),
+        })
+
+    return merged.map_batches(summarize, batch_format="pyarrow")
+
+
+def sql_mosaic_merge() -> str:
+    n_cells = MOSAIC_GRID * 8 - 1
+    return f"""
+WITH cellgrid AS (
+  SELECT cx.gx, cy.gy
+  FROM (SELECT unnest(generate_series(0, {n_cells})) AS gx) cx,
+       (SELECT unnest(generate_series(0, {n_cells})) AS gy) cy),
+m AS (
+  SELECT gx // 8 AS x, gy // 8 AS y,
+    CASE WHEN (gx + gy) % 5 <> 0 THEN (gx + gy * 2) % 50
+         WHEN gx % 3 <> 0 THEN (gx * 7 + gy * 3) % 40
+         END AS v
+  FROM cellgrid)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(coalesce(sum(v), 0) AS BIGINT) AS merged_sum,
+       CAST(count(v) AS BIGINT) AS n_valid
+FROM m GROUP BY x, y"""
+
+
+# ---------------------------------------------------- catalog query algebra
+
+CQ_BBOX = (-60.0, -40.0, 60.0, 45.0)
+CQ_T1, CQ_T2 = "2024-01-05", "2024-01-18"
+CQ_NAMES = ["JAPAN", "ARGENTINA"]
+
+
+def _catalog_batch(b: pa.Table) -> pa.Table:
+    """Layer catalog derived from nation via integer arithmetic (bbox +
+    temporal metadata), so the oracle reproduces it exactly."""
+    k = b.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    xmin = ((k * 29) % 300 - 150).astype(np.float64)
+    ymin = ((k * 17) % 120 - 60).astype(np.float64)
+    xmax = xmin + 10 + (k % 20)
+    ymax = ymin + 5 + (k % 10)
+    et = np.datetime64("2024-01-01", "us") + k * np.timedelta64(86_400_000_000, "us")
+    et_arr = pa.array(et, type=pa.timestamp("us"), mask=(k % 2 == 0))
+    return pa.table({
+        "name": b.column("n_name"),
+        "xmin": pa.array(xmin), "ymin": pa.array(ymin),
+        "xmax": pa.array(xmax), "ymax": pa.array(ymax),
+        "event_time": et_arr,
+    })
+
+
+def q_catalog_query(sf_dir: str):
+    """QueryF algebra end-to-end: Or(And(Intersects(bbox), Between(t1,t2)),
+    WithNames([...])) evaluated over a layer catalog Dataset — preserving the
+    reference's pipelined-And / Or-with-duplicates / non-temporal-matches-all
+    semantics (SURVEY.md §2.2 Q1-Q7)."""
+    from ..functions import query_algebra as qa
+
+    ds = read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cat = ds.map_batches(_catalog_batch, batch_format="pyarrow")
+    q = qa.or_(
+        qa.and_(qa.intersects(*CQ_BBOX), qa.between(CQ_T1, CQ_T2)),
+        qa.with_names(CQ_NAMES),
+    )
+    return qa.eval_catalog_dataset(q, cat)
+
+
+def sql_catalog_query() -> str:
+    x0, y0, x1, y1 = CQ_BBOX
+    names = ", ".join(f"'{n}'" for n in CQ_NAMES)
+    return f"""
+WITH cat AS (
+  SELECT n_name AS name,
+    CAST((n_nationkey * 29) % 300 - 150 AS DOUBLE) AS xmin,
+    CAST((n_nationkey * 17) % 120 - 60 AS DOUBLE) AS ymin,
+    CAST((n_nationkey * 29) % 300 - 150 + 10 + (n_nationkey % 20) AS DOUBLE) AS xmax,
+    CAST((n_nationkey * 17) % 120 - 60 + 5 + (n_nationkey % 10) AS DOUBLE) AS ymax,
+    CASE WHEN n_nationkey % 2 = 1
+         THEN TIMESTAMP '2024-01-01' + n_nationkey * INTERVAL 1 DAY END AS event_time
+  FROM nation)
+SELECT * FROM cat
+WHERE (xmax >= {flit(x0)} AND xmin <= {flit(x1)} AND ymax >= {flit(y0)} AND ymin <= {flit(y1)})
+  AND (event_time IS NULL OR (event_time >= TIMESTAMP '{CQ_T1}' AND event_time < TIMESTAMP '{CQ_T2}'))
+UNION ALL
+SELECT * FROM cat WHERE name IN ({names})"""
+
+
+# ------------------------------------------------------------------ kNN
+
+KNN_K = 5
+KNN_NQ = 10
+
+
+def _knn_queries():
+    qid = np.arange(KNN_NQ, dtype=np.int64)
+    qlon = ((qid * 73) % 360 - 180).astype(np.float64) + 0.5
+    qlat = ((qid * 37) % 140 - 70).astype(np.float64) + 0.5
+    return qid, qlon, qlat
+
+
+def q_knn_media(sf_dir: str):
+    """kNN point lookup (M13 generalized): k nearest media spans per query
+    point by haversine; brute-force-broadcast partial top-k (the cell-ring
+    variant is property-tested against this in tests)."""
+    from ..stages.knn import knn
+
+    ds = geo.anchored_spans(sf_dir)
+    out = knn(ds, _knn_queries(), k=KNN_K)
+    return _cast_cols(out, {"query_id": I64, "rank": I64, "span_idx": I64})
+
+
+def sql_knn_media() -> str:
+    qid, qlon, qlat = _knn_queries()
+    vals = ", ".join(f"({int(i)}, {flit(lo)}, {flit(la)})" for i, lo, la in zip(qid, qlon, qlat))
+    hav = ("2.0e0 * 6371008.8e0 * asin(sqrt("
+           "sin((radians(q.qlat) - radians(s.lat)) / 2.0e0) * sin((radians(q.qlat) - radians(s.lat)) / 2.0e0)"
+           " + cos(radians(s.lat)) * cos(radians(q.qlat))"
+           " * sin((radians(q.qlon) - radians(s.lon)) / 2.0e0) * sin((radians(q.qlon) - radians(s.lon)) / 2.0e0)))")
+    return f"""{SPANS}
+, q(qid, qlon, qlat) AS (VALUES {vals}),
+d AS (
+  SELECT q.qid, s.doc_id, s.span_idx, {hav} AS dist
+  FROM q CROSS JOIN spans_flat s WHERE s.is_media),
+ranked AS (
+  SELECT qid, doc_id, span_idx,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, doc_id, span_idx) AS rnk
+  FROM d)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank, doc_id, span_idx
+FROM ranked WHERE rnk <= {KNN_K}"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -589,6 +857,12 @@ QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_topk, sql_ann_topk),
     # map algebra
     "maml_ndvi": (q_maml_ndvi, sql_maml_ndvi),
+    "maml_focal_slope": (q_maml_focal_slope, sql_maml_focal_slope),
+    "mosaic_merge": (q_mosaic_merge, sql_mosaic_merge),
+    # catalog query algebra
+    "catalog_query": (q_catalog_query, sql_catalog_query),
+    # kNN
+    "knn_media": (q_knn_media, sql_knn_media),
 }
 
 

@@ -1,0 +1,144 @@
+"""Map-algebra semantics tests, mirroring the reference's test strategy:
+LayerExtentTest's tiny-raster golden-sum, NoDataHandlingTest's poisoning
+rules, focal kernels on analytic surfaces, TargetCell masks, mosaic bias."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geotrellis_server_ray.functions import focal, maml
+
+
+def test_identity_crop_golden_sum():
+    """Analog of LayerExtentTest.scala:29-37: an 8x8 gradient tile 1..64,
+    bottom row excised by the crop -> sum of the remaining 56 cells == 1596."""
+    tile = np.arange(1, 65, dtype=np.float64).reshape(8, 8)
+    cropped = tile[:7, :]  # crop to rows 0-6 (the requested-extent crop, M5)
+    assert cropped.sum() == 1596
+
+
+def test_local_ops_and_literals():
+    a = maml.Tile.of(np.array([[1.0, 2.0], [3.0, 4.0]]))
+    b = maml.Tile.of(np.array([[10.0, 20.0], [30.0, 40.0]]))
+    expr = {"symbol": "+", "args": [maml.var("a"),
+            {"symbol": "*", "args": [maml.var("b"), maml.lit(2)]}]}
+    out = maml.evaluate(expr, {"a": a, "b": b})
+    np.testing.assert_array_equal(out.values, [[21, 42], [63, 84]])
+    assert not out.mask.any()
+
+
+def test_nodata_poisons_addition():
+    """NoDataHandlingTest.scala:32-58: user-defined NoData in any operand
+    poisons the output cell; surfacing as NaN in float output."""
+    a = maml.Tile.of(np.array([[1.0, 1.0], [1.0, 1.0]]), nodata=1.0)  # all nodata
+    b = maml.Tile.of(np.array([[5.0, 6.0], [7.0, 8.0]]))
+    out = maml.evaluate({"symbol": "+", "args": [maml.var("a"), maml.var("b")]},
+                        {"a": a, "b": b})
+    assert out.mask.all()
+    assert np.isnan(out.to_float()).all()
+    # mixed: only the ud-nodata cell poisons
+    c = maml.Tile.of(np.array([[2.0, 1.0], [3.0, 4.0]]), nodata=1.0)
+    out = maml.evaluate({"symbol": "+", "args": [maml.var("c"), maml.var("b")]},
+                        {"c": c, "b": b})
+    assert out.mask.tolist() == [[False, True], [False, False]]
+    assert out.values[0, 0] == 7.0
+
+
+def test_division_by_zero_is_nodata():
+    a = maml.Tile.of(np.array([1.0, -1.0, 0.0]))
+    b = maml.Tile.of(np.array([0.0, 0.0, 0.0]))
+    out = maml.evaluate({"symbol": "/", "args": [maml.var("a"), maml.var("b")]},
+                        {"a": a, "b": b})
+    assert out.mask.all()
+
+
+def test_interpret_as_int_cast():
+    t = maml.Tile(np.array([1.9, -2.7, np.nan]), np.array([False, False, True]))
+    out = t.to_int(nodata=-999)
+    assert out.tolist() == [1, -2, -999]  # trunc toward zero + sentinel
+
+
+def test_ndvi_expr():
+    red = maml.Tile.of(np.array([0.6, 0.2]))
+    nir = maml.Tile.of(np.array([0.2, 0.6]))
+    out = maml.evaluate(maml.ndvi_expr(), {"red": red, "nir": nir})
+    np.testing.assert_allclose(out.values, [0.5, -0.5])
+
+
+def test_rgb_channel_ops():
+    t = maml.Tile.of(np.array([0.0, 50.0, 100.0]))
+    out = maml.evaluate({"symbol": "clamp", "min": 10, "max": 90,
+                         "args": [maml.var("t")]}, {"t": t})
+    assert out.values.tolist() == [10, 50, 90]
+    out = maml.evaluate({"symbol": "normalize", "old_min": 0, "old_max": 100,
+                         "new_min": 0, "new_max": 1, "args": [maml.var("t")]}, {"t": t})
+    np.testing.assert_allclose(out.values, [0, 0.5, 1.0])
+    out = maml.evaluate({"symbol": "rescale", "new_min": 0, "new_max": 10,
+                         "args": [maml.var("t")]}, {"t": t})
+    np.testing.assert_allclose(out.values, [0, 5, 10])
+
+
+# ------------------------------------------------------------------- focal
+
+
+def test_slope_flat_and_plane():
+    flat = np.zeros((10, 10))
+    s, m = focal.slope(flat)
+    assert (s == 0).all() and not m.any()
+    # plane z = 3x + 4y -> |grad| = 5 everywhere, slope = atan(5)
+    yy, xx = np.mgrid[0:10, 0:10]
+    plane = 3.0 * xx + 4.0 * yy
+    s, _ = focal.slope(plane)
+    np.testing.assert_allclose(s, np.degrees(np.arctan(5.0)))
+
+
+def test_hillshade_flat_is_altitude_cos():
+    flat = np.zeros((10, 10))
+    h, _ = focal.hillshade(flat, altitude=45.0)
+    want = round(255 * np.cos(np.radians(45.0)))
+    assert (h == want).all()
+    # sun at zenith -> flat terrain = 255
+    h, _ = focal.hillshade(flat, altitude=90.0)
+    assert (h == 255).all()
+
+
+def test_focal_nodata_window_poisoning():
+    z = np.zeros((6, 6))
+    mask = np.zeros((6, 6), dtype=bool)
+    mask[2, 2] = True
+    s, m = focal.slope(z, mask)
+    # the 3x3 windows touching (2,2) are poisoned -> output cells (1..3, 1..3)
+    want = np.zeros((4, 4), dtype=bool)
+    want[0:3, 0:3] = True
+    assert m.tolist() == want.tolist()
+
+
+def test_target_cell_masks():
+    res = np.full((2, 2), 9.0)
+    res_m = np.zeros((2, 2), dtype=bool)
+    orig = np.array([[1.0, 2.0], [3.0, 4.0]])
+    orig_m = np.array([[True, False], [False, True]])
+    out, m = focal.apply_target_cell(res, res_m, orig, orig_m, "all")
+    assert (out == 9).all() and not m.any()
+    out, m = focal.apply_target_cell(res, res_m, orig, orig_m, "data")
+    assert out.tolist() == [[1, 9], [9, 4]]
+    assert m.tolist() == [[True, False], [False, True]]
+    out, m = focal.apply_target_cell(res, res_m, orig, orig_m, "nodata")
+    assert out.tolist() == [[9, 2], [3, 9]]
+    assert not m.any()
+
+
+def test_mosaic_left_bias():
+    from geotrellis_server_ray.stages.mosaic import merge_group
+
+    g = pd.DataFrame({
+        "x": [0, 0], "y": [0, 0], "rank": [1, 0],
+        "cells": [np.array([9.0, 9.0, 9.0, np.nan]),      # rank 1 (right)
+                  np.array([1.0, np.nan, np.nan, np.nan])],  # rank 0 (left, wins)
+    })
+    out = merge_group(g)
+    cells = out["cells"].iloc[0]
+    mask = out["mask"].iloc[0]
+    assert cells[0] == 1.0          # left wins where it has data
+    assert cells[1] == 9.0 and cells[2] == 9.0  # right fills left's holes
+    assert mask.tolist() == [False, False, False, True]  # both nodata -> nodata

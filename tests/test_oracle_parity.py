@@ -62,5 +62,11 @@ def test_query_matches_oracle(name, ray_session, sf_correct):
             import numpy as np
 
             assert np.array_equal(rv, ov, equal_nan=True), f"{name}.{c} float mismatch"
+        elif rv.dtype.kind == "M":
+            import numpy as np
+
+            na_r, na_o = pd.isna(rv), pd.isna(ov)
+            assert (na_r == na_o).all(), f"{name}.{c} null mismatch"
+            assert (rv[~na_r] == ov[~na_o]).all(), f"{name}.{c} mismatch"
         else:
             assert (rv == ov).all(), f"{name}.{c} mismatch"

@@ -1,0 +1,121 @@
+"""Query algebra goldens — modeled on the reference's QueryFSpec
+(core/src/test/scala/geotrellis/store/query/QueryFSpec.scala:39-257): JSON
+round-trips, semantic quirks (contains==covers, non-temporal-matches-all,
+Or-with-duplicates, pipelined And), and pushdown compilation."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geotrellis_server_ray.functions import query_algebra as qa
+
+
+@pytest.fixture
+def catalog():
+    return pd.DataFrame(
+        {
+            "name": ["a", "b", "c", "d"],
+            "xmin": [0.0, 20.0, -10.0, 5.0],
+            "ymin": [0.0, 20.0, -10.0, 5.0],
+            "xmax": [10.0, 30.0, -5.0, 8.0],
+            "ymax": [10.0, 30.0, -5.0, 8.0],
+            "event_time": pd.to_datetime(
+                ["2024-01-10", None, "2024-02-01", "2024-01-15"]
+            ).astype("datetime64[us]"),
+        }
+    )
+
+
+def test_json_roundtrip():
+    q = qa.or_(
+        qa.and_(qa.intersects(-10, -10, 10, 10), qa.between("2024-01-01", "2024-02-01")),
+        qa.with_names(["x", "y"]),
+    )
+    s = qa.to_json(q)
+    assert qa.from_json(s) == q
+    # wire format shape: one-key nodes (QueryF circe encoding style)
+    d = json.loads(s)
+    assert set(d.keys()) == {"or"}
+    assert set(d["or"].keys()) == {"left", "right"}
+
+
+def test_analyses():
+    assert qa.is_universal(qa.all_())
+    assert qa.is_universal(qa.and_(qa.all_(), qa.all_()))
+    assert not qa.is_universal(qa.with_name("x"))
+    assert qa.is_universal(qa.or_(qa.with_name("x"), qa.all_()))
+    assert qa.is_temporal(qa.between("2024-01-01", "2024-02-01"))
+    assert qa.is_temporal(qa.and_(qa.all_(), qa.at("2024-01-01")))
+    assert not qa.is_temporal(qa.intersects(0, 0, 1, 1))
+
+
+def test_override_name():
+    q = qa.and_(qa.with_name("old"), qa.intersects(0, 0, 1, 1))
+    q2 = qa.override_name(q, "new")
+    assert q2["and"]["left"] == qa.with_name("new")
+    assert q2["and"]["right"] == q["and"]["right"]
+
+
+def test_intersects_and_covers(catalog):
+    got = qa.eval_catalog(qa.intersects(-1, -1, 6, 6), catalog)
+    assert got["name"].tolist() == ["a", "d"]
+    # covers requires full containment
+    got = qa.eval_catalog(qa.covers(-1, -1, 11, 11), catalog)
+    assert got["name"].tolist() == ["a", "d"]
+    got = qa.eval_catalog(qa.covers(-1, -1, 9, 9), catalog)
+    assert got["name"].tolist() == ["d"]
+    # contains degrades to covers (the reference quirk)
+    assert qa.eval_catalog(qa.contains(-1, -1, 9, 9), catalog)["name"].tolist() == ["d"]
+
+
+def test_temporal_non_temporal_matches_all(catalog):
+    got = qa.eval_catalog(qa.at("2024-01-10"), catalog)
+    assert got["name"].tolist() == ["a", "b"]  # b is non-temporal -> matches
+    got = qa.eval_catalog(qa.between("2024-01-01", "2024-01-15"), catalog)
+    # half-open: d at 01-15 excluded; b non-temporal included
+    assert got["name"].tolist() == ["a", "b"]
+
+
+def test_or_preserves_duplicates_and_and_pipelines(catalog):
+    q = qa.or_(qa.with_name("a"), qa.intersects(-1, -1, 6, 6))
+    got = qa.eval_catalog(q, catalog)
+    assert got["name"].tolist() == ["a", "a", "d"]  # 'a' twice — no dedup
+    q = qa.and_(qa.intersects(-1, -1, 6, 6), qa.with_name("d"))
+    assert qa.eval_catalog(q, catalog)["name"].tolist() == ["d"]
+    assert qa.eval_catalog(qa.nothing(), catalog).empty
+    assert len(qa.eval_catalog(qa.all_(), catalog)) == 4
+
+
+def test_arrow_pushdown_filter(catalog):
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    t = pa.Table.from_pandas(catalog, preserve_index=False)
+    for q in [
+        qa.with_names(["a", "c"]),
+        qa.intersects(-1, -1, 6, 6),
+        qa.and_(qa.intersects(-1, -1, 6, 6), qa.at("2024-01-10")),
+        qa.between("2024-01-01", "2024-01-15"),
+    ]:
+        expr = qa.to_arrow_filter(q)
+        got = pads.dataset(t).to_table(filter=expr).to_pandas()
+        want = qa.eval_catalog(q, catalog)
+        # pushdown is set-equivalent (no duplicate semantics in a filter)
+        assert sorted(got["name"]) == sorted(want["name"].unique().tolist()
+                                             if q.get("or") else want["name"].tolist())
+    assert qa.to_arrow_filter(qa.all_()) is None
+
+
+def test_dataset_eval_matches_pandas_eval(ray_session, catalog):
+    import ray.data as rd
+
+    ds = rd.from_pandas(catalog)
+    q = qa.or_(
+        qa.and_(qa.intersects(-1, -1, 30, 30), qa.between("2024-01-01", "2024-01-20")),
+        qa.with_name("c"),
+    )
+    got = qa.eval_catalog_dataset(q, ds).to_pandas()
+    want = qa.eval_catalog(q, catalog)
+    assert sorted(got["name"]) == sorted(want["name"])
