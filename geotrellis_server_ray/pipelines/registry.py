@@ -1015,6 +1015,162 @@ def q_doc_fingerprints(sf_dir: str):
     return ds.map_batches(lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
 
 
+# ------------------------------------------------------- scale machinery
+
+SALT_CELL_LEVEL = 7
+
+
+def q_cell_counts_salted(sf_dir: str):
+    """Skew-safe per-cell counts at the hot-cluster level: two-stage salted
+    aggregation (groupby (cell, salt) then groupby cell). Result is identical
+    to a naive groupby — the salting is a physical-plan property — so the
+    oracle is a plain GROUP BY."""
+    from ..stages.salting import salted_counts
+
+    ds = geo.anchored_spans(sf_dir, zoom=8, cell_level=SALT_CELL_LEVEL)
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cell_id": pc.cast(b.column("cell_id"), I64),
+            "doc_id": b.column("doc_id"),
+        })
+
+    ds = ds.map_batches(shape, batch_format="pyarrow")
+    out = salted_counts(ds, ["cell_id"], id_col="doc_id", num_salts=8)
+    return _cast_cols(out, {"cell_id": I64, "n": I64})
+
+
+def sql_cell_counts_salted() -> str:
+    xe, ye = _tile_xy_sql(SALT_CELL_LEVEL)
+    return f"""{SPANS}
+, t AS (SELECT {xe} AS x, {ye} AS y FROM spans_flat WHERE is_media)
+SELECT {_cell_sql('x', 'y')} AS cell_id, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1"""
+
+
+def q_checkpointed_write(sf_dir: str):
+    """Resumable partitioned sink: flagship join rows -> Hilbert range
+    partitions -> atomic per-partition parquet + lineage manifest; returns
+    manifest rows. Idempotent (re-runs skip completed partitions; checksums
+    are content-derived, no wall-clock anywhere). Rows-only oracle: the
+    Hilbert key is not SQL-expressible; resume semantics are pytest-covered."""
+    import os
+    import shutil
+
+    from ..state.checkpoint import checkpointed_write, completed_partitions, hilbert_partition
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/graft_ckpt/{sf_tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    joined = geo.pip_joined(sf_dir, layers=["grid-zones"])
+
+    def shape(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "doc_id": b.column("doc_id"),
+            "span_idx": b.column("span_idx"),
+            "feature_id": b.column("feature_id"),
+            "hilbert": b.column("hilbert"),
+        })
+        return hilbert_partition(t, "hilbert", bits=geo.FLAGSHIP_ZOOM, num_partitions=8)
+
+    ds = joined.map_batches(shape, batch_format="pyarrow")
+    manifest = checkpointed_write(ds, out_dir, input_desc=f"{sf_tag}/grid-zones")
+    out = manifest.map_batches(
+        lambda b: b.select(["partition_id", "rows", "checksum"]), batch_format="pyarrow"
+    )
+    return _cast_cols(out, {"partition_id": I64, "rows": I64, "checksum": I64})
+
+
+# -------------------------------------------- histogram / time / point ops
+
+def q_quantity_histogram(sf_dir: str):
+    """A1 histogram aggregate: per-batch partial fixed-bin histograms merged
+    in a final stage; output (bin, n) for non-empty bins."""
+    import pandas as pd
+
+    from ..functions.histogram import histogram_aggregate
+
+    ds = read(sf_dir, "lineitem", ["l_quantity"])
+    h = histogram_aggregate(ds, "l_quantity", lo=0.0, hi=60.0, nbins=60)
+    nz = np.nonzero(h.counts)[0]
+    return pd.DataFrame({"bin": nz.astype(np.int64), "n": h.counts[nz].astype(np.int64)})
+
+
+def sql_quantity_histogram() -> str:
+    return """
+SELECT CAST(LEAST(GREATEST(floor(l_quantity / 60.0e0 * 60.0e0), 0), 59) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1"""
+
+
+def q_time_positions(sf_dir: str):
+    """OgcTime domain merge (M10/A4): per event_type, the distinct sorted
+    time-position domain summarized as (count, oldest, newest) — the
+    positions monoid + Oldest/Newest default selection."""
+    import pandas as pd
+
+    from ..functions.ogctime import OgcTimePositions
+
+    ds = read(sf_dir, "events", ["event_type", "ts"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        dom = OgcTimePositions.of(list(g["ts"].values))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_positions": [np.int64(len(dom.times))],
+            "oldest": [pd.Timestamp(dom.default("oldest"))],
+            "newest": [pd.Timestamp(dom.default("newest"))],
+        })
+
+    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+    return _cast_cols(out, {"n_positions": I64})
+
+
+def sql_time_positions() -> str:
+    return """
+SELECT event_type, CAST(count(DISTINCT ts) AS BIGINT) AS n_positions,
+       min(ts) AS oldest, max(ts) AS newest
+FROM events GROUP BY event_type"""
+
+
+def q_feature_info_lookup(sf_dir: str):
+    """GetFeatureInfo point lookup (M12): map each query point to its tile
+    key and sample the (synthetic, analytic) raster value at that key —
+    rasterExtent.mapToGrid semantics."""
+    import ray.data as rd
+
+    from ..functions.tiles import lonlat_to_tile
+
+    qid, qlon, qlat = _knn_queries()
+
+    def lookup(b: pa.Table) -> pa.Table:
+        ids = b.column("id").to_numpy(zero_copy_only=False)
+        lon, lat = qlon[ids], qlat[ids]
+        x, y = lonlat_to_tile(lon, lat, 8)
+        value = (x.astype(np.int64) * 13 + y.astype(np.int64) * 29) % 1000
+        return pa.table({
+            "query_id": pa.array(ids.astype(np.int64)),
+            "x": pa.array(x.astype(np.int64)),
+            "y": pa.array(y.astype(np.int64)),
+            "value": pa.array(value.astype(np.int64)),
+        })
+
+    return rd.range(KNN_NQ).map_batches(lookup, batch_format="pyarrow")
+
+
+def sql_feature_info_lookup() -> str:
+    qid, qlon, qlat = _knn_queries()
+    vals = ", ".join(f"({int(i)}, {flit(lo)}, {flit(la)})" for i, lo, la in zip(qid, qlon, qlat))
+    xe, ye = _tile_xy_sql(8)
+    return f"""
+WITH q(query_id, lon, lat) AS (VALUES {vals}),
+t AS (SELECT query_id, {xe} AS x, {ye} AS y FROM q)
+SELECT CAST(query_id AS BIGINT) AS query_id, x, y,
+       CAST((x * 13 + y * 29) % 1000 AS BIGINT) AS value
+FROM t"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -1057,6 +1213,13 @@ QUERIES: dict[str, tuple] = {
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "lang_id": (q_lang_id, None),
     "doc_fingerprints": (q_doc_fingerprints, None),
+    # scale machinery
+    "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
+    "checkpointed_write": (q_checkpointed_write, None),
+    # histogram / time / point lookup
+    "quantity_histogram": (q_quantity_histogram, sql_quantity_histogram),
+    "time_positions": (q_time_positions, sql_time_positions),
+    "feature_info_lookup": (q_feature_info_lookup, sql_feature_info_lookup),
 }
 
 

@@ -1,0 +1,109 @@
+"""Checkpoint/lineage/resume semantics + salting + hilbert partitioning."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geotrellis_server_ray.state import checkpoint as C
+
+
+@pytest.fixture
+def tmp_out(tmp_path):
+    return str(tmp_path / "out")
+
+
+def _ds(ray_session, n=1000, parts=8):
+    import ray.data as rd
+
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array((np.arange(n) * 7 % 100).astype(np.int64)),
+    })
+    ds = rd.from_arrow(t)
+    return ds.map_batches(
+        lambda b: C.assign_partitions(b, "k", parts), batch_format="pyarrow"
+    )
+
+
+def test_write_resume_skips_done(ray_session, tmp_out):
+    ds = _ds(ray_session)
+    m1 = C.checkpointed_write(ds, tmp_out, input_desc="t1").to_pandas()
+    assert len(m1) == 8
+    assert sorted(m1["partition_id"]) == list(range(8))
+    assert m1["rows"].sum() == 1000
+    files = sorted(f for f in os.listdir(tmp_out) if f.endswith(".parquet"))
+    assert len(files) == 8
+
+    # simulate partial failure: drop 3 manifest entries + files
+    for pid in (1, 4, 6):
+        os.remove(f"{tmp_out}/_manifest/{pid:05d}.json")
+        os.remove(f"{tmp_out}/part-{pid:05d}.parquet")
+    assert C.completed_partitions(tmp_out) == {0, 2, 3, 5, 7}
+
+    ds2 = _ds(ray_session)
+    m2 = C.checkpointed_write(ds2, tmp_out, input_desc="t1").to_pandas()
+    assert sorted(m2["partition_id"]) == [1, 4, 6]  # only missing work re-ran
+    assert C.completed_partitions(tmp_out) == set(range(8))
+
+
+def test_rerun_is_idempotent(ray_session, tmp_out):
+    ds = _ds(ray_session)
+    m1 = C.checkpointed_write(ds, tmp_out).to_pandas()
+    # full rerun: nothing left to do
+    m2 = C.checkpointed_write(_ds(ray_session), tmp_out).to_pandas()
+    assert len(m2) == 0
+    # checksums stable across independent runs
+    shutil.rmtree(tmp_out)
+    m3 = C.checkpointed_write(_ds(ray_session), tmp_out).to_pandas()
+    a = m1.sort_values("partition_id")["checksum"].tolist()
+    b = m3.sort_values("partition_id")["checksum"].tolist()
+    assert a == b
+
+
+def test_manifest_lineage_fields(ray_session, tmp_out):
+    C.checkpointed_write(_ds(ray_session), tmp_out, input_desc="corpus@sf0.001").to_pandas()
+    with open(f"{tmp_out}/_manifest/00000.json") as f:
+        m = json.load(f)
+    assert set(m) == {"partition_id", "rows", "checksum", "input"}
+    assert m["input"] == "corpus@sf0.001"
+
+
+def test_hilbert_partition_ranges():
+    from geotrellis_server_ray.functions import cells
+
+    n = 1 << 6
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n))
+    h = cells.hilbert_key(xx.ravel(), yy.ravel(), 6)
+    t = pa.table({"h": pa.array(h.astype(np.uint64))})
+    out = C.hilbert_partition(t, "h", bits=6, num_partitions=16)
+    pid = out.column("partition_id").to_numpy(zero_copy_only=False)
+    # ranges are contiguous on the curve -> equal-sized partitions
+    counts = np.bincount(pid, minlength=16)
+    assert (counts == n * n // 16).all()
+    # and spatially local: each partition's bbox is much smaller than the grid
+    for p in range(16):
+        sel = pid == p
+        w = xx.ravel()[sel].max() - xx.ravel()[sel].min()
+        hgt = yy.ravel()[sel].max() - yy.ravel()[sel].min()
+        assert w <= n // 2 and hgt <= n // 2
+
+
+def test_salted_counts_match_plain(ray_session):
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.salting import salted_counts
+
+    rng = np.random.default_rng(5)
+    keys = np.concatenate([np.zeros(5000, dtype=np.int64), rng.integers(1, 50, 1000)])
+    ids = np.arange(len(keys), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"cell_id": pa.array(keys), "doc_id": pa.array(ids)}))
+    out = salted_counts(ds, ["cell_id"], id_col="doc_id", num_salts=8).to_pandas()
+    want = pd.Series(keys).value_counts().sort_index()
+    got = out.sort_values("cell_id").set_index("cell_id")["n"]
+    assert got.loc[0] == 5000
+    assert (got.values == want.values).all()

@@ -1,0 +1,153 @@
+"""Renderer + OgcTime + resample + histogram goldens — mirroring
+InterpolatedColorMapSpec.scala:26-70 (exact midpoint lerp, clip policies),
+OgcTime merge semantics, and resample kernels."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geotrellis_server_ray.functions import histogram as H
+from geotrellis_server_ray.functions import ogctime as OT
+from geotrellis_server_ray.functions import render as R
+from geotrellis_server_ray.functions import resample as RS
+
+
+# ------------------------------------------------------------------ render
+
+def test_interpolated_midpoint_exact():
+    # poles 0 -> black opaque, 10 -> white opaque; midpoint -> exact mid-grey
+    cm = R.InterpolatedColorMap({0.0: R.rgba(0, 0, 0), 10.0: R.rgba(255, 255, 255)})
+    out = cm.render(np.array([5.0]))
+    assert out[0] == R.rgba(128, 128, 128)  # round(127.5) -> 128
+    out = cm.render(np.array([0.0, 10.0]))
+    assert out.tolist() == [R.rgba(0, 0, 0), R.rgba(255, 255, 255)]
+
+
+def test_interpolated_clip_policies():
+    poles = {0.0: R.rgba(255, 0, 0), 10.0: R.rgba(0, 0, 255)}
+    v = np.array([-1e9, 1e9])
+    assert R.InterpolatedColorMap(poles, "none").render(v).tolist() == [0, 0]
+    assert R.InterpolatedColorMap(poles, "left").render(v).tolist() == [R.rgba(255, 0, 0), 0]
+    assert R.InterpolatedColorMap(poles, "right").render(v).tolist() == [0, R.rgba(0, 0, 255)]
+    assert R.InterpolatedColorMap(poles, "both").render(v).tolist() == [
+        R.rgba(255, 0, 0), R.rgba(0, 0, 255)]
+
+
+def test_nodata_transparent():
+    cm = R.InterpolatedColorMap({0.0: R.rgba(0, 0, 0), 1.0: R.rgba(255, 255, 255)})
+    out = cm.render(np.array([0.5, 0.5]), nodata_mask=np.array([False, True]))
+    assert out[1] == 0 and out[0] != 0
+
+
+def test_color_ramp_out_of_range():
+    ramp = np.array([R.rgba(0, 0, 0), R.rgba(100, 100, 100), R.rgba(255, 255, 255)], dtype=np.uint32)
+    out = R.color_ramp_render(np.array([-5.0, 0.0, 50.0, 100.0, 200.0]), 0.0, 100.0, ramp)
+    assert out[0] == 0 and out[4] == 0  # transparent outside range
+    assert out[1] == ramp[0] and out[3] == ramp[2]
+    out = R.color_ramp_render(np.array([-5.0, 200.0]), 0.0, 100.0, ramp, clamp_with_color=True)
+    assert out.tolist() == [ramp[0], ramp[2]]
+
+
+def test_png_encoder_valid():
+    import struct
+    import zlib
+
+    colors = np.full(16, R.rgba(10, 20, 30, 255), dtype=np.uint32)
+    png = R.encode_png_rgba(colors, 4, 4)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # decode IDAT and check first pixel bytes
+    idat_at = png.index(b"IDAT")
+    ln = struct.unpack(">I", png[idat_at - 4 : idat_at])[0]
+    raw = zlib.decompress(png[idat_at + 4 : idat_at + 4 + ln])
+    assert raw[0] == 0  # filter byte
+    assert list(raw[1:5]) == [10, 20, 30, 255]
+
+
+def test_color_breaks_linspace():
+    b = H.color_breaks(0.0, 10.0, 5)
+    np.testing.assert_allclose(b, [0, 2.5, 5, 7.5, 10])
+
+
+# ------------------------------------------------------------------ ogctime
+
+def test_ogctime_parse():
+    p = OT.from_string("2024-01-02T00:00:00Z,2024-01-01T00:00:00Z,2024-01-02T00:00:00Z")
+    assert isinstance(p, OT.OgcTimePositions)
+    assert len(p.times) == 2 and p.times[0] < p.times[1]  # sorted distinct
+    i = OT.from_string("2024-01-01/2024-02-01/P1D")
+    assert isinstance(i, OT.OgcTimeInterval) and i.period == "P1D"
+    assert isinstance(OT.from_string(""), OT.OgcTimeEmpty)
+
+
+def test_ogctime_merge_monoid():
+    a = OT.OgcTimePositions.of([np.datetime64("2024-01-03"), np.datetime64("2024-01-01")])
+    b = OT.OgcTimePositions.of([np.datetime64("2024-01-02")])
+    m = a.merge(b)
+    assert [str(t)[:10] for t in m.times] == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    i1 = OT.from_string("2024-01-01/2024-01-10/P1D")
+    i2 = OT.from_string("2024-01-05/2024-02-01/P1D")
+    u = i1.merge(i2)
+    assert str(u.start)[:10] == "2024-01-01" and str(u.end)[:10] == "2024-02-01"
+    assert u.period == "P1D"
+    mixed = a.merge(i1)  # {01-01, 01-03} + endpoints {01-01, 01-10} -> 3 distinct
+    assert isinstance(mixed, OT.OgcTimePositions) and len(mixed.times) == 3
+
+
+def test_time_slice_default_selection():
+    df = pd.DataFrame({
+        "name": ["a", "b", "c"],
+        "t": pd.to_datetime(["2024-01-02", "2024-01-01", "2024-01-02"]).astype("datetime64[us]"),
+    })
+    old = OT.time_slice(df, "t", "oldest")
+    assert old["name"].tolist() == ["b"]
+    new = OT.time_slice(df, "t", "newest")
+    assert new["name"].tolist() == ["a", "c"]
+
+
+# ----------------------------------------------------------------- resample
+
+def test_nearest_identity_and_downsample():
+    t = np.arange(16, dtype=np.float64).reshape(4, 4)
+    np.testing.assert_array_equal(RS.nearest(t, 4, 4), t)
+    d = RS.nearest(t, 2, 2)
+    np.testing.assert_array_equal(d, [[5, 7], [13, 15]])
+
+
+def test_bilinear_plane_preserved():
+    yy, xx = np.mgrid[0:8, 0:8]
+    plane = 2.0 * xx + 3.0 * yy
+    up = RS.bilinear(plane, 16, 16)
+    # a bilinear resample of a plane stays a plane (interior exact)
+    dif = np.diff(up[8, 4:12])
+    np.testing.assert_allclose(dif, dif[0])
+
+
+def test_block_reduces():
+    t = np.arange(16, dtype=np.float64).reshape(4, 4)
+    np.testing.assert_array_equal(RS.downsample_sum(t, 2), [[10, 18], [42, 50]])
+    np.testing.assert_array_equal(RS.downsample_average(t, 2), [[2.5, 4.5], [10.5, 12.5]])
+    np.testing.assert_array_equal(RS.downsample_max(t, 2), [[5, 7], [13, 15]])
+    np.testing.assert_array_equal(RS.downsample_min(t, 2), [[0, 2], [8, 10]])
+    m = RS.downsample_mode(np.array([[1, 1], [2, 3]], dtype=float), 2)
+    assert m[0, 0] == 1
+
+
+# ---------------------------------------------------------------- histogram
+
+def test_fixed_histogram_merge_and_quantile():
+    h1 = H.FixedHistogram(0, 100, 10).add(np.arange(0, 50))
+    h2 = H.FixedHistogram(0, 100, 10).add(np.arange(50, 100))
+    h1.merge(h2)
+    assert h1.counts.sum() == 100
+    assert (h1.counts == 10).all()
+    assert 45 <= h1.quantile(0.5) <= 55
+
+
+def test_streaming_histogram_bounded_and_mergeable():
+    rng = np.random.default_rng(9)
+    a = H.StreamingHistogram(32).add(rng.normal(0, 1, 5000))
+    b = H.StreamingHistogram(32).add(rng.normal(5, 1, 5000))
+    a.merge(b)
+    assert len(a.values) <= 32
+    assert a.total() == 10000
+    assert a.min_value() < -1 and a.max_value() > 6
