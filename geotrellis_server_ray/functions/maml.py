@@ -127,6 +127,55 @@ def lit(value: float) -> dict:
     return {"symbol": "dbl" if isinstance(value, float) else "int", "value": value}
 
 
+def rewrite(expr: dict, fn) -> dict:
+    """Deep AST rewrite (ExpressionUtils.bindExpression, ogc/.../utils/
+    ExpressionUtils.scala:24-29): apply ``fn`` bottom-up to every node."""
+    node = dict(expr)
+    if "args" in node:
+        node["args"] = [rewrite(a, fn) for a in node["args"]]
+    return fn(node)
+
+
+def bind_extended_params(expr: dict, params: dict) -> dict:
+    """M11: bind request parameters into the AST the way the reference's
+    ExtendedParameters do (FocalParameters.scala:36-50 rewrites hillshade
+    azimuth/altitude/zFactor and slope zFactor; RGBParameters.scala:41-81
+    rewrites per-channel clamp/normalize/rescale bounds). ``params`` keys:
+    azimuth, altitude, zFactor, target, clampMin/clampMax, normalizeOld*/
+    normalizeNew*, rescaleNew*."""
+
+    def fn(node: dict) -> dict:
+        sym = node.get("symbol")
+        if sym == "focal_hillshade":
+            for src, dst in (("azimuth", "azimuth"), ("altitude", "altitude"), ("zFactor", "z_factor")):
+                if src in params:
+                    node[dst] = float(params[src])
+            if "target" in params:
+                node["target"] = params["target"]
+        elif sym == "focal_slope":
+            if "zFactor" in params:
+                node["z_factor"] = float(params["zFactor"])
+            if "target" in params:
+                node["target"] = params["target"]
+        elif sym == "clamp":
+            if "clampMin" in params:
+                node["min"] = float(params["clampMin"])
+            if "clampMax" in params:
+                node["max"] = float(params["clampMax"])
+        elif sym == "normalize":
+            for src, dst in (("normalizeOldMin", "old_min"), ("normalizeOldMax", "old_max"),
+                             ("normalizeNewMin", "new_min"), ("normalizeNewMax", "new_max")):
+                if src in params:
+                    node[dst] = float(params[src])
+        elif sym == "rescale":
+            for src, dst in (("rescaleNewMin", "new_min"), ("rescaleNewMax", "new_max")):
+                if src in params:
+                    node[dst] = float(params[src])
+        return node
+
+    return rewrite(expr, fn)
+
+
 def ndvi_expr(red: str = "red", nir: str = "nir") -> dict:
     """(red - nir) / (red + nir) — the reference's benchmark expression
     (bench/.../TmsReificationBench.scala:39-41)."""

@@ -1082,6 +1082,83 @@ def q_checkpointed_write(sf_dir: str):
     return _cast_cols(out, {"partition_id": I64, "rows": I64, "checksum": I64})
 
 
+# ----------------------------------------------- LayerTms var-gather path
+
+TMS_GRID = 8
+
+
+def _band_vals(gx, gy, layer: str):
+    if layer == "red":
+        return ((gx * 5 + gy * 3) % 200).astype(np.float64)
+    return ((gx * 2 + gy * 7) % 180).astype(np.float64)
+
+
+def q_maml_tms_eval(sf_dir: str):
+    """The LayerTms evaluation shape (C2 + J2): two raster layers stream as
+    keyed tile rows; groupby (x, y) gathers all MAML vars for a key into one
+    group; bindParams maps layer_name -> var; the interpreter evaluates the
+    bound expression per tile (NDVI here). Missing layer in a group => the
+    group is skipped (bindParams missing-var error path)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.focal import TILE
+
+    expr = maml.ndvi_expr()
+
+    def build(batch: pa.Table, layer: str) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        x = (ids % TMS_GRID).astype(np.int64)
+        y = (ids // TMS_GRID).astype(np.int64)
+        col = np.arange(TILE, dtype=np.int64)
+        gx = np.broadcast_to(x[:, None, None] * TILE + col[None, None, :], (len(x), TILE, TILE))
+        gy = np.broadcast_to(y[:, None, None] * TILE + col[None, :, None], (len(x), TILE, TILE))
+        v = _band_vals(gx, gy, layer)
+        return pa.table({
+            "x": pa.array(x), "y": pa.array(y),
+            "layer": pa.array([layer] * len(x), type=pa.string()),
+            "cells": pa.array(list(v.reshape(len(x), -1)), type=pa.list_(pa.float64())),
+        })
+
+    n = TMS_GRID * TMS_GRID
+    red = rd.range(n).map_batches(partial(build, layer="red"), batch_format="pyarrow")
+    nir = rd.range(n).map_batches(partial(build, layer="nir"), batch_format="pyarrow")
+
+    def eval_group(g: pd.DataFrame) -> pd.DataFrame:
+        env = {row["layer"]: maml.Tile.of(np.asarray(row["cells"], dtype=np.float64))
+               for _, row in g.iterrows()}
+        if set(env) != {"red", "nir"}:
+            return pd.DataFrame({"x": [], "y": [], "ndvi_sum_e6": [], "n_valid": []})
+        res = maml.evaluate(expr, env)
+        scaled = np.floor(res.values * 1e6)
+        scaled[res.mask] = 0
+        return pd.DataFrame({
+            "x": [int(g["x"].iloc[0])], "y": [int(g["y"].iloc[0])],
+            "ndvi_sum_e6": [np.int64(scaled.sum())],
+            "n_valid": [np.int64((~res.mask).sum())],
+        })
+
+    out = red.union(nir).groupby(["x", "y"]).map_groups(eval_group, batch_format="pandas")
+    return _cast_cols(out, {"x": I64, "y": I64, "ndvi_sum_e6": I64, "n_valid": I64})
+
+
+def sql_maml_tms_eval() -> str:
+    n_cells = TMS_GRID * 8 - 1
+    red = "CAST((gx * 5 + gy * 3) % 200 AS DOUBLE)"
+    nir = "CAST((gx * 2 + gy * 7) % 180 AS DOUBLE)"
+    return f"""
+WITH cellgrid AS (
+  SELECT cx.gx, cy.gy
+  FROM (SELECT unnest(generate_series(0, {n_cells})) AS gx) cx,
+       (SELECT unnest(generate_series(0, {n_cells})) AS gy) cy),
+c AS (SELECT gx // 8 AS x, gy // 8 AS y, {red} AS red, {nir} AS nir FROM cellgrid)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+  CAST(sum(CASE WHEN red + nir = 0 THEN 0
+                ELSE CAST(floor((red - nir) / (red + nir) * 1000000.0e0) AS BIGINT) END) AS BIGINT) AS ndvi_sum_e6,
+  CAST(sum(CASE WHEN red + nir = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid
+FROM c GROUP BY x, y"""
+
+
 # -------------------------------------------- histogram / time / point ops
 
 def q_quantity_histogram(sf_dir: str):
@@ -1217,6 +1294,7 @@ QUERIES: dict[str, tuple] = {
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "checkpointed_write": (q_checkpointed_write, None),
     # histogram / time / point lookup
+    "maml_tms_eval": (q_maml_tms_eval, sql_maml_tms_eval),
     "quantity_histogram": (q_quantity_histogram, sql_quantity_histogram),
     "time_positions": (q_time_positions, sql_time_positions),
     "feature_info_lookup": (q_feature_info_lookup, sql_feature_info_lookup),

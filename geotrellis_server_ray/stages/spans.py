@@ -80,6 +80,27 @@ def assign_tiles(batch: pa.Table, *, zoom: int, cell_level: int = cells.DEFAULT_
     )
 
 
+def wfs_features_batch(batch: pa.Table) -> pa.Table:
+    """S9: WFS-style feature output — each anchored span becomes a feature
+    whose geometry is its grid-cell polygon (the point snapped to the cell it
+    falls in, then emitted as that cell's bbox polygon — the reference's
+    point -> cell-polygon construction, ogc/.../wfs/WfsFeatureCollection.scala:82-92).
+    Emits a GeoJSON-ish struct column."""
+    batch = add_tile_extents(batch)
+    feat = pa.StructArray.from_arrays(
+        [
+            batch.column("doc_id").combine_chunks(),
+            pc.cast(batch.column("span_idx"), pa.int64()).combine_chunks(),
+            batch.column("tile_xmin").combine_chunks(),
+            batch.column("tile_ymin").combine_chunks(),
+            batch.column("tile_xmax").combine_chunks(),
+            batch.column("tile_ymax").combine_chunks(),
+        ],
+        names=["id", "span", "xmin", "ymin", "xmax", "ymax"],
+    )
+    return batch.append_column("feature", feat)
+
+
 def add_tile_extents(batch: pa.Table) -> pa.Table:
     """Tile key -> WebMercator extent columns (mapTransform semantics,
     GeoTiffNode.scala:88)."""
