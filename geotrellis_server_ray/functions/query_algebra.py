@@ -94,6 +94,62 @@ def from_json(s: str) -> dict:
     return json.loads(s)
 
 
+# -------------------------------------------------- reference wire format
+
+_REF_CRS = "+proj=longlat +datum=WGS84 +no_defs "
+_REF_NAMES = {
+    "and": "And", "or": "Or", "intersects": "Intersects", "covers": "Covers",
+    "contains": "Contains", "at": "At", "between": "Between",
+    "withName": "WithName", "withNames": "WithNames", "all": "All", "nothing": "Nothing",
+}
+_REF_INV = {v: k for k, v in _REF_NAMES.items()}
+
+
+def to_reference_json(q: dict) -> dict:
+    """Encode in the reference's exact circe wire format (QueryFSpec.scala:
+    44-127): PascalCase one-key nodes, spatial operands as GeoJSON Polygon
+    rings (closed, from the bbox) with a proj4 crs string."""
+    (node, body), = q.items()
+    ref = _REF_NAMES[node]
+    if node in ("and", "or"):
+        return {ref: {"left": to_reference_json(body["left"]),
+                      "right": to_reference_json(body["right"])}}
+    if node in ("intersects", "covers", "contains"):
+        b = body["projectedGeometry"]["bbox"]
+        ring = [[b["xmin"], b["ymin"]], [b["xmin"], b["ymax"]], [b["xmax"], b["ymax"]],
+                [b["xmax"], b["ymin"]], [b["xmin"], b["ymin"]]]
+        return {ref: {"projectedGeometry": {
+            "geometry": {"type": "Polygon", "coordinates": [ring]},
+            "crs": _REF_CRS,
+        }}}
+    if node == "at":
+        return {ref: {"time": body["time"], "fieldName": body.get("fieldName", "time")}}
+    if node == "between":
+        return {ref: {"from": body["from"], "to": body["to"],
+                      "fieldName": body.get("fieldName", "time")}}
+    return {ref: dict(body)}
+
+
+def from_reference_json(j: dict) -> dict:
+    """Decode the reference wire format back to the engine AST (geometry is
+    reduced to its bbox — the engine's spatial operand)."""
+    (ref, body), = j.items()
+    node = _REF_INV[ref]
+    if node in ("and", "or"):
+        return {node: {"left": from_reference_json(body["left"]),
+                       "right": from_reference_json(body["right"])}}
+    if node in ("intersects", "covers", "contains"):
+        coords = body["projectedGeometry"]["geometry"]["coordinates"][0]
+        xs = [p[0] for p in coords]
+        ys = [p[1] for p in coords]
+        return {node: {"projectedGeometry": _bbox(min(xs), min(ys), max(xs), max(ys))}}
+    if node == "at":
+        return at(body["time"], body.get("fieldName", "time"))
+    if node == "between":
+        return between(body["from"], body["to"], body.get("fieldName", "time"))
+    return {node: dict(body)}
+
+
 # ----------------------------------------------------------------- analyses
 
 

@@ -27,7 +27,7 @@ from ..sources import corpus, layers
 from ..stages import spans as S
 from ..stages import text as T
 from . import geo
-from .relational import BroadcastJoin, BroadcastLookup, add_cents, grouped_sums, read
+from .relational import BroadcastLookup, add_cents, grouped_sums, make_broadcast_join, read
 
 # --------------------------------------------------------------- SQL helpers
 
@@ -254,10 +254,8 @@ def q_revenue_by_nation(sf_dir: str):
     nation = BroadcastLookup(sf_dir, "nation", "n_nationkey", ["n_name"]).ref()
     ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     ds = ds.map_batches(partial(add_cents, cols={"total_cents": "o_totalprice"}), batch_format="pyarrow")
-    ds = ds.map_batches(BroadcastJoin, fn_constructor_kwargs={"lookup_ref": cust, "key": "o_custkey", "take_cols": ["c_nationkey"]},
-                        batch_format="pyarrow", concurrency=(1, 4))
-    ds = ds.map_batches(BroadcastJoin, fn_constructor_kwargs={"lookup_ref": nation, "key": "c_nationkey", "take_cols": ["n_name"]},
-                        batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(make_broadcast_join(cust, "o_custkey", ["c_nationkey"]), batch_format="pyarrow")
+    ds = ds.map_batches(make_broadcast_join(nation, "c_nationkey", ["n_name"]), batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b: pa.table({"n_name": b.column("n_name"), "revenue_c": b.column("total_cents"),
                             }),
@@ -281,8 +279,7 @@ def q_brand_volume(sf_dir: str):
     part_lk = BroadcastLookup(sf_dir, "part", "p_partkey", ["p_brand"]).ref()
     ds = read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
     ds = ds.map_batches(partial(add_cents, cols={"qty_c": "l_quantity"}), batch_format="pyarrow")
-    ds = ds.map_batches(BroadcastJoin, fn_constructor_kwargs={"lookup_ref": part_lk, "key": "l_partkey", "take_cols": ["p_brand"]},
-                        batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(make_broadcast_join(part_lk, "l_partkey", ["p_brand"]), batch_format="pyarrow")
     ds = ds.map_batches(lambda b: b.select(["p_brand", "qty_c"]), batch_format="pyarrow")
     out = grouped_sums(ds, ["p_brand"], ["qty_c"], count_as="n_items")
     return _cast_cols(out, {"qty_c": I64, "n_items": I64})

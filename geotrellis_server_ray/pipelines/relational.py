@@ -112,3 +112,29 @@ class BroadcastJoin:
         for c in self.take_cols:
             batch = batch.append_column(c, pa.array(got[c][mask]))
         return batch
+
+
+# Worker-global lookup cache for the stateless-task variant (same pattern as
+# stages/pip.py): the lookup deserializes once per worker process; tasks stay
+# fusable with neighbors and need no actor-pool ramp-up.
+_WORKER_LOOKUPS: dict[int, BroadcastLookup] = {}
+
+
+def make_broadcast_join(lookup_ref, key: str, take_cols: list[str]):
+    def join_fn(batch: pa.Table) -> pa.Table:
+        import ray
+
+        cache_key = id(lookup_ref)
+        lk = _WORKER_LOOKUPS.get(cache_key)
+        if lk is None:
+            lk = ray.get(lookup_ref) if not isinstance(lookup_ref, BroadcastLookup) else lookup_ref
+            _WORKER_LOOKUPS[cache_key] = lk
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        got = lk.probe(keys)
+        mask = got.pop("__found")
+        batch = batch.filter(pa.array(mask))
+        for c in take_cols:
+            batch = batch.append_column(c, pa.array(got[c][mask]))
+        return batch
+
+    return join_fn

@@ -119,3 +119,45 @@ def test_dataset_eval_matches_pandas_eval(ray_session, catalog):
     got = qa.eval_catalog_dataset(q, ds).to_pandas()
     want = qa.eval_catalog(q, catalog)
     assert sorted(got["name"]) == sorted(want["name"])
+
+
+def test_reference_wire_format_golden():
+    """Byte-shape golden from QueryFSpec.scala:39-127: PascalCase nodes,
+    GeoJSON polygon ring from the bbox, proj4 crs string."""
+    q = qa.and_(
+        qa.and_(qa.intersects(0, 0, 2, 2), qa.intersects(1, 1, 4, 4)),
+        qa.at("2020-01-01T00:00:01Z"),
+    )
+    j = qa.to_reference_json(q)
+    assert set(j) == {"And"}
+    inner = j["And"]["left"]["And"]["left"]["Intersects"]["projectedGeometry"]
+    assert inner["crs"] == "+proj=longlat +datum=WGS84 +no_defs "
+    assert inner["geometry"]["type"] == "Polygon"
+    assert inner["geometry"]["coordinates"][0] == [
+        [0.0, 0.0], [0.0, 2.0], [2.0, 2.0], [2.0, 0.0], [0.0, 0.0]]
+    assert j["And"]["right"] == {"At": {"time": "2020-01-01T00:00:01Z", "fieldName": "time"}}
+    # round trip back to the engine AST
+    assert qa.from_reference_json(j) == q
+
+
+def test_reference_catalog_filter_end_to_end():
+    """QueryFSpec.scala:225-257 on the synthetic EmptyRasterSource store:
+    intersects(ex2) AND intersects(ex3) AND at(dt2) -> [second, third]."""
+    store = pd.DataFrame({
+        "name": ["first", "second", "third", "fourth"],
+        "xmin": [0.0, 1.0, 2.0, 6.0], "ymin": [0.0, 1.0, 2.0, 6.0],
+        "xmax": [2.0, 4.0, 5.0, 10.0], "ymax": [2.0, 4.0, 5.0, 10.0],
+        "event_time": pd.to_datetime(
+            ["2020-01-01T00:00:01", "2020-02-01T00:00:01",
+             "2020-02-01T00:00:01", "2020-03-01T00:00:01"]).astype("datetime64[us]"),
+    })
+    q = qa.and_(
+        qa.and_(qa.intersects(1, 1, 4, 4), qa.intersects(2, 2, 5, 5)),
+        qa.at("2020-02-01T00:00:01"),
+    )
+    got = qa.eval_catalog(q, store)
+    assert got["name"].tolist() == ["second", "third"]
+    # same result evaluated from the reference-format JSON (the spec's
+    # json-vs-AST equivalence assertion)
+    got2 = qa.eval_catalog(qa.from_reference_json(qa.to_reference_json(q)), store)
+    assert got2["name"].tolist() == ["second", "third"]
