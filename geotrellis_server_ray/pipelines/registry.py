@@ -1245,6 +1245,138 @@ SELECT CAST(query_id AS BIGINT) AS query_id, x, y,
 FROM t"""
 
 
+# ---------------------------------------------------- stream-shaped windows
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_session_windows(sf_dir: str):
+    """Session windows over the event log (30-min gap): ordered-log groupby
+    per user, windowing inside the sorted group."""
+    from ..stages.windows import sessionize
+
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", SESSION_GAP_US)
+    return _cast_cols(out, {"user_id": I64, "sid": I64, "n_events": I64,
+                            "t_start": I64, "t_end": I64})
+
+
+def sql_session_windows() -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, tus,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM flagged)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sid AS BIGINT) AS sid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(tus) AS BIGINT) AS t_start, CAST(max(tus) AS BIGINT) AS t_end
+FROM sess GROUP BY user_id, sid"""
+
+
+def q_asof_click_view(sf_dir: str):
+    """As-of join inside the event log: for every click, the most recent
+    view of the same user at-or-before it (merge_asof per sorted group)."""
+    from ..stages.windows import asof_join
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    out = asof_join(
+        ds, "user_id", "ts",
+        left_pred=lambda g: g["event_type"] == "click",
+        right_pred=lambda g: g["event_type"] == "view",
+    )
+    return _cast_cols(out, {"user_id": I64, "left_id": I64})
+
+
+def sql_asof_click_view() -> str:
+    return """
+SELECT CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(c.event_id AS BIGINT) AS left_id,
+       CAST((SELECT v.event_id FROM events v
+             WHERE v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
+             ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS BIGINT) AS right_id
+FROM events c WHERE c.event_type = 'click'"""
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-pruned ANN (the scale path next to brute force): deterministic
+    k-means coarse quantizer, nprobe-cell pruning per query, partial top-k
+    merge. Rows-only oracle (approximate by design); recall vs brute force is
+    pytest-asserted."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivf_topk, kmeans_centroids
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()])
+    qsel = pc.less(qt.column("vec_id"), ANN_NQ).to_numpy(zero_copy_only=False)
+    queries = (qt.column("vec_id").to_numpy(zero_copy_only=False)[qsel], mat[qsel])
+    centroids = kmeans_centroids(mat[~qsel], k=16, iters=5, seed=11)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.map_batches(lambda b: b.filter(pc.greater_equal(b.column("vec_id"), ANN_NQ)),
+                        batch_format="pyarrow")
+    out = ivf_topk(ds, queries, centroids, k=ANN_K, nprobe=6)
+    return _cast_cols(out, {"query_id": I64, "rank": I64, "vec_id": I64})
+
+
+# -------------------------------------------- raster <-> vector zonal stats
+
+def q_zonal_ndvi_stats(sf_dir: str):
+    """raster<->vector zonal map algebra (the north-star combination): media
+    spans PIP-join into grid zones; each span samples the NDVI raster value
+    at its z12 cell (analytic bands); zonal int-scaled sum + count per
+    feature."""
+    joined = geo.pip_joined(sf_dir, layers=["grid-zones"])
+
+    def ndvi_at_cell(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        red = ((x * 64 + y * 17) % 256).astype(np.float64)
+        nir = ((x * 31 + y * 7) % 256).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nd = (red - nir) / (red + nir)
+        valid = np.isfinite(nd)
+        e6 = np.where(valid, np.floor(nd * 1e6), 0.0).astype(np.int64)
+        return pa.table({
+            "feature_id": pc.cast(b.column("feature_id"), I64),
+            "ndvi_e6": pa.array(e6),
+            "n_valid": pa.array(valid.astype(np.int64)),
+        })
+
+    ds = joined.map_batches(ndvi_at_cell, batch_format="pyarrow")
+    out = grouped_sums(ds, ["feature_id"], ["ndvi_e6", "n_valid"])
+    return _cast_cols(out, {"feature_id": I64, "ndvi_e6": I64, "n_valid": I64})
+
+
+def sql_zonal_ndvi_stats() -> str:
+    xe, ye = _tile_xy_sql(12)
+    rects = _rect_values_sql(_grid_rects())
+    return f"""{SPANS}
+, t AS (
+  SELECT s.lon, s.lat, CAST(r.feature_id AS BIGINT) AS feature_id,
+         {xe} AS x, {ye} AS y
+  FROM spans_flat s JOIN {rects}
+    ON s.is_media AND s.lon >= r.x0 AND s.lon <= r.x1 AND s.lat >= r.y0 AND s.lat <= r.y1),
+v AS (
+  SELECT feature_id,
+         CAST((x * 64 + y * 17) % 256 AS DOUBLE) AS red,
+         CAST((x * 31 + y * 7) % 256 AS DOUBLE) AS nir
+  FROM t)
+SELECT feature_id,
+  CAST(sum(CASE WHEN red + nir = 0 THEN 0
+                ELSE CAST(floor((red - nir) / (red + nir) * 1000000.0e0) AS BIGINT) END) AS BIGINT) AS ndvi_e6,
+  CAST(sum(CASE WHEN red + nir = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid
+FROM v GROUP BY feature_id"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -1290,6 +1422,13 @@ QUERIES: dict[str, tuple] = {
     # scale machinery
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "checkpointed_write": (q_checkpointed_write, None),
+    # stream-shaped / as-of
+    "session_windows": (q_session_windows, sql_session_windows),
+    "asof_click_view": (q_asof_click_view, sql_asof_click_view),
+    # IVF ANN scale path
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    # raster<->vector zonal algebra
+    "zonal_ndvi_stats": (q_zonal_ndvi_stats, sql_zonal_ndvi_stats),
     # histogram / time / point lookup
     "maml_tms_eval": (q_maml_tms_eval, sql_maml_tms_eval),
     "quantity_histogram": (q_quantity_histogram, sql_quantity_histogram),

@@ -85,6 +85,88 @@ def cosine_topk(ds, queries: tuple[np.ndarray, np.ndarray], k: int = 5):
     return partials.groupby("query_id").map_groups(partial(final_topk, k=k), batch_format="pandas")
 
 
+def kmeans_centroids(mat: np.ndarray, k: int = 16, iters: int = 5, seed: int = 11) -> np.ndarray:
+    """Deterministic spherical k-means for the IVF coarse quantizer (seeded
+    init, fixed iterations, unit-norm space — cells partition by cosine,
+    matching the query metric)."""
+    rng = np.random.default_rng(seed)
+    x = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            sel = assign == c
+            if sel.any():
+                m = x[sel].mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    return cent
+
+
+class IvfTopK:
+    """IVF-pruned cosine top-k: candidates are probed only when their coarse
+    centroid is among the query's ``nprobe`` nearest centroids. At cluster
+    scale the dataset is hash-partitioned by centroid id so each probe task
+    touches only probed partitions; in this single-stage form the pruning is
+    a per-batch mask (documented partitioning assumption)."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int = 5, nprobe: int = 4):
+        import ray
+
+        self.qids, qmat = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        cent = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.k = k
+        self.cent = cent  # unit-norm centroids (spherical k-means)
+        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        self.qn = qn.T
+        # (Q, nprobe) probed centroid ids per query, by cosine to centroids
+        sim = qn @ cent.T
+        self.probe = np.argsort(-sim, axis=1)[:, :nprobe]
+        # (n_centroids, Q) probe mask
+        self.probe_mask = np.zeros((len(cent), len(self.qids)), dtype=bool)
+        for qi in range(len(self.qids)):
+            self.probe_mask[self.probe[qi], qi] = True
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        dim = self.cent.shape[1]
+        mat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = (matn @ self.cent.T).argmax(axis=1)
+        sims = matn @ self.qn
+        sims[~self.probe_mask[assign]] = -2.0  # outside probed cells
+        vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        n, Q = sims.shape
+        kk = min(self.k, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        df = _topk_frame(
+            np.repeat(self.qids, kk),
+            vec_ids[part.T.ravel()],
+            sims[part.T.ravel(), np.repeat(np.arange(Q), kk)],
+            self.k,
+        )
+        df = df[df["sim"] > -1.5]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def ivf_topk(ds, queries: tuple[np.ndarray, np.ndarray], centroids: np.ndarray,
+             k: int = 5, nprobe: int = 4):
+    import ray
+    from functools import partial
+
+    qref = ray.put(queries)
+    cref = ray.put(centroids)
+    parts = ds.map_batches(
+        IvfTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "centroids_ref": cref, "k": k, "nprobe": nprobe},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+    return parts.groupby("query_id").map_groups(partial(final_topk, k=k), batch_format="pandas")
+
+
 class LshBuckets:
     """Random-hyperplane LSH bucketing (the scale path for ANN): adds an
     int64 ``bucket`` column = sign-bit code of the embedding under ``nbits``
