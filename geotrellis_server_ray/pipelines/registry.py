@@ -1377,6 +1377,16 @@ SELECT feature_id,
 FROM v GROUP BY feature_id"""
 
 
+def q_getmap_requests(sf_dir: str):
+    """The WMS GetMap lifecycle (SURVEY.md §3.1) over a batch of synthetic
+    requests: catalog query -> var binding -> MAML eval -> histogram color
+    breaks -> render -> PNG encode. Rows-only oracle (PNG bytes are not
+    SQL-expressible); determinism + decode validity pytest-checked."""
+    from .serving import getmap_requests
+
+    return getmap_requests(sf_dir)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -1419,6 +1429,8 @@ QUERIES: dict[str, tuple] = {
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "lang_id": (q_lang_id, None),
     "doc_fingerprints": (q_doc_fingerprints, None),
+    # serving lifecycle (GetMap batch)
+    "getmap_requests": (q_getmap_requests, None),
     # scale machinery
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "checkpointed_write": (q_checkpointed_write, None),

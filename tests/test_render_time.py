@@ -151,3 +151,27 @@ def test_streaming_histogram_bounded_and_mergeable():
     assert len(a.values) <= 32
     assert a.total() == 10000
     assert a.min_value() < -1 and a.max_value() > 6
+
+
+def test_getmap_lifecycle_batch(ray_session):
+    """GetMap pipeline: every request renders a valid PNG; unknown layers
+    take the BadRequest path (dropped); deterministic across runs."""
+    from geotrellis_server_ray.pipelines.serving import getmap_batch, synth_requests
+    import pyarrow as pa
+
+    reqs = synth_requests(32)
+    out = getmap_batch(reqs)
+    assert out.num_rows == 32
+    assert (np.asarray(out.column("png_len")) > 60).all()
+    # unknown layer -> dropped (GetMapBadRequest path)
+    bad = pa.table({
+        "request_id": pa.array([0], type=pa.int64()),
+        "layer": pa.array(["nope"]), "x": pa.array([0]), "y": pa.array([0]),
+    })
+    assert getmap_batch(bad).num_rows == 0
+    # determinism of the full Ray pipeline
+    from geotrellis_server_ray.pipelines.serving import getmap_requests
+
+    a = getmap_requests("", 64).to_pandas().sort_values("request_id").reset_index(drop=True)
+    b = getmap_requests("", 64).to_pandas().sort_values("request_id").reset_index(drop=True)
+    assert a.equals(b)
