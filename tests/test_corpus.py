@@ -106,3 +106,19 @@ def test_hot_skew_present(corpus_tbl):
     _, counts = np.unique(cid, return_counts=True)
     assert counts.max() >= 20  # hot cells exist
     assert np.median(counts) <= 2  # most cells are cold
+
+
+def test_span_sequence_survives_parquet_roundtrip(ray_session, sf_smoke, corpus_tbl, tmp_path):
+    """The per-row span-sequence invariant through a full write->read cycle
+    (the storage boundary the 100TB pipeline crosses between every stage)."""
+    import ray.data as rd
+
+    from geotrellis_server_ray.sources.corpus import corpus_dataset
+
+    out = str(tmp_path / "corpus_rt")
+    corpus_dataset(sf_smoke).write_parquet(out)
+    back = rd.read_parquet(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = corpus_tbl.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(orig)
+    for a, b in zip(orig["spans"], back["spans"]):
+        assert list(a) == list(b)  # (kind, text, media_ref, offset) per span, in order

@@ -154,3 +154,21 @@ def test_haversine():
     d = geometry.haversine_m(2.3522, 48.8566, -0.1276, 51.5074)
     assert 341_000 < d < 346_000
     assert geometry.haversine_m(10.0, 50.0, 10.0, 50.0) == 0.0
+
+
+def test_pip_edge_point_matches_both_features():
+    """A point exactly on a shared grid-zone edge is covered by BOTH
+    rectangles (boundary-inclusive covers) — and the SQL oracle's BETWEEN
+    join duplicates it identically."""
+    from geotrellis_server_ray.sources.layers import grid_zone_features
+    from geotrellis_server_ray.state.broadcast import GridIndex
+
+    idx = GridIndex(grid_zone_features())
+    # internal edge lon=-150 (between grid cols 0 and 1), inside row 0
+    pt, ft = idx.probe(np.array([-150.0]), np.array([-45.0]))
+    assert len(ft) == 2
+    fids = sorted(idx.features[i].feature_id for i in ft)
+    assert fids == [0, 1]
+    # corner point -> four features
+    pt, ft = idx.probe(np.array([-150.0]), np.array([-30.0]))
+    assert len(ft) == 4
