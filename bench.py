@@ -111,7 +111,10 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     run(lo)  # warm-up (page cache + spawn overheads), untimed
-    r_lo, r_hi = run(lo), run(hi)
+    # best-of-2 per level: the shared host's background load adds multi-second
+    # noise; min is the least-contended estimate of the job's true cost
+    r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
+    r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",

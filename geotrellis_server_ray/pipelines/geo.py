@@ -31,7 +31,7 @@ FLAGSHIP_ZOOM = 12
 
 def anchored_spans(sf_dir: str, zoom: int = FLAGSHIP_ZOOM, cell_level: int = 12,
                    repeat: int = 1, num_blocks: int | None = None,
-                   corpus_path: str | None = None):
+                   corpus_path: str | None = None, with_hilbert: bool = False):
     """corpus -> exploded, geo-anchored spans with tile/cell keys (lazy).
     ``corpus_path``: read a pre-materialized corpus parquet directory instead
     of synthesizing inline (the bench path — input from storage)."""
@@ -51,14 +51,15 @@ def anchored_spans(sf_dir: str, zoom: int = FLAGSHIP_ZOOM, cell_level: int = 12,
     return (
         ds.map_batches(S.explode_spans, batch_format="pyarrow")
         .map_batches(parse_and_prune, batch_format="pyarrow")
-        .map_batches(partial(S.assign_tiles, zoom=zoom, cell_level=cell_level), batch_format="pyarrow")
+        .map_batches(partial(S.assign_tiles, zoom=zoom, cell_level=cell_level,
+                              with_hilbert=with_hilbert), batch_format="pyarrow")
     )
 
 
 def pip_joined(sf_dir: str, zoom: int = FLAGSHIP_ZOOM, layers: list[str] | None = None,
                concurrency: int | tuple[int, int] | None = None,
                repeat: int = 1, num_blocks: int | None = None,
-               corpus_path: str | None = None):
+               corpus_path: str | None = None, with_hilbert: bool = False):
     """Anchored spans ⋈ vector layers (broadcast PIP join).
 
     Default: stateless task pool with a worker-global index cache — the index
@@ -70,7 +71,7 @@ def pip_joined(sf_dir: str, zoom: int = FLAGSHIP_ZOOM, layers: list[str] | None 
 
     index_ref = put_index(L.all_features())
     ds = anchored_spans(sf_dir, zoom=zoom, repeat=repeat, num_blocks=num_blocks,
-                        corpus_path=corpus_path)
+                        corpus_path=corpus_path, with_hilbert=with_hilbert)
     if concurrency is None:
         return ds.map_batches(make_pip_probe(index_ref, layers), batch_format="pyarrow")
     return ds.map_batches(

@@ -1060,7 +1060,7 @@ def q_checkpointed_write(sf_dir: str):
     out_dir = f"/tmp/graft_ckpt/{sf_tag}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    joined = geo.pip_joined(sf_dir, layers=["grid-zones"])
+    joined = geo.pip_joined(sf_dir, layers=["grid-zones"], with_hilbert=True)
 
     def shape(b: pa.Table) -> pa.Table:
         t = pa.table({

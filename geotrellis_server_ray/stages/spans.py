@@ -60,24 +60,31 @@ def parse_geo(batch: pa.Table) -> pa.Table:
     return batch.append_column("lon", lon).append_column("lat", lat)
 
 
-def assign_tiles(batch: pa.Table, *, zoom: int, cell_level: int = cells.DEFAULT_CELL_LEVEL) -> pa.Table:
-    """Add (zoom, x, y, cell_id, hilbert) for rows with a geo anchor; anchored
-    rows only survive (media spans). The WMS/WMTS SpatialKey assignment —
-    GeoTiffNode.scala:60-63 / GeotrellisTileMatrix.scala:37-49 semantics."""
+def assign_tiles(batch: pa.Table, *, zoom: int, cell_level: int = cells.DEFAULT_CELL_LEVEL,
+                 with_hilbert: bool = False) -> pa.Table:
+    """Add (zoom, x, y, cell_id) for rows with a geo anchor; anchored rows
+    only survive (media spans). The WMS/WMTS SpatialKey assignment —
+    GeoTiffNode.scala:60-63 / GeotrellisTileMatrix.scala:37-49 semantics.
+
+    ``with_hilbert`` adds the Hilbert range-partition key — opt-in because it
+    costs ~2x the tile+cell assignment and only the range-partitioned sinks
+    consume it."""
     batch = batch.filter(pc.is_valid(batch.column("lon")))
     lon = batch.column("lon").to_numpy(zero_copy_only=False)
     lat = batch.column("lat").to_numpy(zero_copy_only=False)
     x, y = tiles.lonlat_to_tile(lon, lat, zoom)
     cid = cells.cell_id(lon, lat, cell_level)
-    hk = cells.hilbert_key(x.astype(np.int64), y.astype(np.int64), zoom)
     n = len(batch)
-    return (
+    batch = (
         batch.append_column("zoom", pa.array(np.full(n, zoom, dtype=np.int8)))
         .append_column("x", pa.array(x, type=pa.int32()))
         .append_column("y", pa.array(y, type=pa.int32()))
         .append_column("cell_id", pa.array(cid, type=pa.uint64()))
-        .append_column("hilbert", pa.array(hk, type=pa.uint64()))
     )
+    if with_hilbert:
+        hk = cells.hilbert_key(x.astype(np.int64), y.astype(np.int64), zoom)
+        batch = batch.append_column("hilbert", pa.array(hk, type=pa.uint64()))
+    return batch
 
 
 def wfs_features_batch(batch: pa.Table) -> pa.Table:
