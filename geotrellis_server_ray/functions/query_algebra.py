@@ -299,6 +299,60 @@ def eval_catalog_dataset(q: dict, ds):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def eval_ogc_catalog(q: dict, catalog: pd.DataFrame) -> pd.DataFrame:
+    """The OgcSourceRepository evaluation variant (OgcSourceRepository.scala:
+    30-66): layers carry an OgcTime *domain* (positions list / interval /
+    empty) in a ``time`` column rather than a single timestamp, and the
+    temporal predicates differ from the RasterSourceRepository variant — the
+    reference's dual-semantics quirk (SURVEY.md §2.2 Q3 / §7.4):
+
+      * At(t): positions must contain t exactly; intervals use inclusive
+        start <= t <= end; empty/non-temporal matches everything
+      * Between(t1, t2): the domain's [start, end] envelope matches when
+        either endpoint falls in [t1, t2] INCLUSIVE (not the half-open
+        t1 <= t < t2 of eval_catalog)
+    """
+    from .ogctime import OgcTimeEmpty, OgcTimeInterval, OgcTimePositions
+
+    def domain_bounds(dom):
+        if isinstance(dom, OgcTimePositions):
+            return dom.times[0], dom.times[-1]
+        return dom.start, dom.end
+
+    (node, body), = q.items()
+    if node == "at":
+        t = _parse_ts(body["time"])
+
+        def hit_at(dom):
+            if isinstance(dom, OgcTimeEmpty) or dom is None:
+                return True
+            if isinstance(dom, OgcTimePositions):
+                return any(p == t for p in dom.times)
+            return bool(dom.start <= t <= dom.end)
+
+        return catalog[catalog["time"].map(hit_at)]
+    if node == "between":
+        t1, t2 = _parse_ts(body["from"]), _parse_ts(body["to"])
+
+        def hit_between(dom):
+            if isinstance(dom, OgcTimeEmpty) or dom is None:
+                return True
+            start, end = domain_bounds(dom)
+            return bool((t1 <= start <= t2) or (t1 <= end <= t2))
+
+        return catalog[catalog["time"].map(hit_between)]
+    if node == "and":
+        left = eval_ogc_catalog(body["left"], catalog)
+        return eval_ogc_catalog(body["right"], left)
+    if node == "or":
+        return pd.concat(
+            [eval_ogc_catalog(body["left"], catalog), eval_ogc_catalog(body["right"], catalog)],
+            ignore_index=True,
+        )
+    # spatial / name / all / nothing nodes share the other variant's logic
+    return eval_catalog(q, catalog)
+
+
 def to_arrow_filter(q: dict):
     """Compile the query to a pyarrow dataset filter expression for pushdown
     at the read (the engine's analog of SearchFilters.eval compiling Query ->

@@ -1377,6 +1377,27 @@ SELECT feature_id,
 FROM v GROUP BY feature_id"""
 
 
+def q_media_payload_features(sf_dir: str):
+    """Opaque-binary multimodal path: media spans -> fake decode -> attach
+    payload bytes -> actor-pool feature extraction (byte-histogram stand-in
+    for model inference). Binary stages run at batch_size=256 (memory-aware:
+    payload bytes x batch x concurrency bounded). Rows-only oracle; payload
+    determinism is pytest-checked by CRC."""
+    from ..sources.corpus import corpus_dataset
+    from ..stages.media import MediaDecode, MediaFeatureExtract, attach_media_payloads
+
+    ds = corpus_dataset(sf_dir)
+    ds = ds.map_batches(S.explode_spans, batch_format="pyarrow")
+    ds = ds.map_batches(MediaDecode, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    ds = ds.map_batches(attach_media_payloads, batch_format="pyarrow", batch_size=256)
+    ds = ds.map_batches(MediaFeatureExtract, batch_format="pyarrow", batch_size=256,
+                        concurrency=(1, 4), num_cpus=1)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "span_idx", "n_bytes", "payload_crc"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_getmap_requests(sf_dir: str):
     """The WMS GetMap lifecycle (SURVEY.md §3.1) over a batch of synthetic
     requests: catalog query -> var binding -> MAML eval -> histogram color
@@ -1429,6 +1450,8 @@ QUERIES: dict[str, tuple] = {
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "lang_id": (q_lang_id, None),
     "doc_fingerprints": (q_doc_fingerprints, None),
+    # multimodal binary payloads
+    "media_payload_features": (q_media_payload_features, None),
     # serving lifecycle (GetMap batch)
     "getmap_requests": (q_getmap_requests, None),
     # scale machinery

@@ -85,6 +85,66 @@ class MediaResize:
         )
 
 
+def attach_media_payloads(batch: pa.Table) -> pa.Table:
+    """Attach the opaque ``payload`` binary column for media spans — the
+    shape real image/audio bytes take (SURVEY.md §1.2: media as opaque binary
+    columns with typed metadata). Payload bytes are a deterministic seeded
+    pattern sized width*height//64 (so block sizes scale like thumbnails);
+    stages carrying this column should run with a SMALL batch_size (the
+    memory-aware sizing rule: batch_bytes x concurrency must fit the worker
+    heap)."""
+    w = batch.column("width").to_numpy(zero_copy_only=False)
+    h = batch.column("height").to_numpy(zero_copy_only=False)
+    m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
+    d = pc.cast(pc.struct_field(m, "d"), pa.int64()).to_numpy(zero_copy_only=False)
+    j = pc.cast(pc.struct_field(m, "j"), pa.int64()).to_numpy(zero_copy_only=False)
+    sizes = (w * h // 64).astype(np.int64)
+    total = int(sizes.sum())
+    # one vectorized fill for the whole batch: byte k of span i is
+    # (seed_i + k) % 251 — deterministic, content-addressable
+    seeds = (d * 131 + j * 17) % 251
+    offs = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    k = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], sizes)
+    flat = ((np.repeat(seeds, sizes) + k) % 251).astype(np.uint8)
+    payload = pa.Array.from_buffers(
+        pa.binary(),
+        len(sizes),
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+    return batch.append_column("payload", payload)
+
+
+class MediaFeatureExtract:
+    """Actor-pool stage: opaque payload bytes -> a small feature vector
+    (16-bin byte histogram, L1-normalized) + length + checksum. The fake
+    stand-in for a CNN/audio-embedding forward pass: batched binary in,
+    fixed-width float vector out."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        col = batch.column("payload")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        feats = np.zeros((n, 16), dtype=np.float64)
+        lens = np.zeros(n, dtype=np.int64)
+        crcs = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            b = col[i].as_py()
+            lens[i] = len(b)
+            crcs[i] = zlib.crc32(b) & 0x7FFFFFFF
+            if b:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                feats[i] = np.bincount(arr >> 4, minlength=16) / len(arr)
+        return (
+            batch.append_column("n_bytes", pa.array(lens))
+            .append_column("payload_crc", pa.array(crcs))
+            .append_column("feature", pa.array(list(feats), type=pa.list_(pa.float64(), 16)))
+        )
+
+
 def frame_sample_batch(batch: pa.Table, every_k: int = 6) -> pa.Table:
     """Frame sampling plan for video spans: one output row per sampled frame
     index (flat_map shape). Deterministic: frames 0, k, 2k, ..."""

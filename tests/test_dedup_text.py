@@ -102,3 +102,27 @@ def test_media_resize_and_frame_sample():
     f = M.frame_sample_batch(r, every_k=6)
     # 13 frames -> 0,6,12 ; 2 frames -> 0
     assert f.column("frame_idx").to_pylist() == [0, 6, 12, 0]
+
+
+def test_media_payload_and_feature_extract():
+    from geotrellis_server_ray.stages.media import (
+        MediaDecode, MediaFeatureExtract, attach_media_payloads)
+
+    t = pa.table({
+        "doc_id": pa.array(["doc-5", "doc-6"]),
+        "span_idx": pa.array([1, 3], type=pa.int64()),
+        "media_ref": pa.array(["mem://media/5/1#lon=1.0&lat=2.0",
+                               "mem://media/6/3#lon=3.0&lat=4.0"]),
+    })
+    dec = MediaDecode()(t)
+    pay = attach_media_payloads(dec)
+    feats = MediaFeatureExtract()(pay)
+    n_bytes = feats.column("n_bytes").to_pylist()
+    w = dec.column("width").to_pylist(); h = dec.column("height").to_pylist()
+    assert n_bytes == [w[0]*h[0]//64, w[1]*h[1]//64]
+    # deterministic payloads -> stable CRCs
+    again = MediaFeatureExtract()(attach_media_payloads(dec))
+    assert feats.column("payload_crc").to_pylist() == again.column("payload_crc").to_pylist()
+    # features are normalized histograms
+    f = np.asarray(feats.column("feature")[0].as_py())
+    assert abs(f.sum() - 1.0) < 1e-9

@@ -161,3 +161,40 @@ def test_reference_catalog_filter_end_to_end():
     # json-vs-AST equivalence assertion)
     got2 = qa.eval_catalog(qa.from_reference_json(qa.to_reference_json(q)), store)
     assert got2["name"].tolist() == ["second", "third"]
+
+
+def test_dual_between_semantics_quirk():
+    """SURVEY §2.2 Q3 / §7.4: the two repositories disagree on Between.
+    RasterSourceRepository: half-open t1 <= t < t2 on a single timestamp.
+    OgcSourceRepository: inclusive endpoint-overlap on the layer's time
+    DOMAIN. Both are preserved, side by side."""
+    from geotrellis_server_ray.functions import ogctime as OT
+
+    # raster-variant: single event_time, half-open upper bound
+    raster_cat = pd.DataFrame({
+        "name": ["edge"],
+        "xmin": [0.0], "ymin": [0.0], "xmax": [1.0], "ymax": [1.0],
+        "event_time": pd.to_datetime(["2024-01-15"]).astype("datetime64[us]"),
+    })
+    q = qa.between("2024-01-01", "2024-01-15")
+    assert qa.eval_catalog(q, raster_cat).empty  # t == t2 excluded (half-open)
+
+    # ogc-variant: time domain, inclusive endpoints
+    ogc_cat = pd.DataFrame({
+        "name": ["positions", "interval", "outside", "empty"],
+        "xmin": [0.0] * 4, "ymin": [0.0] * 4, "xmax": [1.0] * 4, "ymax": [1.0] * 4,
+        "time": [
+            OT.OgcTimePositions.of([np.datetime64("2024-01-15"), np.datetime64("2024-03-01")]),
+            OT.from_string("2023-12-01/2024-01-01"),   # end == t1 -> inclusive hit
+            OT.from_string("2024-02-01/2024-03-01"),   # both endpoints outside
+            OT.OgcTimeEmpty(),                          # non-temporal matches all
+        ],
+    })
+    got = qa.eval_ogc_catalog(q, ogc_cat)
+    assert got["name"].tolist() == ["positions", "interval", "empty"]
+    # At on the ogc variant: exact position membership / inclusive interval
+    # ("outside" spans 2024-02-01/2024-03-01 -> its end == t matches inclusively)
+    got = qa.eval_ogc_catalog(qa.at("2024-03-01"), ogc_cat)
+    assert got["name"].tolist() == ["positions", "outside", "empty"]
+    got = qa.eval_ogc_catalog(qa.at("2024-01-20"), ogc_cat)
+    assert got["name"].tolist() == ["empty"]
