@@ -312,11 +312,21 @@ def eval_ogc_catalog(q: dict, catalog: pd.DataFrame) -> pd.DataFrame:
         either endpoint falls in [t1, t2] INCLUSIVE (not the half-open
         t1 <= t < t2 of eval_catalog)
     """
-    from .ogctime import OgcTimeEmpty, OgcTimeInterval, OgcTimePositions
+    from .ogctime import OgcTimeEmpty, OgcTimePositions
+
+    def missing(dom) -> bool:
+        # None / OgcTimeEmpty / pandas-missing (NaT, NaN) all mean
+        # "non-temporal layer" -> matches everything, like the raster
+        # variant's isna() handling
+        if dom is None or isinstance(dom, OgcTimeEmpty):
+            return True
+        return not isinstance(dom, (OgcTimePositions,)) and pd.isna(dom)
 
     def domain_bounds(dom):
         if isinstance(dom, OgcTimePositions):
-            return dom.times[0], dom.times[-1]
+            # defensive sort like the reference (OgcSourceRepository.scala:
+            # 49-51) — a directly-constructed positions tuple may be unsorted
+            return min(dom.times), max(dom.times)
         return dom.start, dom.end
 
     (node, body), = q.items()
@@ -324,7 +334,7 @@ def eval_ogc_catalog(q: dict, catalog: pd.DataFrame) -> pd.DataFrame:
         t = _parse_ts(body["time"])
 
         def hit_at(dom):
-            if isinstance(dom, OgcTimeEmpty) or dom is None:
+            if missing(dom):
                 return True
             if isinstance(dom, OgcTimePositions):
                 return any(p == t for p in dom.times)
@@ -335,7 +345,7 @@ def eval_ogc_catalog(q: dict, catalog: pd.DataFrame) -> pd.DataFrame:
         t1, t2 = _parse_ts(body["from"]), _parse_ts(body["to"])
 
         def hit_between(dom):
-            if isinstance(dom, OgcTimeEmpty) or dom is None:
+            if missing(dom):
                 return True
             start, end = domain_bounds(dom)
             return bool((t1 <= start <= t2) or (t1 <= end <= t2))

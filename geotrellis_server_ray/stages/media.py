@@ -58,7 +58,9 @@ class MediaDecode:
         height = 64 + (d * 11 + j * 3) % 512
         n_frames = 1 + (d + j) % 24
         return (
-            batch.append_column("width", pa.array(width, type=pa.int64()))
+            batch.append_column("media_d", pa.array(d, type=pa.int64()))
+            .append_column("media_j", pa.array(j, type=pa.int64()))
+            .append_column("width", pa.array(width, type=pa.int64()))
             .append_column("height", pa.array(height, type=pa.int64()))
             .append_column("n_frames", pa.array(n_frames, type=pa.int64()))
         )
@@ -95,9 +97,15 @@ def attach_media_payloads(batch: pa.Table) -> pa.Table:
     heap)."""
     w = batch.column("width").to_numpy(zero_copy_only=False)
     h = batch.column("height").to_numpy(zero_copy_only=False)
-    m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
-    d = pc.cast(pc.struct_field(m, "d"), pa.int64()).to_numpy(zero_copy_only=False)
-    j = pc.cast(pc.struct_field(m, "j"), pa.int64()).to_numpy(zero_copy_only=False)
+    # ids extracted once by MediaDecode (media_d / media_j); fall back to the
+    # ref parse only for batches that skipped decode
+    if "media_d" in batch.schema.names:
+        d = batch.column("media_d").to_numpy(zero_copy_only=False)
+        j = batch.column("media_j").to_numpy(zero_copy_only=False)
+    else:
+        m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
+        d = pc.cast(pc.struct_field(m, "d"), pa.int64()).to_numpy(zero_copy_only=False)
+        j = pc.cast(pc.struct_field(m, "j"), pa.int64()).to_numpy(zero_copy_only=False)
     sizes = (w * h // 64).astype(np.int64)
     total = int(sizes.sum())
     # one vectorized fill for the whole batch: byte k of span i is
@@ -107,10 +115,11 @@ def attach_media_payloads(batch: pa.Table) -> pa.Table:
     np.cumsum(sizes, out=offs[1:])
     k = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], sizes)
     flat = ((np.repeat(seeds, sizes) + k) % 251).astype(np.uint8)
+    # large_binary: int64 offsets — no 2 GiB-per-batch ceiling to trip on
     payload = pa.Array.from_buffers(
-        pa.binary(),
+        pa.large_binary(),
         len(sizes),
-        [None, pa.py_buffer(offs.astype(np.int32).tobytes()), pa.py_buffer(flat.tobytes())],
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())],
     )
     return batch.append_column("payload", payload)
 

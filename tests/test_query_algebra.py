@@ -198,3 +198,34 @@ def test_dual_between_semantics_quirk():
     assert got["name"].tolist() == ["positions", "outside", "empty"]
     got = qa.eval_ogc_catalog(qa.at("2024-01-20"), ogc_cat)
     assert got["name"].tolist() == ["empty"]
+
+
+def test_ogc_catalog_missing_time_matches_all():
+    """NaN/NaT/None in the time column mean non-temporal -> match everything
+    (parity with the raster variant's isna() handling)."""
+    cat = pd.DataFrame({
+        "name": ["nanrow", "natrow", "nonerow"],
+        "xmin": [0.0] * 3, "ymin": [0.0] * 3, "xmax": [1.0] * 3, "ymax": [1.0] * 3,
+        "time": [np.nan, pd.NaT, None],
+    })
+    got = qa.eval_ogc_catalog(qa.at("2024-02-15"), cat)
+    assert got["name"].tolist() == ["nanrow", "natrow", "nonerow"]
+    got = qa.eval_ogc_catalog(qa.between("2024-01-01", "2024-02-01"), cat)
+    assert len(got) == 3
+
+
+def test_ogc_between_unsorted_positions():
+    """Directly-constructed (unsorted) positions still get the sorted
+    envelope, like the reference's defensive .sorted."""
+    from geotrellis_server_ray.functions import ogctime as OT
+
+    unsorted = OT.OgcTimePositions((
+        np.datetime64("2024-01-15", "us"), np.datetime64("2024-03-01", "us"),
+        np.datetime64("2024-02-01", "us")))
+    cat = pd.DataFrame({
+        "name": ["u"], "xmin": [0.0], "ymin": [0.0], "xmax": [1.0], "ymax": [1.0],
+        "time": [unsorted],
+    })
+    # envelope [01-15, 03-01]: end falls inside [02-15, 03-15] -> match
+    got = qa.eval_ogc_catalog(qa.between("2024-02-15", "2024-03-15"), cat)
+    assert got["name"].tolist() == ["u"]
