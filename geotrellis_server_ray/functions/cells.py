@@ -94,9 +94,11 @@ def hilbert_key(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
     land in the same output files."""
     x = np.asarray(x, dtype=np.int64).copy()
     y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros_like(x, dtype=np.uint64)
+    if level <= 0:  # zoom 0: single world tile, curve distance 0
+        return d
     rx = np.zeros_like(x)
     ry = np.zeros_like(y)
-    d = np.zeros_like(x, dtype=np.uint64)
     s = np.int64(1 << (level - 1))
     while s > 0:
         rx = ((x & s) > 0).astype(np.int64)

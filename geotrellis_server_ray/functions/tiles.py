@@ -53,8 +53,11 @@ def lonlat_to_tile(lon: np.ndarray, lat: np.ndarray, zoom: int) -> tuple[np.ndar
         x = floor((lon + 180) / 360 * 2^z)
         y = floor((1 - ln(tan(rad(lat)) + sqrt(tan(rad(lat))^2 + 1)) / pi) / 2 * 2^z)
     (the inner ln(t + sqrt(t*t+1)) is asinh(t), spelled out because DuckDB has
-    no asinh). Inputs are clamped to the WebMercator-valid lat band; outputs
-    clamped to [0, 2^z - 1].
+    no asinh). Out-of-range finite inputs clamp to the valid key range
+    [0, 2^z - 1] (equivalent to clamping lat into the WebMercator band).
+    NaN inputs are the CALLER's responsibility to filter — a NaN would
+    otherwise produce an undefined int key (every in-repo caller pre-filters
+    or substitutes a sentinel).
     """
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
@@ -100,27 +103,8 @@ def zoom_for_cell_size(cell_size: float, tile_size: int = 256, max_zoom: int = 3
     return max_zoom
 
 
-def neighbor_keys(x: np.ndarray, y: np.ndarray, zoom: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """3x3 neighborhood key expansion for the focal halo shuffle.
-
-    For each input key emits 9 rows: the key itself and its 8 neighbors
-    (clipped at the pyramid edge; x wraps around the antimeridian). Mirrors
-    the reference's buffered focal read which gathers SpatialKey(x-1..x+1,
-    y-1..y+1) (GTLayerNode.scala:88-124). Returns (owner_x, owner_y, tag)
-    arrays of length 9*N where tag in 0..8 encodes the relative position
-    (dy*3 + dx with dx,dy in 0..2; tag 4 == center).
-    """
-    x = np.asarray(x, dtype=np.int64)
-    y = np.asarray(y, dtype=np.int64)
-    n = 1 << zoom
-    dx = np.array([-1, 0, 1], dtype=np.int64)
-    shape = (len(x), 3, 3)
-    owner_x = np.broadcast_to(np.mod(x[:, None, None] + dx[None, None, :], n), shape)
-    owner_y = np.broadcast_to(y[:, None, None] + dx[None, :, None], shape)
-    tag = np.broadcast_to((np.arange(9, dtype=np.int8)).reshape(1, 3, 3), shape)
-    valid = (owner_y >= 0) & (owner_y < n)
-    return (
-        owner_x[valid].astype(np.int32),
-        owner_y[valid].astype(np.int32),
-        tag[valid].astype(np.int8),
-    )
+# NOTE: the 3x3 neighbor key expansion for the focal halo shuffle lives in
+# stages/focal.py (halo_expand) — the single implementation of that pattern,
+# with tag = sender position in the owner's grid. (A second copy here with a
+# mirrored tag convention was removed; two conventions for the same stitch
+# are a 180-degree-flip bug waiting to happen.)

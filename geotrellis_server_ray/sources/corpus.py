@@ -69,7 +69,11 @@ def span_fields(doc_idx: np.ndarray, span_idx: np.ndarray):
 
 
 def nspans_of(doc_idx: np.ndarray) -> np.ndarray:
-    return (1 + (np.asarray(doc_idx, dtype=np.int64) * KNUTH) % NSPANS_MOD).astype(np.int64)
+    # (d * KNUTH) % 8 == ((d % 8) * KNUTH) % 8, but the reduced form cannot
+    # overflow int64 at any replica scale (the full product overflows for
+    # doc_idx > ~3.5e9, which DuckDB rejects instead of wrapping)
+    d = np.asarray(doc_idx, dtype=np.int64)
+    return (1 + ((d % NSPANS_MOD) * KNUTH) % NSPANS_MOD).astype(np.int64)
 
 
 def _fmt_e4_arrow(vals_i: np.ndarray) -> "pa.Array":
@@ -97,13 +101,16 @@ def build_spans_batch(batch: pa.Table, repeat: int = 1) -> pa.Table:
     (doc_idx + r*REPEAT_STRIDE) — the bench's way of scaling the corpus while
     staying fully derived from the seed table."""
     doc_idx = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(doc_idx) and doc_idx.max() >= REPEAT_STRIDE and repeat > 1:
+        raise ValueError("seed doc ids must stay below REPEAT_STRIDE or replicas collide")
     if repeat > 1:
         doc_idx = np.concatenate([doc_idx + r * REPEAT_STRIDE for r in range(repeat)])
     ns = nspans_of(doc_idx)
     offsets = np.zeros(len(doc_idx) + 1, dtype=np.int32)
     np.cumsum(ns, out=offsets[1:])
     flat_doc = np.repeat(doc_idx, ns)
-    flat_j = np.concatenate([np.arange(n, dtype=np.int64) for n in ns]) if len(ns) else np.array([], dtype=np.int64)
+    total = int(offsets[-1])
+    flat_j = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1].astype(np.int64), ns)
     f = span_fields(flat_doc, flat_j)
     is_media_np = (f["kind_code"] % 2).astype(bool)
     is_media = pa.array(is_media_np)
@@ -166,6 +173,8 @@ def corpus_dataset(sf_dir: str, *, repeat: int = 1, num_blocks: int | None = Non
         import pyarrow.parquet as pq
 
         base = pq.read_table(path, columns=["doc_id"]).column("doc_id").to_numpy(zero_copy_only=False)
+        if len(base) and base.max() >= REPEAT_STRIDE:
+            raise ValueError("seed doc ids must stay below REPEAT_STRIDE or replicas collide")
         reps = batch.column("id").to_numpy(zero_copy_only=False)
         ids = np.concatenate([base + int(r) * REPEAT_STRIDE for r in reps])
         return build_spans_batch(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
@@ -243,5 +252,5 @@ spans_flat AS (
           ELSE (d.doc_id * {LAT_A} + CAST(j AS BIGINT) * {LAT_B}) % {LAT_MOD} - {LAT_OFF}
      END) / 10000.0 AS lat
   FROM documents d,
-       LATERAL unnest(generate_series(0, CAST((1 + (d.doc_id * {KNUTH}) % {NSPANS_MOD}) - 1 AS BIGINT))) AS u(j)
+       LATERAL unnest(generate_series(0, CAST((1 + ((d.doc_id % {NSPANS_MOD}) * {KNUTH}) % {NSPANS_MOD}) - 1 AS BIGINT))) AS u(j)
 )"""

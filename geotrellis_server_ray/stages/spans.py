@@ -110,11 +110,15 @@ def wfs_features_batch(batch: pa.Table) -> pa.Table:
 
 def add_tile_extents(batch: pa.Table) -> pa.Table:
     """Tile key -> WebMercator extent columns (mapTransform semantics,
-    GeoTiffNode.scala:88)."""
-    x = batch.column("x").to_numpy(zero_copy_only=False)
-    y = batch.column("y").to_numpy(zero_copy_only=False)
-    zoom = int(batch.column("zoom")[0].as_py()) if len(batch) else 0
-    xmin, ymin, xmax, ymax = tiles.tile_extent(x, y, zoom)
-    for name, arr in (("tile_xmin", xmin), ("tile_ymin", ymin), ("tile_xmax", xmax), ("tile_ymax", ymax)):
+    GeoTiffNode.scala:88). Zoom is read per row, so mixed-zoom batches
+    (multi-level pyramids) compute each row's extent at its own zoom."""
+    x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.float64)
+    y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.float64)
+    zoom = batch.column("zoom").to_numpy(zero_copy_only=False).astype(np.float64)
+    w = (2.0 * tiles.WORLD) / np.exp2(zoom)
+    xmin = -tiles.WORLD + x * w
+    ymax = tiles.WORLD - y * w
+    for name, arr in (("tile_xmin", xmin), ("tile_ymin", ymax - w),
+                      ("tile_xmax", xmin + w), ("tile_ymax", ymax)):
         batch = batch.append_column(name, pa.array(arr, type=pa.float64()))
     return batch

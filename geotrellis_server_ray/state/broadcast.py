@@ -34,6 +34,15 @@ class GridIndex:
         n = 1 << level
         for i, f in enumerate(features):
             b = f.polygon.bbox
+            if b.xmax - b.xmin > 180.0:
+                # planar geometry: a ring spanning >180 deg of longitude is
+                # almost certainly an antimeridian-crossing feature, which
+                # this index would bucket (and the PIP kernel would test)
+                # inverted. Split such rings at +-180 before indexing.
+                raise ValueError(
+                    f"feature {f.layer_name}/{f.feature_id} spans >180 deg lon; "
+                    "split antimeridian-crossing rings before indexing"
+                )
             # clamp to the WebMercator-valid band the tile math covers
             x0, y0t = tiles.lonlat_to_tile(
                 np.array([b.xmin]), np.array([min(b.ymax, tiles.MAX_LAT)]), level

@@ -107,18 +107,29 @@ def test_hilbert_locality_and_bijection():
     assert (step == 1).all()
 
 
-def test_neighbor_keys():
-    ox, oy, tag = tiles.neighbor_keys(np.array([5]), np.array([5]), 4)
-    assert len(ox) == 9
-    assert sorted(zip(ox.tolist(), oy.tolist())) == sorted(
-        (5 + dx, 5 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-    )
-    # pole clipping: y=0 drops the northern row
-    ox, oy, tag = tiles.neighbor_keys(np.array([0]), np.array([0]), 4)
-    assert len(ox) == 6
-    assert (oy >= 0).all()
-    # antimeridian wrap on x
-    assert set(ox.tolist()) == {15, 0, 1}
+def test_halo_expand_is_single_neighbor_impl():
+    """The 3x3 key expansion lives only in stages/focal.halo_expand; verify
+    its owner set and tag convention here (sender position in owner grid)."""
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.focal import halo_expand
+
+    t = pa.table({"x": pa.array([5], type=pa.int64()), "y": pa.array([5], type=pa.int64()),
+                  "cells": pa.array([[1.0]], type=pa.list_(pa.float64()))})
+    out = halo_expand(t)
+    assert out.num_rows == 9
+    owners = sorted(zip(out.column("ox").to_pylist(), out.column("oy").to_pylist()))
+    assert owners == sorted((5 + dx, 5 + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    # the copy sent to owner (6, 6) has the sender at grid position (0, 0) -> tag 0
+    for ox, oy, tag in zip(out.column("ox").to_pylist(), out.column("oy").to_pylist(),
+                           out.column("tag").to_pylist()):
+        dx, dy = ox - 5, oy - 5
+        assert tag == (1 - dy) * 3 + (1 - dx)
+    # grid clipping at the edge
+    t0 = pa.table({"x": pa.array([0], type=pa.int64()), "y": pa.array([0], type=pa.int64()),
+                   "cells": pa.array([[1.0]], type=pa.list_(pa.float64()))})
+    out0 = halo_expand(t0, grid_n=16)
+    assert out0.num_rows == 4  # only owners with ox,oy in [0,16)
 
 
 def test_extent_ops_order_independent():
