@@ -102,12 +102,21 @@ def evaluate(expr: dict, env: dict[str, Tile]) -> Tile:
         (a,) = [evaluate(x, env) for x in expr["args"]]
         return Tile(np.clip(a.values, expr["min"], expr["max"]), a.mask)
     if sym == "rescale":
-        # Rescale(newMin,newMax): linear stretch of the tile's own range
-        # (RGBParameters.scala:77-81)
+        # Rescale(newMin,newMax): linear stretch of EACH tile's own range
+        # (RGBParameters.scala:77-81). Axis-0 is the batch dimension when the
+        # array is >=2-D (the per-batch eval contract); pass a single tile as
+        # 1-D cells or shape (1, ...) — a whole-batch min/max would make the
+        # stretch depend on which tiles share a batch.
         (a,) = [evaluate(x, env) for x in expr["args"]]
-        vmin = np.nanmin(np.where(a.mask, np.nan, a.values))
-        vmax = np.nanmax(np.where(a.mask, np.nan, a.values))
-        span = (vmax - vmin) or 1.0
+        masked = np.where(a.mask, np.nan, a.values)
+        if a.values.ndim <= 1:
+            red_axes = None
+        else:
+            red_axes = tuple(range(1, a.values.ndim))
+        with np.errstate(all="ignore"):
+            vmin = np.nanmin(masked, axis=red_axes, keepdims=a.values.ndim > 1)
+            vmax = np.nanmax(masked, axis=red_axes, keepdims=a.values.ndim > 1)
+        span = np.where((vmax - vmin) == 0, 1.0, vmax - vmin)
         v = (a.values - vmin) / span * (expr["new_max"] - expr["new_min"]) + expr["new_min"]
         return Tile(v, a.mask)
     if sym == "normalize":

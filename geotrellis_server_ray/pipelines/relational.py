@@ -124,7 +124,10 @@ def make_broadcast_join(lookup_ref, key: str, take_cols: list[str]):
     def join_fn(batch: pa.Table) -> pa.Table:
         import ray
 
-        cache_key = id(lookup_ref)
+        # ObjectRef.hex() is a stable identity; id() is a reusable CPython
+        # address that could alias a dead ref's cache entry in a long-lived
+        # worker
+        cache_key = lookup_ref.hex() if hasattr(lookup_ref, "hex") else id(lookup_ref)
         lk = _WORKER_LOOKUPS.get(cache_key)
         if lk is None:
             lk = ray.get(lookup_ref) if not isinstance(lookup_ref, BroadcastLookup) else lookup_ref

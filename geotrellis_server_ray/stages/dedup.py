@@ -61,9 +61,12 @@ def poly_hash_strings(arr) -> np.ndarray:
     exp = (seg_end - idx - 1) & ((1 << _POW_BITS) - 1)
     with np.errstate(over="ignore"):
         terms = b * _POW_TABLE[exp]
-    cuts = offs[:-1].clip(0, len(b))
-    sums = np.add.reduceat(terms, cuts) if len(b) else np.zeros(len(arr), dtype=np.uint64)
-    # reduceat quirk: empty segments copy the next element -> zero them
+    # sentinel element so a segment starting at len(b) (trailing empty
+    # string) is a valid reduceat cut without truncating the previous
+    # segment; empty segments are zeroed explicitly below
+    terms = np.append(terms, np.uint64(0))
+    cuts = offs[:-1]
+    sums = np.add.reduceat(terms, cuts)
     empty = np.diff(offs) == 0
     sums = np.where(empty, np.uint64(0), sums[: len(arr)])
     return sums.astype(np.uint64)
@@ -107,7 +110,14 @@ def _shingles(th: np.ndarray, offs: np.ndarray, k: int = 3):
             out_chunks.append(acc[s : e - k + 1])
             out_counts[d] = n - k + 1
         elif n > 0:
-            out_chunks.append(acc[s : s + 1])
+            # whole-doc shingle from ONLY this doc's tokens (acc[s] would mix
+            # in the next document's tokens across the boundary, making short
+            # docs' signatures depend on their batch neighbors)
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for tok in th[s:e]:
+                    h = h * C + tok
+            out_chunks.append(np.array([h], dtype=np.uint64))
             out_counts[d] = 1
         else:
             out_chunks.append(np.array([np.uint64(0)]))
@@ -265,18 +275,25 @@ def token_shingle_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash per doc: sign of per-bit sums of token-hash bits."""
+    """64-bit SimHash per doc: sign of per-bit sums of token-hash bits.
+    Processed 16 bits at a time in int32 so the transient matrix stays at
+    ~64 B/token instead of ~1 KB/token (large text batches would otherwise
+    OOM the worker)."""
     th, offs = _token_hashes(batch.column(text_col))
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-    contrib = bits * 2 - 1  # +-1
+    n_docs = len(offs) - 1
     cuts = offs[:-1].clip(0, max(0, len(th) - 1))
-    if len(th):
-        sums = np.add.reduceat(contrib, cuts, axis=0)[: len(offs) - 1]
-        empty = np.diff(offs) == 0
-        sums[empty] = 0
-    else:
-        sums = np.zeros((len(offs) - 1, 64), dtype=np.int64)
-    sig = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    empty = np.diff(offs) == 0
+    sig = np.zeros(n_docs, dtype=np.uint64)
+    for base in range(0, 64, 16):
+        shifts = np.arange(base, base + 16, dtype=np.uint64)
+        if len(th):
+            bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            contrib = bits * 2 - 1
+            sums = np.add.reduceat(contrib, cuts, axis=0)[:n_docs]
+            sums[empty] = 0
+        else:
+            sums = np.zeros((n_docs, 16), dtype=np.int32)
+        sig |= ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     return batch.append_column("simhash", pa.array(sig.astype(np.int64)))
 
 

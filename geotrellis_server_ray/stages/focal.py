@@ -60,7 +60,12 @@ def assemble_and_eval(group: pd.DataFrame, kernel, nodata_fill: float = np.nan,
     ``kernel(buffered_values, buffered_mask)`` -> (values, mask) for the
     center tile. Emits nothing when the center tile itself is absent."""
     if not (group["tag"] == 4).any():
-        return pd.DataFrame({"x": [], "y": [], "cells": [], "mask": []})
+        # explicit dtypes: a default-constructed empty frame would type x/y
+        # as float64 and poison the block schema on concat with real groups
+        return pd.DataFrame({
+            "x": pd.Series([], dtype="int64"), "y": pd.Series([], dtype="int64"),
+            "cells": pd.Series([], dtype="object"), "mask": pd.Series([], dtype="object"),
+        })
     canvas = np.full((3 * tile, 3 * tile), np.nan, dtype=np.float64)
     for tag, cells in zip(group["tag"], group["cells"]):
         r, c = divmod(int(tag), 3)
@@ -70,7 +75,7 @@ def assemble_and_eval(group: pd.DataFrame, kernel, nodata_fill: float = np.nan,
     lo, hi = tile - 1, 2 * tile + 1
     buf = canvas[lo:hi, lo:hi]
     mask = np.isnan(buf)
-    vals, out_mask = kernel(np.nan_to_num(buf), mask)
+    vals, out_mask = kernel(np.nan_to_num(buf, nan=nodata_fill if np.isfinite(nodata_fill) else 0.0), mask)
     return pd.DataFrame(
         {
             "x": [int(group["ox"].iloc[0])],

@@ -32,8 +32,7 @@ def merge_group(group: pd.DataFrame, nodata: float = np.nan) -> pd.DataFrame:
         else:
             fill = acc_mask & ~m
             acc[fill] = v[fill]
-            acc_mask &= m | ~fill
-            acc_mask = acc_mask & ~fill
+            acc_mask &= ~fill
     return pd.DataFrame(
         {
             "x": [int(g["x"].iloc[0])],

@@ -54,7 +54,8 @@ _WORKER_INDEX: dict[int, "PIPJoin"] = {}
 
 def make_pip_probe(index_ref, layers: list[str] | None = None):
     def pip_probe(batch: pa.Table) -> pa.Table:
-        key = id(index_ref)
+        # stable ObjectRef identity (id() aliases after GC in reused workers)
+        key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)
         state = _WORKER_INDEX.get(key)
         if state is None:
             state = PIPJoin(index_ref, layers)

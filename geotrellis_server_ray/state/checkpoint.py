@@ -31,8 +31,9 @@ def assign_partitions(batch: pa.Table, key_col: str, num_partitions: int,
     already a space-filling-curve index — see hilbert_partition)."""
     k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
     with np.errstate(over="ignore"):
-        pid = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 16)
-    pid = (pid % np.uint64(num_partitions)).astype(np.int64)
+        mixed = k * np.uint64(0x9E3779B97F4A7C15)
+        mixed ^= mixed >> np.uint64(29)  # full-width mix: supports any
+    pid = (mixed % np.uint64(num_partitions)).astype(np.int64)  # partition count
     return batch.append_column(out_col, pa.array(pid))
 
 
@@ -64,17 +65,21 @@ def write_partition_group(group: pd.DataFrame, out_dir: str, input_desc: str = "
     )
     os.makedirs(f"{out_dir}/_manifest", exist_ok=True)
     table = pa.Table.from_pandas(data, preserve_index=False)
-    tmp = f"{out_dir}/.part-{pid:05d}.tmp"
+    # per-attempt tmp name: a speculative retry of the same partition must not
+    # interleave bytes into the same tmp file (os.replace stays atomic; both
+    # attempts produce identical content, so last-replace-wins is safe)
+    attempt = os.getpid()
+    tmp = f"{out_dir}/.part-{pid:05d}.{attempt}.tmp"
     final = f"{out_dir}/part-{pid:05d}.parquet"
     pq.write_table(table, tmp)
-    os.replace(tmp, final)  # atomic completion marker precondition
+    os.replace(tmp, final)
     manifest = {
         "partition_id": pid,
         "rows": len(data),
         "checksum": _checksum(table),
         "input": input_desc,
     }
-    mtmp = f"{out_dir}/_manifest/.{pid:05d}.tmp"
+    mtmp = f"{out_dir}/_manifest/.{pid:05d}.{attempt}.tmp"
     with open(mtmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
     os.replace(mtmp, f"{out_dir}/_manifest/{pid:05d}.json")

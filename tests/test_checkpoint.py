@@ -107,3 +107,13 @@ def test_salted_counts_match_plain(ray_session):
     got = out.sort_values("cell_id").set_index("cell_id")["n"]
     assert got.loc[0] == 5000
     assert (got.values == want.values).all()
+
+
+def test_assign_partitions_covers_large_counts():
+    import pyarrow as pa
+
+    t = pa.table({"k": pa.array(np.arange(500_000, dtype=np.int64))})
+    out = C.assign_partitions(t, "k", 200_000)
+    pid = out.column("partition_id").to_numpy(zero_copy_only=False)
+    assert pid.max() > 65_536  # full 64-bit hash reaches every partition range
+    assert pid.min() >= 0 and pid.max() < 200_000

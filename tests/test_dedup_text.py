@@ -126,3 +126,19 @@ def test_media_payload_and_feature_extract():
     # features are normalized histograms
     f = np.asarray(feats.column("feature")[0].as_py())
     assert abs(f.sum() - 1.0) < 1e-9
+
+
+def test_poly_hash_trailing_empty_string():
+    h = D.poly_hash_strings(pa.array(["abc", ""]))
+    assert h[1] == 0 and h[0] == D.poly_hash_strings(pa.array(["abc"]))[0]
+    # doc text ending in a space -> trailing empty token must not crash minhash
+    sig = D.minhash_signatures(pa.array(["ends with space ", "x y z w"]))
+    assert sig.shape == (2, 64)
+
+
+def test_short_doc_signature_batch_independent():
+    """A short doc's signature must not depend on its batch neighbors."""
+    a = D.minhash_signatures(pa.array(["hello world", "aaa bbb ccc ddd"]))[0]
+    b = D.minhash_signatures(pa.array(["hello world", "xxx yyy zzz www"]))[0]
+    c = D.minhash_signatures(pa.array(["hello world"]))[0]
+    assert (a == b).all() and (a == c).all()

@@ -142,3 +142,14 @@ def test_mosaic_left_bias():
     assert cells[0] == 1.0          # left wins where it has data
     assert cells[1] == 9.0 and cells[2] == 9.0  # right fills left's holes
     assert mask.tolist() == [False, False, False, True]  # both nodata -> nodata
+
+
+def test_rescale_per_tile_in_batches():
+    """Rescale stretches each tile's OWN range: batched (N, C) evaluation
+    must match per-tile evaluation (batch composition must not leak)."""
+    batch = maml.Tile.of(np.array([[0.0, 10.0], [100.0, 200.0]]))
+    expr = {"symbol": "rescale", "new_min": 0, "new_max": 1, "args": [maml.var("t")]}
+    out = maml.evaluate(expr, {"t": batch})
+    np.testing.assert_allclose(out.values, [[0, 1], [0, 1]])
+    solo = maml.evaluate(expr, {"t": maml.Tile.of(np.array([0.0, 10.0]))})
+    np.testing.assert_allclose(solo.values, [0, 1])
