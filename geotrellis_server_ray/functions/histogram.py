@@ -31,12 +31,22 @@ class FixedHistogram:
         if self.counts is None:
             self.counts = np.zeros(self.nbins, dtype=np.int64)
 
+    @property
+    def bin_width(self) -> float:
+        return (self.hi - self.lo) / self.nbins
+
+    def bin_edge(self, i: int) -> float:
+        return self.lo + i * self.bin_width
+
     def add(self, values: np.ndarray) -> "FixedHistogram":
         v = np.asarray(values, dtype=np.float64)
         v = v[~np.isnan(v)]
-        idx = np.floor((v - self.lo) / (self.hi - self.lo) * self.nbins).astype(np.int64)
-        idx = np.clip(idx, 0, self.nbins - 1)
-        self.counts += np.bincount(idx, minlength=self.nbins)
+        # clip in float BEFORE the int cast: floor of a huge/inf value casts
+        # to INT64_MIN (undefined-behavior wrap) and would land in bin 0
+        # instead of the top edge bin
+        f = np.clip(np.floor((v - self.lo) / (self.hi - self.lo) * self.nbins),
+                    0, self.nbins - 1)
+        self.counts += np.bincount(f.astype(np.int64), minlength=self.nbins)
         return self
 
     def merge(self, other: "FixedHistogram") -> "FixedHistogram":

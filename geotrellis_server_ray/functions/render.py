@@ -90,7 +90,10 @@ class InterpolatedColorMap:
         r1, g1, b1, a1 = _channels(self.colors[hi])
 
         def lerp(c0, c1):
-            return np.clip(np.round(c0 + (c1 - c0).astype(np.float64) * t), 0, 255).astype(np.uint32)
+            # float math BEFORE the subtraction: uint32 c1-c0 underflows for
+            # any channel that decreases between poles
+            d = c1.astype(np.float64) - c0.astype(np.float64)
+            return np.clip(np.round(c0.astype(np.float64) + d * t), 0, 255).astype(np.uint32)
 
         out = (lerp(r0, r1) << 24) | (lerp(g0, g1) << 16) | (lerp(b0, b1) << 8) | lerp(a0, a1)
         below, above = v < k[0], v > k[-1]

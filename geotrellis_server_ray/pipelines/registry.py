@@ -378,8 +378,6 @@ FROM orders GROUP BY o_custkey"""
 def q_or_union_dup(sf_dir: str):
     """Or = union WITH duplicates (Q6 quirk, RasterSourceRepository.scala:64):
     rows matching both branches appear twice."""
-    import ray.data as rd
-
     ds = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
     ds = ds.map_batches(partial(add_cents, cols={"total_cents": "o_totalprice"}), batch_format="pyarrow")
     left = ds.map_batches(
@@ -471,7 +469,6 @@ def q_ann_topk(sf_dir: str):
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qt = qt.filter(pc.less(qt.column("vec_id"), ANN_NQ))
     qids = qt.column("vec_id").to_numpy(zero_copy_only=False)
-    dim = len(qt.column("embedding")[0])
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()])
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     ds = ds.map_batches(
@@ -970,7 +967,10 @@ def q_embedding_neardup(sf_dir: str):
         )
         return pa.concat_tables([b, dup])
 
-    dim = 64
+    import pyarrow.parquet as pq
+
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+              .column("embedding")[0])
     ds = ds.map_batches(plant, batch_format="pyarrow")
     ds = ds.map_batches(LshBuckets(dim=dim, nbits=16), batch_format="pyarrow")
 

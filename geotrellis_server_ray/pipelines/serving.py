@@ -78,8 +78,8 @@ def getmap_batch(batch: pa.Table) -> pa.Table:
         tile = maml.evaluate(expr, env)
         # step 4: histogram for color breaks (LayerHistogram)
         h = FixedHistogram(-1.0, 256.0, 64).add(tile.to_float().ravel())
-        vmin = -1.0 + (np.argmax(h.counts > 0)) * (257.0 / 64)
-        vmax = -1.0 + (63 - np.argmax(h.counts[::-1] > 0) + 1) * (257.0 / 64)
+        vmin = h.bin_edge(int(np.argmax(h.counts > 0)))
+        vmax = h.bin_edge(h.nbins - int(np.argmax(h.counts[::-1] > 0)))
         # step 6: render + encode
         colors = render.color_ramp_render(tile.values.ravel(), vmin, vmax, ramp,
                                           nodata_mask=tile.mask.ravel())

@@ -63,14 +63,19 @@ class KnnProbe:
         d = haversine_m(lon[idx][:, None], lat[idx][:, None], self.qlon[None, :], self.qlat[None, :])
         n, Q = d.shape
         kk = min(self.k, n)
-        part = np.argpartition(d, kk - 1, axis=0)[:kk]  # (kk, Q)
-        rows = idx[part.T.ravel()]
+        # tie-inclusive partial top-k: keep EVERY row at distance <= the kth
+        # smallest, so exact-distance ties at the k boundary (duplicate
+        # coordinates exist in the corpus) all reach the final stage, which
+        # breaks them deterministically by (doc_id, span_idx)
+        kth = np.partition(d, kk - 1, axis=0)[kk - 1]  # (Q,)
+        qi, ri = np.nonzero(d.T <= kth[:, None])  # query-major
+        rows = idx[ri]
         take = pa.array(rows, type=pa.int64())
         return pa.table({
-            "query_id": pa.array(np.repeat(self.qids, kk), type=pa.int64()),
+            "query_id": pa.array(self.qids[qi], type=pa.int64()),
             "doc_id": batch.column("doc_id").take(take),
             "span_idx": batch.column("span_idx").take(take),
-            "dist_m": pa.array(d[part.T.ravel(), np.repeat(np.arange(Q), kk)], type=pa.float64()),
+            "dist_m": pa.array(d[ri, qi], type=pa.float64()),
         })
 
 

@@ -68,29 +68,9 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
-# 64-bit FNV-1a over UTF-8 bytes, vectorized per batch via numpy. Stable
-# across processes/engines (unlike Python's hash()).
-_FNV_OFFSET = np.uint64(14695981039346656037)
-_FNV_PRIME = np.uint64(1099511628211)
-
-
-def fnv1a_u64(strings: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Vectorized-ish FNV-1a: bytes concatenated once, per-string loop runs
-    at C speed over a small dict of unique lengths. Deterministic content
-    fingerprint for exact dedup / checkpoint idempotence keys."""
-    arr = strings.combine_chunks() if isinstance(strings, pa.ChunkedArray) else strings
-    np_err = np.geterr()
-    np.seterr(over="ignore")
-    try:
-        out = np.empty(len(arr), dtype=np.uint64)
-        for i, s in enumerate(arr):
-            h = _FNV_OFFSET
-            for b in s.as_py().encode("utf-8"):
-                h = (h ^ np.uint64(b)) * _FNV_PRIME
-            out[i] = h
-    finally:
-        np.seterr(**np_err)
-    return out
+# For stable content hashing use stages/dedup.poly_hash_strings — the
+# vectorized polynomial hash over the Arrow string buffer (one reduceat per
+# batch). It is what salting and the dedup family key on.
 
 
 def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:
@@ -98,7 +78,7 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: i
     windows (winnowing-style). Vectorized: each document's byte array is
     hashed with cumulative powers; min-sampled."""
     texts = batch.column(text_col).combine_chunks()
-    B, P, MOD = np.uint64(257), np.uint64(1000000007), np.uint64(0xFFFFFFFFFFFF)
+    B, MOD = np.uint64(257), np.uint64(0xFFFFFFFFFFFF)
     out = np.empty(len(texts), dtype=np.uint64)
     np_err = np.geterr()
     np.seterr(over="ignore")
@@ -111,13 +91,13 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: i
                     h = h * B + x
                 out[i] = h & MOD
                 continue
-            # rolling hash via cumulative sums of b * B^(i mod W) windows
-            k = len(b) - window + 1
+            # min over window hashes (winnowing): every window weighted by
+            # fixed powers of B
             idx = np.arange(window, dtype=np.uint64)
             pw = np.power(B, idx, dtype=np.uint64)
             win = np.lib.stride_tricks.sliding_window_view(b, window)
             hashes = (win * pw[None, :]).sum(axis=1) & MOD
-            out[i] = hashes.min() if k > 0 else np.uint64(0)
+            out[i] = hashes.min()
     finally:
         np.seterr(**np_err)
     return batch.append_column("fingerprint", pa.array(out.astype(np.int64) & 0x7FFFFFFFFFFFFFFF, type=pa.int64()))

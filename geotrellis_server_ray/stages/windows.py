@@ -42,8 +42,12 @@ def sessionize(ds, key_col: str, ts_col: str, gap_us: int):
 def _asof_group(g: pd.DataFrame, ts_col: str, left_pred, right_pred, key_col: str) -> pd.DataFrame:
     """Per-key as-of: for each 'left' row, the most recent earlier-or-equal
     'right' row (pd.merge_asof per sorted group)."""
-    left = g[left_pred(g)].sort_values(ts_col, kind="mergesort")
-    right = g[right_pred(g)].sort_values(ts_col, kind="mergesort")
+    # secondary sort on event_id: with duplicate (key, ts) right rows,
+    # merge_asof takes the LAST duplicate after the sort, which must be the
+    # max event_id (the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1) —
+    # not whatever order Ray's groupby happened to deliver
+    left = g[left_pred(g)].sort_values([ts_col, "event_id"], kind="mergesort")
+    right = g[right_pred(g)].sort_values([ts_col, "event_id"], kind="mergesort")
     if left.empty:
         return pd.DataFrame({key_col: [], "left_id": [], "right_id": []})
     if right.empty:

@@ -175,3 +175,13 @@ def test_getmap_lifecycle_batch(ray_session):
     a = getmap_requests("", 64).to_pandas().sort_values("request_id").reset_index(drop=True)
     b = getmap_requests("", 64).to_pandas().sort_values("request_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_interpolated_descending_channel_lerp():
+    """Red decreasing toward the second pole must interpolate down, not
+    saturate at 255 (the uint32-subtraction underflow regression)."""
+    cm = R.InterpolatedColorMap({0.0: R.rgba(255, 0, 0), 1.0: R.rgba(0, 0, 255)})
+    out = cm.render(np.array([0.5]))
+    r = (out[0] >> 24) & 0xFF
+    b = (out[0] >> 8) & 0xFF
+    assert r == 128 and b == 128  # halfway between the poles, both directions
