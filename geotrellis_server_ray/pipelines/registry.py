@@ -1245,6 +1245,63 @@ SELECT CAST(query_id AS BIGINT) AS query_id, x, y,
 FROM t"""
 
 
+# ------------------------------------------------------ semi / anti joins
+
+def _broadcast_key_set(sf_dir: str, table: str, col: str, filter_expr=None):
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/{table}.parquet")
+    if filter_expr is not None:
+        t = t.filter(filter_expr)
+    return ray.put(np.unique(t.column(col).to_numpy(zero_copy_only=False)))
+
+
+def _key_filter(key_set_ref, col: str, keep_in: bool):
+    def f(batch: pa.Table) -> pa.Table:
+        import ray
+
+        keys = ray.get(key_set_ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        hit = np.isin(v, keys)
+        return batch.filter(pa.array(hit if keep_in else ~hit))
+
+    return f
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join: broadcast the recent-orders key set, filter customers
+    against it (the guide's broadcast-key-set anti-join pattern — at 100TB
+    the set becomes a Bloom filter, same stage shape). Restricted to orders
+    since 2000 so the result is non-trivial."""
+    oref = _broadcast_key_set(
+        sf_dir, "orders", "o_custkey",
+        pc.greater_equal(pc.field("o_orderdate"), pa.scalar(np.datetime64("2000-01-01", "us"))),
+    )
+    ds = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(_key_filter(oref, "c_custkey", keep_in=False), batch_format="pyarrow")
+
+
+def sql_customers_without_orders() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')"""
+
+
+def q_parts_with_lineitems(sf_dir: str):
+    """Semi-join: parts that appear in at least one lineitem."""
+    lref = _broadcast_key_set(sf_dir, "lineitem", "l_partkey")
+    ds = read(sf_dir, "part", ["p_partkey", "p_name"])
+    return ds.map_batches(_key_filter(lref, "p_partkey", keep_in=True), batch_format="pyarrow")
+
+
+def sql_parts_with_lineitems() -> str:
+    return """
+SELECT p_partkey, p_name FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p_partkey)"""
+
+
 # ---------------------------------------------------- stream-shaped windows
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -1457,6 +1514,9 @@ QUERIES: dict[str, tuple] = {
     # scale machinery
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "checkpointed_write": (q_checkpointed_write, None),
+    # semi / anti joins
+    "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),
+    "parts_with_lineitems": (q_parts_with_lineitems, sql_parts_with_lineitems),
     # stream-shaped / as-of
     "session_windows": (q_session_windows, sql_session_windows),
     "asof_click_view": (q_asof_click_view, sql_asof_click_view),
