@@ -434,6 +434,20 @@ def sql_token_counts() -> str:
     return "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (letters/digits/punct runs); both sides
+    count with RE2 so the oracle matches exactly."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(T.bpe_token_count_batch, batch_format="pyarrow")
+    return ds.map_batches(lambda b: b.select(["doc_id", "n_bpe_tokens"]), batch_format="pyarrow")
+
+
+def sql_bpe_token_counts() -> str:
+    return r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
 def q_quality_scores(sf_dir: str):
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(T.quality_batch, batch_format="pyarrow")
@@ -1487,6 +1501,7 @@ QUERIES: dict[str, tuple] = {
     # training-data text ops
     "exact_dedup": (q_exact_dedup, sql_exact_dedup),
     "token_counts": (q_token_counts, sql_token_counts),
+    "bpe_token_counts": (q_bpe_token_counts, sql_bpe_token_counts),
     "quality_scores": (q_quality_scores, sql_quality_scores),
     # similarity search
     "ann_cosine_topk": (q_ann_topk, sql_ann_topk),

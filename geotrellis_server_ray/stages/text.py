@@ -18,6 +18,19 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
 
 
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-style pre-tokenizer count: runs of letters, runs of digits, runs
+    of punctuation (the GPT-2 pre-tokenization shape, simplified). Both
+    engines use RE2 (pyarrow count_substring_regex / DuckDB
+    regexp_extract_all), so counts agree exactly."""
+    t = batch.column(text_col)
+    n = pc.count_substring_regex(t, BPE_PRETOKEN_RE)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer character-class counts (exact across engines); downstream
     quality ratios derive from these."""
