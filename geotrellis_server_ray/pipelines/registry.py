@@ -1015,7 +1015,7 @@ def q_lang_id(sf_dir: str):
     """Language-ID heuristic over documents (rows-only oracle; behavior
     pytest-verified on synthetic marked texts)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(T.LangId, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    ds = ds.map_batches(T.LangId(), batch_format="pyarrow")
     return ds.map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
 
 
@@ -1136,8 +1136,8 @@ def q_maml_tms_eval(sf_dir: str):
     nir = rd.range(n).map_batches(partial(build, layer="nir"), batch_format="pyarrow")
 
     def eval_group(g: pd.DataFrame) -> pd.DataFrame:
-        env = {row["layer"]: maml.Tile.of(np.asarray(row["cells"], dtype=np.float64))
-               for _, row in g.iterrows()}
+        env = {layer: maml.Tile.of(np.asarray(cells_, dtype=np.float64))
+               for layer, cells_ in zip(g["layer"], g["cells"])}
         if set(env) != {"red", "nir"}:
             return pd.DataFrame({"x": [], "y": [], "ndvi_sum_e6": [], "n_valid": []})
         res = maml.evaluate(expr, env)
