@@ -929,7 +929,10 @@ def q_minhash_dedup(sf_dir: str):
             return batch.filter(pa.array(ok))
 
     out = pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
-    return _cast_cols(out, {"id_a": I64, "id_b": I64})
+    # final distinct on the (tiny) verified pair set runs driver-side — the
+    # candidate stream may contain the same pair from several LSH bands
+    df = out.to_pandas().drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    return df.astype({"id_a": "int64", "id_b": "int64"})
 
 
 def sql_minhash_dedup() -> str:

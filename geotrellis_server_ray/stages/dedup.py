@@ -238,9 +238,10 @@ def lsh_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
     cand = survivors.groupby(["band", "band_hash"]).map_groups(pairs_vec, batch_format="pandas")
-    # distinct pairs: grouped count then drop the count (vectorized partials)
-    distinct = grouped_sums(cand.map_batches(ones, batch_format="pyarrow"), ["id_a", "id_b"], ["n"])
-    return distinct.map_batches(lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
+    # cross-bucket duplicate pairs are deduped by the CALLER after
+    # verification: the verified pair set is near-dup-density sized (tiny),
+    # so a third shuffle just to distinct it is wasted wall time
+    return cand
 
 
 def char_ngrams(s: str, n: int = 5) -> set:

@@ -122,3 +122,16 @@ def test_span_sequence_survives_parquet_roundtrip(ray_session, sf_smoke, corpus_
     assert len(back) == len(orig)
     for a, b in zip(orig["spans"], back["spans"]):
         assert list(a) == list(b)  # (kind, text, media_ref, offset) per span, in order
+
+
+def test_flagship_plan_has_no_all_to_all(ray_session, sf_smoke):
+    """The headline path must stay a fused streaming map chain — any
+    accidental shuffle/materialization would show up as an AllToAll operator
+    in the executed plan stats."""
+    from geotrellis_server_ray.pipelines.geo import flagship
+
+    ds = flagship(sf_smoke)
+    m = ds.materialize()
+    stats = m.stats()
+    assert "AllToAll" not in stats
+    assert "Sort" not in stats.split("Operator")[1] if "Operator" in stats else True
