@@ -6,8 +6,29 @@ calls ray.init()/ray.shutdown(). See geotrellis_server_ray/ for the engine.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the engine package lives next to this file; make the import robust to the
+# driver's cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+# Ray workers inherit their sys.path from the session the DRIVER started —
+# if the driver initialized Ray from some other cwd, workers cannot import
+# this package by reference. Registering the package for pickle-by-value
+# ships the function bodies inside the task payloads instead, making the
+# contract cwd-independent (verified: entry() runs with driver cwd=/tmp).
+try:
+    import geotrellis_server_ray as _pkg
+    from ray import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_pkg)
+except Exception:  # pragma: no cover - registration is best-effort
+    pass
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
