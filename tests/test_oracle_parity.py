@@ -77,3 +77,22 @@ def test_query_matches_oracle(name, ray_session, sf_correct):
             assert (rv[~na_r] == ov[~na_o]).all(), f"{name}.{c} mismatch"
         else:
             assert (rv == ov).all(), f"{name}.{c} mismatch"
+
+
+def test_tile_assign_bit_exact_at_sf01(ray_session):
+    """Scale-confidence: the bit-exact tile-extent/double contract holds on
+    the 10x tier too (sf0.1: ~10k anchored spans), not just the gate tier."""
+    import numpy as np
+
+    from geotrellis_server_ray.pipelines.registry import QUERIES
+
+    fn, sql = QUERIES["tile_assign"]
+    sf = "/root/testdata/sf0.1"
+    ray_df = _canon(_to_pandas(fn(sf)))
+    con = _oracle_con(sf)
+    ora_df = _canon(con.execute(sql()).fetch_df())
+    assert len(ray_df) == len(ora_df) and len(ray_df) > 5000
+    for c in ("tile_xmin", "tile_ymin", "tile_xmax", "tile_ymax"):
+        assert np.array_equal(ray_df[c].values, ora_df[c].values), c  # bit-exact
+    for c in ("x", "y", "cell_id"):
+        assert (ray_df[c].values == ora_df[c].values).all(), c
