@@ -16,6 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..pipelines.relational import grouped_sums
+from .dedup import poly_hash_strings
 
 
 def add_salt(batch: pa.Table, id_col: str, num_salts: int, out_col: str = "salt") -> pa.Table:
@@ -23,8 +24,9 @@ def add_salt(batch: pa.Table, id_col: str, num_salts: int, out_col: str = "salt"
     must produce identical salt for identical rows)."""
     ids = batch.column(id_col)
     if pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type):
-        from .dedup import poly_hash_strings
-
+        # module-level import: this function's body executes inside Ray
+        # workers, where a lazy relative import would require the package to
+        # be importable by name (breaks the pickle-by-value cwd independence)
         h = poly_hash_strings(ids)
     else:
         h = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
