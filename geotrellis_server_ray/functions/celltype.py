@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-_ORDER = ["int8", "uint8", "int16", "uint16", "int32", "uint32", "int64", "float32", "float64"]
+_ORDER = ["int8", "uint8", "int16", "uint16", "int32", "uint32", "int64", "uint64", "float32", "float64"]
 _RE = re.compile(r"^(u?int(?:8|16|32|64)|float(?:32|64))(raw|ud(-?[0-9.]+))?$")
 
 
@@ -34,18 +34,32 @@ def parse_cell_type(s: str) -> tuple[str, str | None, float | None]:
     return base, "ud", float(m.group(3))
 
 
+def _width(t: str) -> int:
+    return int(re.sub(r"\D", "", t))
+
+
 def _widen(a: str, b: str) -> str:
+    """Smallest type containing both value ranges."""
+    if a == b:
+        return a
     ia, ib = _ORDER.index(a), _ORDER.index(b)
     hi = _ORDER[max(ia, ib)]
-    # mixed signed/unsigned of the same width widen to the next signed type
-    if {a, b} == {hi, _ORDER[min(ia, ib)]} and a != b:
-        if a.startswith("uint") != b.startswith("uint") and not hi.startswith("float"):
-            w = int(re.sub(r"\D", "", hi))
-            for cand in _ORDER:
-                if cand.startswith("int") and int(re.sub(r"\D", "", cand)) > w:
-                    return cand
-            return "float64"
-    return hi
+    if hi.startswith("float"):
+        return hi
+    a_un, b_un = a.startswith("uint"), b.startswith("uint")
+    if a_un == b_un:
+        return hi
+    # mixed signedness: escalate only when the UNSIGNED member's width is >=
+    # the signed member's width (a wider signed type already contains the
+    # narrower unsigned range — int32 contains uint8)
+    un, sg = (a, b) if a_un else (b, a)
+    if _width(un) < _width(sg):
+        return sg
+    need = max(_width(un), _width(sg)) * 2
+    for cand in _ORDER:
+        if cand.startswith("int") and not cand.startswith("uint") and _width(cand) >= need:
+            return cand
+    return "float64"  # int64+uint64 has no containing integer type
 
 
 def union_cell_types(types: list[str]) -> str:

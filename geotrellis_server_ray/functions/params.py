@@ -59,8 +59,12 @@ def parse_getmap_params(params: dict[str, str]) -> Validated:
             errors.append(f"bbox must have 4 components: {bbox!r}")
         else:
             try:
+                import math
+
                 x0, y0, x1, y1 = (float(p) for p in parts)
-                if x0 >= x1 or y0 >= y1:
+                if not all(math.isfinite(c) for c in (x0, y0, x1, y1)):
+                    errors.append(f"bbox components must be finite: {bbox!r}")
+                elif x0 >= x1 or y0 >= y1:
                     errors.append(f"bbox min must be < max: {bbox!r}")
                 else:
                     out["bbox"] = (x0, y0, x1, y1)
@@ -93,11 +97,16 @@ class ExpressionStore:
         self.path = path
 
     def put(self, key: str, expr: dict) -> None:
+        import os
+
         rows = self._load()
         rows[key] = expr
-        with open(self.path, "w") as f:
+        # atomic replace: a crash mid-write must not truncate the registry
+        tmp = f"{self.path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
             for k in sorted(rows):
                 f.write(json.dumps({"key": k, "expr": rows[k]}, sort_keys=True) + "\n")
+        os.replace(tmp, self.path)
 
     def get(self, key: str) -> dict | None:
         return self._load().get(key)

@@ -62,6 +62,7 @@ def color_ramp_render(values: np.ndarray, vmin: float, vmax: float, ramp: np.nda
         out = np.where(v < vmin, np.uint32(ramp[0]), out)
     else:
         out = np.where(v < vmin, np.uint32(0), out)
+    out = np.where(np.isnan(v), np.uint32(0), out)  # non-data -> transparent
     if nodata_mask is not None:
         out = np.where(nodata_mask, np.uint32(0), out)
     return out.astype(np.uint32)
@@ -91,20 +92,28 @@ class InterpolatedColorMap:
 
         def lerp(c0, c1):
             # float math BEFORE the subtraction: uint32 c1-c0 underflows for
-            # any channel that decreases between poles
+            # any channel that decreases between poles. floor (=toInt for
+            # non-negative channels) matches the reference golden: midpoint of
+            # 0..255 is 127, not 128 (InterpolatedColorMapSpec.scala:39-49)
             d = c1.astype(np.float64) - c0.astype(np.float64)
-            return np.clip(np.round(c0.astype(np.float64) + d * t), 0, 255).astype(np.uint32)
+            return np.clip(np.floor(c0.astype(np.float64) + d * t), 0, 255).astype(np.uint32)
 
         out = (lerp(r0, r1) << 24) | (lerp(g0, g1) << 16) | (lerp(b0, b1) << 8) | lerp(a0, a1)
+        # Reference semantics (InterpolatedColorMapSpec.scala:51-75):
+        # ClipNone EXTENDS the edge colors beyond the pole range; ClipLeft/
+        # ClipRight/ClipBoth make the named side(s) transparent.
         below, above = v < k[0], v > k[-1]
         if self.clip in ("left", "both"):
-            out = np.where(below, self.colors[0], out)
-        else:
             out = np.where(below, np.uint32(0), out)
-        if self.clip in ("right", "both"):
-            out = np.where(above, self.colors[-1], out)
         else:
+            out = np.where(below, self.colors[0], out)
+        if self.clip in ("right", "both"):
             out = np.where(above, np.uint32(0), out)
+        else:
+            out = np.where(above, self.colors[-1], out)
+        # NaN = non-data -> transparent regardless of mask (the reference
+        # renders isData==false as 0)
+        out = np.where(np.isnan(v), np.uint32(0), out)
         if nodata_mask is not None:
             out = np.where(nodata_mask, np.uint32(0), out)
         return out.astype(np.uint32)

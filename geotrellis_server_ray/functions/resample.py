@@ -9,7 +9,9 @@ import numpy as np
 
 
 def nearest(tile: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    t = np.asarray(tile, dtype=np.float64)
+    # pure index selection: nearest-neighbor preserves cell values AND dtype
+    # exactly (a float64 cast would corrupt int values above 2^53)
+    t = np.asarray(tile)
     h, w = t.shape[-2:]
     ys = np.floor((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64).clip(0, h - 1)
     xs = np.floor((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64).clip(0, w - 1)
@@ -47,7 +49,10 @@ def downsample_average(tile: np.ndarray, factor: int) -> np.ndarray:
 
 
 def downsample_sum(tile: np.ndarray, factor: int) -> np.ndarray:
-    return _block_reduce(tile, factor, np.nansum)
+    out = _block_reduce(tile, factor, np.nansum)
+    # an all-NoData block must stay NoData (nansum alone fabricates 0.0)
+    all_nan = _block_reduce(np.isnan(np.asarray(tile, dtype=np.float64)), factor, np.min)
+    return np.where(all_nan.astype(bool), np.nan, out)
 
 
 def downsample_max(tile: np.ndarray, factor: int) -> np.ndarray:
@@ -59,12 +64,22 @@ def downsample_min(tile: np.ndarray, factor: int) -> np.ndarray:
 
 
 def downsample_mode(tile: np.ndarray, factor: int) -> np.ndarray:
-    t = np.asarray(tile)
-    h, w = t.shape[-2:]
+    """Most frequent valid value per block; NaN cells are excluded (an
+    all-NaN block stays NaN). Supports (H, W) and batched (N, H, W)."""
+    t = np.asarray(tile, dtype=np.float64)
+    if t.ndim == 3:
+        return np.stack([downsample_mode(x, factor) for x in t])
+    h, w = t.shape
+    assert h % factor == 0 and w % factor == 0
     blocks = t.reshape(h // factor, factor, w // factor, factor).transpose(0, 2, 1, 3)
     out = np.empty((h // factor, w // factor), dtype=np.float64)
     for i in range(out.shape[0]):
         for j in range(out.shape[1]):
-            vals, cnt = np.unique(blocks[i, j].ravel(), return_counts=True)
+            flat = blocks[i, j].ravel()
+            flat = flat[~np.isnan(flat)]
+            if len(flat) == 0:
+                out[i, j] = np.nan
+                continue
+            vals, cnt = np.unique(flat, return_counts=True)
             out[i, j] = vals[np.argmax(cnt)]
     return out

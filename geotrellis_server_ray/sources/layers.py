@@ -84,7 +84,10 @@ def convex_zone_features(n: int = 12, seed: int = 1234) -> list[Feature]:
         cy = rng.uniform(-60, 60)
         k = int(rng.integers(5, 9))
         angles = np.sort(rng.uniform(0, 2 * np.pi, k))
-        r = rng.uniform(2.0, 12.0, k)
+        # single radius per feature: vertices inscribed in a circle at sorted
+        # angles ARE convex (independently random radii would make concave
+        # star shapes, contradicting the layer's advertised convexity)
+        r = float(rng.uniform(2.0, 12.0))
         out.append(Feature("convex-zones", i, Polygon(cx + r * np.cos(angles), cy + r * np.sin(angles)), None))
     out.append(Feature("pt-degenerate", 0, Polygon([10.0, 10.0, 10.0], [10.0, 10.0, 10.0]), None))
     return out

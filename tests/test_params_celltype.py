@@ -71,3 +71,32 @@ def test_metadata_reduces():
     assert rs == [(5.0, 5.0), (10.0, 10.0)]  # finest first
     assert CT.min_band_count([3, 1, 4]) == 1
     assert CT.zooms_desc([3, 9, 3, 12]) == [12, 9, 3]
+
+
+def test_widen_containment_and_uint64():
+    # a wider signed type already contains a narrower unsigned range
+    assert CT.union_cell_types(["int32", "uint8"]) == "int32"
+    assert CT.union_cell_types(["int16", "uint8"]) == "int16"
+    assert CT.union_cell_types(["int8", "uint8"]) == "int16"
+    assert CT.union_cell_types(["uint64", "uint32"]) == "uint64"
+    assert CT.union_cell_types(["uint64", "int8"]) == "float64"  # no int128
+
+
+def test_bbox_rejects_nan():
+    from geotrellis_server_ray.functions.params import parse_getmap_params
+
+    v = parse_getmap_params({"layers": "x", "width": "16", "height": "16",
+                             "bbox": "nan,nan,nan,nan"})
+    assert not v.ok and any("finite" in e for e in v.errors)
+
+
+def test_expression_store_atomic_file(tmp_path):
+    import os
+
+    from geotrellis_server_ray.functions.params import ExpressionStore
+
+    p = str(tmp_path / "e.jsonl")
+    s = ExpressionStore(p)
+    s.put("a", {"symbol": "var", "name": "x"})
+    # no stray tmp files after a put
+    assert os.listdir(tmp_path) == ["e.jsonl"]

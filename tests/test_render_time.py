@@ -15,22 +15,36 @@ from geotrellis_server_ray.functions import resample as RS
 # ------------------------------------------------------------------ render
 
 def test_interpolated_midpoint_exact():
-    # poles 0 -> black opaque, 10 -> white opaque; midpoint -> exact mid-grey
-    cm = R.InterpolatedColorMap({0.0: R.rgba(0, 0, 0), 10.0: R.rgba(255, 255, 255)})
-    out = cm.render(np.array([5.0]))
-    assert out[0] == R.rgba(128, 128, 128)  # round(127.5) -> 128
-    out = cm.render(np.array([0.0, 10.0]))
-    assert out.tolist() == [R.rgba(0, 0, 0), R.rgba(255, 255, 255)]
+    """The reference golden (InterpolatedColorMapSpec.scala:39-49): poles
+    (-100 -> (255,0,0,100), 0 -> (0,255,0,100), 100 -> (0,0,255,100)),
+    interpolate(50.0) == (0,127,127,100) — toInt truncation, not rounding."""
+    cm = R.InterpolatedColorMap({-100.0: R.rgba(255, 0, 0, 100),
+                                 0.0: R.rgba(0, 255, 0, 100),
+                                 100.0: R.rgba(0, 0, 255, 100)})
+    assert cm.render(np.array([50.0]))[0] == R.rgba(0, 127, 127, 100)
+    out = cm.render(np.array([-100.0, 100.0]))
+    assert out.tolist() == [R.rgba(255, 0, 0, 100), R.rgba(0, 0, 255, 100)]
 
 
 def test_interpolated_clip_policies():
-    poles = {0.0: R.rgba(255, 0, 0), 10.0: R.rgba(0, 0, 255)}
+    """Golden semantics from InterpolatedColorMapSpec.scala:51-75: ClipNone
+    EXTENDS edge colors beyond the range; ClipLeft/Right/Both make the named
+    side(s) transparent."""
+    lo, hi = R.rgba(255, 0, 0), R.rgba(0, 0, 255)
+    poles = {0.0: lo, 10.0: hi}
     v = np.array([-1e9, 1e9])
-    assert R.InterpolatedColorMap(poles, "none").render(v).tolist() == [0, 0]
-    assert R.InterpolatedColorMap(poles, "left").render(v).tolist() == [R.rgba(255, 0, 0), 0]
-    assert R.InterpolatedColorMap(poles, "right").render(v).tolist() == [0, R.rgba(0, 0, 255)]
-    assert R.InterpolatedColorMap(poles, "both").render(v).tolist() == [
-        R.rgba(255, 0, 0), R.rgba(0, 0, 255)]
+    assert R.InterpolatedColorMap(poles, "none").render(v).tolist() == [lo, hi]
+    assert R.InterpolatedColorMap(poles, "left").render(v).tolist() == [0, hi]
+    assert R.InterpolatedColorMap(poles, "right").render(v).tolist() == [lo, 0]
+    assert R.InterpolatedColorMap(poles, "both").render(v).tolist() == [0, 0]
+
+
+def test_nan_renders_transparent_without_mask():
+    cm = R.InterpolatedColorMap({0.0: R.rgba(255, 0, 0), 10.0: R.rgba(0, 0, 255)})
+    assert cm.render(np.array([np.nan]))[0] == 0
+    ramp = np.array([R.rgba(1, 1, 1), R.rgba(2, 2, 2)], dtype=np.uint32)
+    out = R.color_ramp_render(np.array([np.nan]), 0.0, 1.0, ramp, clamp_with_color=True)
+    assert out[0] == 0
 
 
 def test_nodata_transparent():
@@ -184,4 +198,18 @@ def test_interpolated_descending_channel_lerp():
     out = cm.render(np.array([0.5]))
     r = (out[0] >> 24) & 0xFF
     b = (out[0] >> 8) & 0xFF
-    assert r == 128 and b == 128  # halfway between the poles, both directions
+    assert r == 127 and b == 127  # halfway, toInt truncation both directions
+
+
+def test_resample_nodata_and_dtype_edges():
+    t_int = np.array([[2**60, 1], [2, 3]], dtype=np.int64)
+    out = RS.nearest(t_int, 2, 2)
+    assert out.dtype == np.int64 and out[0, 0] == 2**60  # no float corruption
+    allnan = np.full((2, 2), np.nan)
+    assert np.isnan(RS.downsample_sum(allnan, 2))[0, 0]
+    m = RS.downsample_mode(np.array([[np.nan, np.nan], [5.0, np.nan]]), 2)
+    assert m[0, 0] == 5.0
+    m = RS.downsample_mode(np.full((2, 2), np.nan), 2)
+    assert np.isnan(m[0, 0])
+    batched = RS.downsample_mode(np.zeros((3, 4, 4)), 2)
+    assert batched.shape == (3, 2, 2)
