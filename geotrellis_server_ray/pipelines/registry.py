@@ -838,6 +838,68 @@ SELECT CAST(qid AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank, doc_id, spa
 FROM ranked WHERE rnk <= {KNN_K}"""
 
 
+# ----------------------------------------------- n-gram Jaccard similarity
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Character-3-gram set Jaccard for consecutive doc pairs (the n-gram
+    similarity op as a standalone oracle-backed query; it also serves as the
+    verify kernel inside the LSH pipeline in word-shingle form)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.dedup import char_ngrams
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    tref = ray.put(texts)
+    ids = sorted(texts)
+
+    import ray.data as rd
+
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(ids[:-1], type=pa.int64()),
+        "id_b": pa.array(ids[1:], type=pa.int64()),
+    }))
+
+    class Jac:
+        def __init__(self):
+            self.texts = ray.get(tref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            a = b.column("id_a").to_pylist()
+            c = b.column("id_b").to_pylist()
+            out = np.empty(len(a), dtype=np.int64)
+            for i, (x, y) in enumerate(zip(a, c)):
+                sa, sb = char_ngrams(self.texts[x], 3), char_ngrams(self.texts[y], 3)
+                inter = len(sa & sb)
+                union = len(sa | sb)
+                out[i] = np.int64(np.floor(inter / union * 1e6)) if union else 1_000_000
+            return b.append_column("jaccard_e6", pa.array(out))
+
+    return pairs.map_batches(Jac, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    return """
+WITH ids AS (SELECT doc_id, text, lead(doc_id) OVER (ORDER BY doc_id) AS id_b FROM documents),
+pairs AS (SELECT doc_id AS id_a, id_b FROM ids WHERE id_b IS NOT NULL),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, substr(text, i, 3) AS g
+        FROM documents, LATERAL unnest(generate_series(1, GREATEST(length(text) - 2, 1))) AS u(i))
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS ninter
+  FROM pairs p JOIN grams ga ON ga.doc_id = p.id_a JOIN grams gb ON gb.doc_id = p.id_b AND ga.g = gb.g
+  GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b,
+  CAST(floor(CAST(coalesce(i.ninter, 0) AS DOUBLE) / (ca.n + cb.n - coalesce(i.ninter, 0)) * 1000000.0e0) AS BIGINT) AS jaccard_e6
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.id_a JOIN cnt cb ON cb.doc_id = p.id_b
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b"""
+
+
 # ------------------------------------------------------- multimodal stages
 
 def q_media_meta(sf_dir: str):
@@ -1505,6 +1567,7 @@ QUERIES: dict[str, tuple] = {
     "exact_dedup": (q_exact_dedup, sql_exact_dedup),
     "token_counts": (q_token_counts, sql_token_counts),
     "bpe_token_counts": (q_bpe_token_counts, sql_bpe_token_counts),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "quality_scores": (q_quality_scores, sql_quality_scores),
     # similarity search
     "ann_cosine_topk": (q_ann_topk, sql_ann_topk),
