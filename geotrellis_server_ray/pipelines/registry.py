@@ -1381,6 +1381,107 @@ SELECT p_partkey, p_name FROM part
 WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p_partkey)"""
 
 
+# ----------------------------------------- grouped top-k / pivot / rolling
+
+def q_top_parts_per_brand(sf_dir: str):
+    """Grouped top-k (per-group rank): top-3 parts per brand by total
+    quantity; deterministic ties by p_partkey."""
+    import pandas as pd
+
+    part_lk = BroadcastLookup(sf_dir, "part", "p_partkey", ["p_brand"]).ref()
+    ds = read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    ds = ds.map_batches(partial(add_cents, cols={"qty_c": "l_quantity"}), batch_format="pyarrow")
+    ds = ds.map_batches(make_broadcast_join(part_lk, "l_partkey", ["p_brand"]), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: b.select(["p_brand", "l_partkey", "qty_c"]), batch_format="pyarrow")
+    totals = grouped_sums(ds, ["p_brand", "l_partkey"], ["qty_c"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["qty_c", "l_partkey"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = totals.groupby("p_brand").map_groups(topk, batch_format="pandas")
+    return _cast_cols(out, {"l_partkey": I64, "qty_c": I64, "rank": I64})
+
+
+def sql_top_parts_per_brand() -> str:
+    return """
+WITH totals AS (
+  SELECT p.p_brand, l.l_partkey,
+         CAST(sum(CAST(round(l.l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY qty_c DESC, l_partkey) AS rank
+  FROM totals)
+SELECT p_brand, l_partkey, qty_c, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3"""
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot: events per (day, event_type) spread into one column per type —
+    per-batch partial pivot, then a summing groupby over the partial rows."""
+    ds = read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        et = b.column("event_type").to_pylist()
+        cols = {"day": pa.array(day.astype(np.int64))}
+        for t in _PIVOT_TYPES:
+            cols[f"n_{t}"] = pa.array(np.fromiter((1 if x == t else 0 for x in et),
+                                                  dtype=np.int64, count=len(et)))
+        return pa.table(cols)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_sums(ds, ["day"], [f"n_{t}" for t in _PIVOT_TYPES])
+    return _cast_cols(out, {c: I64 for c in ["day"] + [f"n_{t}" for t in _PIVOT_TYPES]})
+
+
+def sql_events_pivot() -> str:
+    cases = ",\n  ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    return f"""
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+  {cases}
+FROM events GROUP BY 1"""
+
+
+def q_rolling_value(sf_dir: str):
+    """Rolling 3-event sum per user over the ordered log (ROWS 2 PRECEDING
+    window) — integer-scaled values so engines agree exactly."""
+    import pandas as pd
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        vc = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64)
+        rolled = pd.Series(vc).rolling(3, min_periods=1).sum().astype(np.int64)
+        return pd.DataFrame({
+            "user_id": g["user_id"], "event_id": g["event_id"],
+            "rolling_value_c": rolled,
+        })
+
+    out = ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    return _cast_cols(out, {"user_id": I64, "event_id": I64, "rolling_value_c": I64})
+
+
+def sql_rolling_value() -> str:
+    return """
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+  CAST(sum(CAST(floor(value * 100.0e0) AS BIGINT))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS 2 PRECEDING) AS BIGINT)
+  AS rolling_value_c
+FROM events"""
+
+
 # ---------------------------------------------------- stream-shaped windows
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -1598,6 +1699,10 @@ QUERIES: dict[str, tuple] = {
     # semi / anti joins
     "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),
     "parts_with_lineitems": (q_parts_with_lineitems, sql_parts_with_lineitems),
+    # grouped top-k / pivot / rolling
+    "top_parts_per_brand": (q_top_parts_per_brand, sql_top_parts_per_brand),
+    "events_pivot": (q_events_pivot, sql_events_pivot),
+    "rolling_value": (q_rolling_value, sql_rolling_value),
     # stream-shaped / as-of
     "session_windows": (q_session_windows, sql_session_windows),
     "asof_click_view": (q_asof_click_view, sql_asof_click_view),
