@@ -733,6 +733,78 @@ SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
 FROM m GROUP BY x, y"""
 
 
+def q_maml_focal_hillshade(sf_dir: str):
+    """Focal hillshade through the same halo shuffle as slope (azimuth 315,
+    altitude 45): per-tile sum of the 0..255 shade values, interior tiles."""
+    import ray.data as rd
+
+    from ..functions.focal import hillshade
+    from ..stages.focal import TILE, focal_dataset
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        x = (ids % FOCAL_GRID).astype(np.int64)
+        y = (ids // FOCAL_GRID).astype(np.int64)
+        col = np.arange(TILE, dtype=np.int64)
+        gx = np.broadcast_to(x[:, None, None] * TILE + col[None, None, :], (len(x), TILE, TILE))
+        gy = np.broadcast_to(y[:, None, None] * TILE + col[None, :, None], (len(x), TILE, TILE))
+        dem = _dem(gx, gy)
+        return pa.table({
+            "x": pa.array(x), "y": pa.array(y),
+            "cells": pa.array(list(dem.reshape(len(x), -1)), type=pa.list_(pa.float64())),
+        })
+
+    tiles_ds = rd.range(FOCAL_GRID * FOCAL_GRID).map_batches(build, batch_format="pyarrow")
+    res = focal_dataset(tiles_ds, kernel=lambda z, m: hillshade(z, m), grid_n=FOCAL_GRID)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        inner = (x >= 1) & (x <= FOCAL_GRID - 2) & (y >= 1) & (y <= FOCAL_GRID - 2)
+        b = b.filter(pa.array(inner))
+        if len(b) == 0:
+            return pa.table({"x": pa.array([], I64), "y": pa.array([], I64),
+                             "shade_sum": pa.array([], I64)})
+        cells = np.stack([np.asarray(c) for c in b.column("cells").to_pylist()])
+        mask = np.stack([np.asarray(m) for m in b.column("mask").to_pylist()])
+        cells[mask] = 0
+        return pa.table({
+            "x": pc.cast(b.column("x"), I64), "y": pc.cast(b.column("y"), I64),
+            "shade_sum": pa.array(cells.sum(axis=1).astype(np.int64)),
+        })
+
+    return res.map_batches(summarize, batch_format="pyarrow")
+
+
+def sql_maml_focal_hillshade() -> str:
+    g = FOCAL_GRID
+    lo, hi = 8, (g - 1) * 8 - 1
+    a = _dem_sql("gx-1", "gy-1"); b = _dem_sql("gx", "gy-1"); c = _dem_sql("gx+1", "gy-1")
+    d = _dem_sql("gx-1", "gy");                                f = _dem_sql("gx+1", "gy")
+    gg = _dem_sql("gx-1", "gy+1"); h = _dem_sql("gx", "gy+1"); i = _dem_sql("gx+1", "gy+1")
+    dzdx = f"((({c}) + 2.0e0 * ({f}) + ({i})) - (({a}) + 2.0e0 * ({d}) + ({gg}))) / 8.0e0"
+    dzdy = f"((({gg}) + 2.0e0 * ({h}) + ({i})) - (({a}) + 2.0e0 * ({b}) + ({c}))) / 8.0e0"
+    # mirror functions/focal.hillshade exactly: azimuth 315, altitude 45
+    az = "radians(360.0e0 - 315.0e0 + 90.0e0)"
+    zen = "radians(90.0e0 - 45.0e0)"
+    slope_rad = f"atan(sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy})))"
+    aspect = f"atan2(({dzdy}), -({dzdx}))"
+    shade = (f"cos({zen}) * cos({slope_rad}) + sin({zen}) * sin({slope_rad})"
+             f" * cos({az} - ({aspect}))")
+    return f"""
+WITH cellgrid AS (
+  SELECT cx.gx, cy.gy
+  FROM (SELECT unnest(generate_series({lo}, {hi})) AS gx) cx,
+       (SELECT unnest(generate_series({lo}, {hi})) AS gy) cy),
+s AS (
+  SELECT gx // 8 AS x, gy // 8 AS y,
+         LEAST(GREATEST(round(255.0e0 * ({shade})), 0.0e0), 255.0e0) AS v
+  FROM cellgrid)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS shade_sum
+FROM s GROUP BY x, y"""
+
+
 # ---------------------------------------------------- catalog query algebra
 
 CQ_BBOX = (-60.0, -40.0, 60.0, 45.0)
@@ -1675,6 +1747,7 @@ QUERIES: dict[str, tuple] = {
     # map algebra
     "maml_ndvi": (q_maml_ndvi, sql_maml_ndvi),
     "maml_focal_slope": (q_maml_focal_slope, sql_maml_focal_slope),
+    "maml_focal_hillshade": (q_maml_focal_hillshade, sql_maml_focal_hillshade),
     "mosaic_merge": (q_mosaic_merge, sql_mosaic_merge),
     # catalog query algebra
     "catalog_query": (q_catalog_query, sql_catalog_query),
