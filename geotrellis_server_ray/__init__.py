@@ -11,8 +11,10 @@ Layout:
   pipelines/  end-to-end pipelines and the query registry
   state/      broadcast helpers, caches, checkpoint manifests
 
-Nothing in this package calls ``ray.init`` / ``ray.shutdown`` — sessions are
-owned by bench.py / tests / the driver.
+Library code never calls ``ray.init`` / ``ray.shutdown`` — sessions are
+owned by bench.py, the tests, the external driver, and the one CLI entrypoint
+(``__main__.py``), which guards its init and tears down only sessions it
+created itself.
 """
 
 __version__ = "0.1.0"

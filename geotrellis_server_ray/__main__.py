@@ -36,12 +36,25 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.query is None:
         ap.error("--query is required unless --list is given")
+    if args.query != "flagship" and args.query not in QUERIES:
+        print(f"unknown query: {args.query!r} (use --list)", file=sys.stderr)
+        return 2  # validate before paying Ray startup
+    if args.out is not None:
+        import os
+
+        if os.path.isdir(args.out) and os.listdir(args.out):
+            print(f"--out {args.out!r} is not empty; refusing to mix runs "
+                  "(write_parquet appends files, which would double-count)", file=sys.stderr)
+            return 2
 
     import ray
 
-    if not ray.is_initialized():
-        kw = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
-        if args.num_cpus:
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        # address=None honors RAY_ADDRESS (the ray-job-submit path attaches
+        # to the cluster head; this sandbox presets RAY_ADDRESS=local)
+        kw = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus is not None:
             kw["num_cpus"] = args.num_cpus
         ray.init(**kw)
     import ray.data as rd
@@ -54,11 +67,8 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.geo import flagship
 
             ds = flagship(args.sf)
-        elif args.query in QUERIES:
-            ds = QUERIES[args.query][0](args.sf)
         else:
-            print(f"unknown query: {args.query!r} (use --list)", file=sys.stderr)
-            return 2
+            ds = QUERIES[args.query][0](args.sf)
         if args.out is not None:
             if isinstance(ds, rd.Dataset):
                 ds.write_parquet(args.out)
@@ -79,7 +89,8 @@ def main(argv: list[str] | None = None) -> int:
                           "sec": round(time.perf_counter() - t0, 3), "out": args.out}))
         return 0
     finally:
-        ray.shutdown()
+        if owns_session:  # never tear down a caller-owned session
+            ray.shutdown()
 
 
 if __name__ == "__main__":
