@@ -39,21 +39,21 @@ def test_asof_group_backward_match():
     assert pd.isna(got[400])        # click at 09:00 has no earlier view
 
 
-def test_ivf_recall_vs_brute_force(ray_session, sf_correct):
-    """On the sandbox embeddings (isotropic random — within-label cosine
-    ~0.0016, no cluster structure) IVF recall is theoretically bounded near
-    nprobe/k = 6/16; assert it is in that regime and deterministic."""
+def test_ivf_exact_equals_brute_force(ray_session, sf_correct):
+    """The two-phase spherical-cap-bound IVF is EXACT: its top-k must equal
+    brute force bit-for-bit (same ranks, same ids), and be deterministic
+    across runs. (Round-2 replacement for the old recall-regime test: the
+    bound-based phase 2 guarantees no top-k member is ever pruned.)"""
     from geotrellis_server_ray.pipelines.registry import q_ann_ivf_topk, q_ann_topk
 
-    exact = q_ann_topk(sf_correct).to_pandas()
-    approx = q_ann_ivf_topk(sf_correct).to_pandas()
-    e = set(zip(exact["query_id"], exact["vec_id"]))
-    a = set(zip(approx["query_id"], approx["vec_id"]))
-    recall = len(e & a) / len(e)
-    assert recall >= 0.2, recall
-    again = q_ann_ivf_topk(sf_correct).to_pandas()
-    assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
-        again.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    exact = q_ann_topk(sf_correct).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    ivf = q_ann_ivf_topk(sf_correct).sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert exact[["query_id", "rank", "vec_id"]].equals(ivf[["query_id", "rank", "vec_id"]])
+    again = q_ann_ivf_topk(sf_correct).sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert ivf.equals(again)
 
 
 def test_ivf_high_recall_on_clustered_data(ray_session):
