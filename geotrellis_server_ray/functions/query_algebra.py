@@ -194,10 +194,25 @@ def _parse_ts(t: str) -> np.datetime64:
                          else pd.Timestamp(t).tz_convert("UTC").tz_localize(None), "us")
 
 
-def eval_catalog(q: dict, catalog: pd.DataFrame) -> pd.DataFrame:
+def eval_catalog(q: dict, catalog: pd.DataFrame, temporal_rule: str = "ogc") -> pd.DataFrame:
     """Evaluate a query against a layer catalog frame. Returns the matching
     rows; ``or`` concatenates with duplicates, ``and`` pipelines (left output
-    feeds right), exactly like RasterSourceRepository.eval."""
+    feeds right), like RasterSourceRepository.eval (core/.../
+    RasterSourceRepository.scala:58-64).
+
+    Temporal semantics differ between the two reference repositories and are
+    selected by ``temporal_rule``:
+
+    * ``"ogc"`` (default): a layer with NO time attribute matches every
+      At/Between — the OgcSourceRepository rule (ogc/.../
+      OgcSourceRepository.scala:37-44). The engine catalog mirrors OGC
+      layers, so this is the default for BOTH variants by design.
+    * ``"raster"``: At/Between EXCLUDE sources lacking the time attribute
+      (the ``fold(false)`` in core/.../RasterSourceRepository.scala:55-57).
+
+    Both rules share this function's half-open Between (t1 <= t < t2, the
+    raster-repo bound shape); the inclusive-overlap OGC Between lives in
+    :func:`eval_ogc_catalog`."""
     (node, body), = q.items()
     if node == "all":
         return catalog
@@ -223,17 +238,24 @@ def eval_catalog(q: dict, catalog: pd.DataFrame) -> pd.DataFrame:
     if node == "at":
         t = _parse_ts(body["time"])
         ts = catalog["event_time"]
-        return catalog[ts.isna() | (ts.values == t)]
+        hit = ts.values == t
+        if temporal_rule == "ogc":
+            hit = ts.isna() | hit
+        return catalog[hit]
     if node == "between":
         t1, t2 = _parse_ts(body["from"]), _parse_ts(body["to"])
         ts = catalog["event_time"]
-        return catalog[ts.isna() | ((ts.values >= t1) & (ts.values < t2))]
+        hit = (ts.values >= t1) & (ts.values < t2)
+        if temporal_rule == "ogc":
+            hit = ts.isna() | hit
+        return catalog[hit]
     if node == "and":
-        left = eval_catalog(body["left"], catalog)
-        return eval_catalog(body["right"], left)
+        left = eval_catalog(body["left"], catalog, temporal_rule)
+        return eval_catalog(body["right"], left, temporal_rule)
     if node == "or":
         return pd.concat(
-            [eval_catalog(body["left"], catalog), eval_catalog(body["right"], catalog)],
+            [eval_catalog(body["left"], catalog, temporal_rule),
+             eval_catalog(body["right"], catalog, temporal_rule)],
             ignore_index=True,
         )
     raise ValueError(f"unknown query node: {node}")
@@ -263,6 +285,9 @@ def _leaf_mask(node: str, body: dict, batch) -> "Any":
                     pc.less_equal(batch.column("ymax"), pa.scalar(b["ymax"]))),
         )
     if node in ("at", "between"):
+        # OGC rule (OgcSourceRepository.scala:37-44): layers without a time
+        # attribute match every temporal predicate (see eval_catalog's
+        # temporal_rule docs; the dataset variant serves OGC-style catalogs)
         ts = batch.column("event_time")
         non_temporal = pc.is_null(ts)
         if node == "at":

@@ -77,6 +77,13 @@ class BroadcastLookup:
         t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key] + value_cols)
         order = pc.sort_indices(t.column(key))
         self.keys = t.column(key).take(order).to_numpy(zero_copy_only=False)
+        # probe() resolves each key to a SINGLE row; a duplicate-keyed
+        # dimension table would silently under-join, so fail loudly here
+        if len(np.unique(self.keys)) != len(self.keys):
+            raise ValueError(
+                f"BroadcastLookup key '{key}' in {table} is not unique; "
+                "this lookup joins one row per key (use a shuffle join for N:M)"
+            )
         self.values = {c: t.column(c).take(order).to_numpy(zero_copy_only=False) for c in value_cols}
 
     def ref(self):

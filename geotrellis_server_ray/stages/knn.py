@@ -6,12 +6,16 @@ buffered window and take the nearest cell) to distributed k-nearest-neighbor:
 
   * queries (small) broadcast via ray.put
   * candidates stream; each batch emits per-query partial top-k
-  * cell-ring pre-filter: a span only enters the distance kernel when its
-    quadtree cell lies within the query's expanding ring bound — the
-    cell-ring-expansion optimization of the north rule. With k rings r, the
-    candidate bound is conservative (ring cell diagonal), so correctness never
-    depends on the ring choice; it only prunes work.
-  * final merge: tiny groupby(query_id).map_groups
+  * cell-ring pre-filter: a span enters the distance kernel only when its
+    quadtree cell lies in the union of the queries' k-rings — the
+    cell-ring-expansion optimization of the north rule. The ring choice is
+    made SAFE by validation + fallback: after the pruned pass, each query's
+    kth distance is checked against a provable lower bound on the distance
+    to any pruned candidate (the spherical distance from the query point to
+    its ring-region boundary); queries that fail the check re-probe with an
+    unpruned scan. Pruning therefore never changes results — it only saves
+    work when the ring is big enough.
+  * final merge: tiny groupby(query_id) on the partial stream
 
 Ordering: distance asc, then (doc_id, span_idx) asc for deterministic ties.
 """
@@ -25,12 +29,16 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import cells
-from ..functions.geometry import haversine_m
+from ..functions.geometry import EARTH_RADIUS_M, haversine_m
+from ..functions.tiles import lonlat_to_tile
 
 
 class KnnProbe:
     """map_batches stage: anchored spans -> per-batch partial top-k rows
-    (query_id, doc_id, span_idx, dist_m)."""
+    (query_id, doc_id, span_idx, dist_m). With ``ring_level``/``ring_k`` set,
+    candidates outside the union of query cell rings are pruned BEFORE the
+    distance kernel (callers must validate via ring_safe_bound_m or accept
+    approximate results; ``knn()`` does the validation + fallback)."""
 
     def __init__(self, queries_ref, k: int = 5, ring_level: int | None = None, ring_k: int | None = None):
         import ray
@@ -79,6 +87,46 @@ class KnnProbe:
         })
 
 
+def ring_safe_bound_m(qlon: np.ndarray, qlat: np.ndarray, ring_level: int,
+                      ring_k: int) -> np.ndarray:
+    """Per-query LOWER BOUND (meters) on the spherical distance from the
+    query point to any candidate pruned by its cell ring — i.e. the distance
+    to the ring-region boundary. Sides where the ring is clipped to the grid
+    edge (poles) or wraps the antimeridian contribute +inf (nothing is pruned
+    past them: out-of-band candidates clamp INTO edge tiles).
+
+    north/south boundary = a parallel: distance is the exact meridian arc.
+    west/east boundary = a meridian segment: lower-bounded by the distance to
+    the full meridian great circle, R*arcsin(|sin dlon| * cos lat)."""
+    n = 1 << ring_level
+    qx, qy = lonlat_to_tile(qlon, qlat, ring_level)
+    qx = qx.astype(np.int64)
+    qy = qy.astype(np.int64)
+    x_lo, x_hi = qx - ring_k, qx + ring_k + 1  # tile-boundary coordinates
+    y_lo, y_hi = qy - ring_k, qy + ring_k + 1
+
+    def lat_of_ty(ty):
+        return np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * ty / n))))
+
+    deg_m = np.pi * EARTH_RADIUS_M / 180.0
+    lat_n = lat_of_ty(np.maximum(y_lo, 0))
+    lat_s = lat_of_ty(np.minimum(y_hi, n))
+    d_north = np.where(y_lo <= 0, np.inf, (lat_n - qlat) * deg_m)
+    d_south = np.where(y_hi >= n, np.inf, (qlat - lat_s) * deg_m)
+
+    lon_w = x_lo / n * 360.0 - 180.0
+    lon_e = x_hi / n * 360.0 - 180.0
+
+    def merid_dist(dlon_deg):
+        s = np.abs(np.sin(np.radians(dlon_deg))) * np.cos(np.radians(qlat))
+        return EARTH_RADIUS_M * np.arcsin(np.clip(s, 0.0, 1.0))
+
+    full_wrap = (2 * ring_k + 1) >= n
+    d_west = np.where(full_wrap, np.inf, merid_dist(qlon - lon_w))
+    d_east = np.where(full_wrap, np.inf, merid_dist(lon_e - qlon))
+    return np.minimum(np.minimum(d_north, d_south), np.minimum(d_west, d_east))
+
+
 def _final(group: pd.DataFrame, k: int) -> pd.DataFrame:
     g = group.sort_values(["dist_m", "doc_id", "span_idx"], ascending=True).head(k)
     g = g.reset_index(drop=True)
@@ -86,18 +134,52 @@ def _final(group: pd.DataFrame, k: int) -> pd.DataFrame:
     return g[["query_id", "rank", "doc_id", "span_idx"]]
 
 
-def knn(ds, queries: tuple[np.ndarray, np.ndarray, np.ndarray], k: int = 5,
-        ring_level: int | None = None, ring_k: int | None = None):
-    """ds of anchored spans (doc_id, span_idx, lon, lat) -> top-k rows."""
-    import ray
-
-    qref = ray.put(queries)
-    parts = ds.map_batches(
+def _probe(ds, queries_or_ref, k: int, ring_level=None, ring_k=None):
+    return ds.map_batches(
         KnnProbe,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k,
+        fn_constructor_kwargs={"queries_ref": queries_or_ref, "k": k,
                                "ring_level": ring_level, "ring_k": ring_k},
         batch_format="pyarrow",
         concurrency=(1, 8),
         num_cpus=1,
     )
-    return parts.groupby("query_id").map_groups(partial(_final, k=k), batch_format="pandas")
+
+
+def knn(ds, queries: tuple[np.ndarray, np.ndarray, np.ndarray], k: int = 5,
+        ring_level: int | None = None, ring_k: int | None = None):
+    """ds of anchored spans (doc_id, span_idx, lon, lat) -> top-k rows.
+
+    Without rings: one pruned-free streaming pass + tiny grouped merge.
+    With rings: pruned pass, then per-query validation (>=k results AND kth
+    distance strictly below ring_safe_bound_m); queries failing validation
+    fall back to an unpruned pass — results are always exactly the
+    brute-force top-k."""
+    import ray
+
+    qids, qlon, qlat = queries
+    qref = ray.put(queries)
+    if ring_level is None or ring_k is None:
+        parts = _probe(ds, qref, k)
+        return parts.groupby("query_id").map_groups(partial(_final, k=k), batch_format="pandas")
+
+    pdf = _probe(ds, qref, k, ring_level, ring_k).to_pandas()  # partials: tiny
+    merged = (pdf.sort_values(["query_id", "dist_m", "doc_id", "span_idx"])
+              .groupby("query_id", sort=True).head(k))
+    bound = ring_safe_bound_m(qlon, qlat, ring_level, ring_k)
+    bound_by_qid = dict(zip(qids.tolist(), bound.tolist()))
+    bad: list[int] = []
+    counts = merged.groupby("query_id").size()
+    kth = merged.groupby("query_id")["dist_m"].max()
+    for i, q in enumerate(qids.tolist()):
+        nq = int(counts.get(q, 0))
+        if nq < k or float(kth.get(q, np.inf)) >= bound_by_qid[q]:
+            bad.append(i)
+    if bad:
+        sub = (qids[bad], qlon[bad], qlat[bad])
+        fb = _probe(ds, ray.put(sub), k).to_pandas()
+        fb = (fb.sort_values(["query_id", "dist_m", "doc_id", "span_idx"])
+              .groupby("query_id", sort=True).head(k))
+        merged = pd.concat([merged[~merged["query_id"].isin(set(qids[bad].tolist()))], fb])
+    merged = merged.sort_values(["query_id", "dist_m", "doc_id", "span_idx"]).reset_index(drop=True)
+    merged["rank"] = merged.groupby("query_id").cumcount() + 1
+    return merged[["query_id", "rank", "doc_id", "span_idx"]]

@@ -86,3 +86,61 @@ def test_extent_fold_properties(rects):
     if i is not None:
         for e in es:
             assert i.xmin >= e.xmin - 1e-9 and i.xmax <= e.xmax + 1e-9
+
+
+def test_knn_ring_pruned_equals_brute_force(ray_session):
+    """Ring-pruned kNN must ALWAYS equal brute force — including with a
+    deliberately tiny ring (ring_k=1 at a fine level), where correctness is
+    carried by the validation + unpruned fallback in knn(), not by the ring
+    covering k candidates (ADVICE round-1 fix: the old ring path silently
+    dropped true neighbors)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.knn import knn, ring_safe_bound_m
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    lon = rng.uniform(-179, 179, n)
+    lat = rng.uniform(-80, 80, n)
+    ds_tbl = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "span_idx": pa.array(np.zeros(n, dtype=np.int64)),
+        "lon": pa.array(lon), "lat": pa.array(lat),
+    })
+    qids = np.arange(6, dtype=np.int64)
+    qlon = np.array([-170.0, -60.0, 0.0, 45.0, 120.0, 179.5])
+    qlat = np.array([-75.0, -30.0, 0.0, 30.0, 60.0, 79.0])
+    queries = (qids, qlon, qlat)
+    brute = knn(rd.from_arrow(ds_tbl), queries, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    for level, rk in [(2, 1), (4, 1), (6, 2)]:
+        pruned = knn(rd.from_arrow(ds_tbl), queries, k=5, ring_level=level, ring_k=rk)
+        pruned = pruned.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert brute[["query_id", "rank", "doc_id", "span_idx"]].equals(
+            pruned[["query_id", "rank", "doc_id", "span_idx"]]), (level, rk)
+
+
+def test_knn_ring_bound_is_conservative():
+    """ring_safe_bound_m never exceeds the true distance to any point whose
+    cell falls outside the ring (sampled check over random queries/points)."""
+    from geotrellis_server_ray.functions import cells
+    from geotrellis_server_ray.functions.geometry import haversine_m
+    from geotrellis_server_ray.stages.knn import ring_safe_bound_m
+
+    rng = np.random.default_rng(11)
+    level, rk = 5, 2
+    qlon = rng.uniform(-179, 179, 20)
+    qlat = rng.uniform(-82, 82, 20)
+    bound = ring_safe_bound_m(qlon, qlat, level, rk)
+    qc = cells.cell_id(qlon, qlat, level)
+    rings = cells.cell_ring(qc, level, rk)
+    plon = rng.uniform(-180, 180, 5000)
+    plat = rng.uniform(-85, 85, 5000)
+    pc_ = cells.cell_id(plon, plat, level)
+    for i in range(len(qlon)):
+        outside = ~np.isin(pc_, rings[i])
+        if outside.any():
+            d = haversine_m(plon[outside], plat[outside],
+                            np.full(outside.sum(), qlon[i]), np.full(outside.sum(), qlat[i]))
+            assert d.min() >= bound[i] - 1e-6, (i, d.min(), bound[i])

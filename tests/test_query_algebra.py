@@ -229,3 +229,18 @@ def test_ogc_between_unsorted_positions():
     # envelope [01-15, 03-01]: end falls inside [02-15, 03-15] -> match
     got = qa.eval_ogc_catalog(qa.between("2024-02-15", "2024-03-15"), cat)
     assert got["name"].tolist() == ["u"]
+
+
+def test_raster_temporal_rule_excludes_non_temporal(catalog):
+    """temporal_rule='raster' mirrors RasterSourceRepository.scala:55-57:
+    At/Between EXCLUDE layers lacking the time attribute (fold(false)),
+    unlike the default OGC match-all rule."""
+    got = qa.eval_catalog(qa.at("2024-01-10"), catalog, temporal_rule="raster")
+    assert got["name"].tolist() == ["a"]  # non-temporal 'b' excluded
+    got = qa.eval_catalog(qa.between("2024-01-01", "2024-01-15"), catalog,
+                          temporal_rule="raster")
+    assert got["name"].tolist() == ["a"]
+    # and the rule threads through And/Or composition
+    got = qa.eval_catalog(qa.and_(qa.all_(), qa.at("2024-01-10")), catalog,
+                          temporal_rule="raster")
+    assert got["name"].tolist() == ["a"]
