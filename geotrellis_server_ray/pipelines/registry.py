@@ -1111,13 +1111,44 @@ WHERE CAST(ninter AS DOUBLE) / (ca.n + cb.n - ninter) >= 0.8e0"""
 
 
 def q_simhash_fingerprints(sf_dir: str):
-    """SimHash 64-bit fingerprints (rows-only oracle: hash internals aren't
-    SQL-expressible; determinism is pytest-verified)."""
+    """SimHash 64-bit fingerprints. Oracle-backed: the token polynomial hash
+    (base 1099511628211 mod 2^64) and the per-bit sign sums are replayed in
+    DuckDB HUGEINT arithmetic, with power-table literals emitted from the
+    engine's own _POW_TABLE so the two sides share constants by
+    construction."""
     from ..stages.dedup import simhash_batch
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(simhash_batch, batch_format="pyarrow")
     return ds.map_batches(lambda b: b.select(["doc_id", "simhash"]), batch_format="pyarrow")
+
+
+def sql_simhash_fingerprints() -> str:
+    from ..stages.dedup import _POW_TABLE
+
+    max_tok = 64
+    pw_list = "[" + ", ".join(str(int(_POW_TABLE[j])) for j in range(max_tok)) + "]"
+    p2_list = "[" + ", ".join(str(1 << b) for b in range(64)) + "]"
+    tok_hash = (
+        f"COALESCE((SELECT sum(CAST(ascii(substr(tok, i, 1)) AS HUGEINT)"
+        f" * ({pw_list})[length(tok) - i + 1] % {_M64})"
+        f" FROM unnest(generate_series(1, length(tok))) AS u(i)), 0) % {_M64}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+th AS (SELECT doc_id, {tok_hash} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h // ({p2_list})[b + 1]) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id, COALESCE(sum(CASE WHEN s > 0 THEN ({p2_list})[b + 1] ELSE 0 END), 0) AS sg
+  FROM bits GROUP BY doc_id)
+SELECT doc_id,
+  CAST(CASE WHEN sg >= 9223372036854775808 THEN sg - {_M64} ELSE sg END AS BIGINT) AS simhash
+FROM sig"""
 
 
 EMB_PLANT_STRIDE = 25
@@ -1172,18 +1203,82 @@ FROM embeddings WHERE vec_id % {EMB_PLANT_STRIDE} = 0"""
 
 
 def q_lang_id(sf_dir: str):
-    """Language-ID heuristic over documents (rows-only oracle; behavior
-    pytest-verified on synthetic marked texts)."""
+    """Language-ID heuristic over documents: stopword-marker density argmax
+    (first-max tie-break in marker-dict order), 'und' when nothing matches.
+    The oracle expresses the SAME marker counts with replace-length
+    arithmetic, generated from the same marker dict."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(T.LangId(), batch_format="pyarrow")
     return ds.map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
 
 
+def sql_lang_id() -> str:
+    from ..stages.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS.keys())
+    score_exprs = []
+    for lang, marks in _LANG_MARKERS.items():
+        terms = [
+            f"(length(t) - length(replace(t, '{m}', ''))) // {len(m)}" for m in marks
+        ]
+        score_exprs.append(f"({' + '.join(terms)}) AS s_{lang}")
+    # argmax with FIRST-max tie-break in dict order == chained >= CASE
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    total = " + ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents),
+sc AS (SELECT doc_id, {', '.join(score_exprs)} FROM padded)
+SELECT doc_id,
+  CASE WHEN {total} = 0 THEN 'und'
+       {' '.join(cases)}
+       ELSE '{langs[-1]}' END AS lang_pred
+FROM sc"""
+
+
 def q_doc_fingerprints(sf_dir: str):
-    """Winnowing-style rolling-hash document fingerprints (rows-only)."""
+    """Winnowing-style rolling-hash document fingerprints. The oracle
+    replays the exact same polynomial (base 257, 16-byte windows, mod 2^64
+    wraparound then 48-bit mask, min over windows) in DuckDB HUGEINT modular
+    arithmetic with power literals generated from the engine's own tables —
+    the corpus is ASCII so ascii(substr(..)) == byte value."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     ds = ds.map_batches(T.rolling_fingerprint_batch, batch_format="pyarrow")
     return ds.map_batches(lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
+
+
+_M64 = 18446744073709551616  # 2^64
+_M48 = 281474976710656       # 2^48 (the engine's fingerprint mask + 1)
+
+
+def sql_doc_fingerprints() -> str:
+    W = 16
+    pw = [int(np.power(np.uint64(257), np.uint64(j), dtype=np.uint64)) for j in range(W)]
+    win_terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS HUGEINT) * {pw[j]} % {_M64}"
+        for j in range(W)
+    )
+    pw_list = "[" + ", ".join(str(p) for p in pw) + "]"
+    # short docs (< 16 bytes): MSB-first polynomial sum b_i * 257^(L-i)
+    short_terms = (
+        f"COALESCE((SELECT sum(CAST(ascii(substr(text, i, 1)) AS HUGEINT)"
+        f" * ({pw_list})[length(text) - i + 1] % {_M64})"
+        f" FROM unnest(generate_series(1, length(text))) AS u(i)), 0)"
+    )
+    return f"""
+WITH longd AS (
+  SELECT doc_id, min(({win_terms}) % {_M64} % {_M48}) AS fp
+  FROM documents, LATERAL unnest(generate_series(1, length(text) - {W - 1})) AS w(i)
+  WHERE length(text) >= {W}
+  GROUP BY doc_id),
+shortd AS (
+  SELECT doc_id, ({short_terms}) % {_M64} % {_M48} AS fp
+  FROM documents WHERE length(text) < {W})
+SELECT doc_id, CAST(fp AS BIGINT) AS fingerprint FROM longd
+UNION ALL
+SELECT doc_id, CAST(fp AS BIGINT) AS fingerprint FROM shortd"""
 
 
 # ------------------------------------------------------- scale machinery
@@ -1429,7 +1524,9 @@ def q_feature_info_lookup(sf_dir: str):
             "value": pa.array(value.astype(np.int64)),
         })
 
-    return rd.range(KNN_NQ).map_batches(lookup, batch_format="pyarrow")
+    # single block: KNN_NQ rows split across default parallelism would leave
+    # empty schema-less blocks (the round-1 bench's RefBundle warning)
+    return rd.range(KNN_NQ, override_num_blocks=1).map_batches(lookup, batch_format="pyarrow")
 
 
 def sql_feature_info_lookup() -> str:
@@ -1813,10 +1910,10 @@ QUERIES: dict[str, tuple] = {
     "frame_sample": (q_frame_sample, sql_frame_sample),
     # near-dup family
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
-    "simhash_fingerprints": (q_simhash_fingerprints, None),
+    "simhash_fingerprints": (q_simhash_fingerprints, sql_simhash_fingerprints),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
-    "lang_id": (q_lang_id, None),
-    "doc_fingerprints": (q_doc_fingerprints, None),
+    "lang_id": (q_lang_id, sql_lang_id),
+    "doc_fingerprints": (q_doc_fingerprints, sql_doc_fingerprints),
     # multimodal binary payloads
     "media_payload_features": (q_media_payload_features, None),
     # serving lifecycle (GetMap batch)
