@@ -128,6 +128,29 @@ def render_tile(values: np.ndarray, style, nodata_mask: np.ndarray | None = None
     return np.asarray(values, dtype=np.uint32)
 
 
+def encode_image(colors: np.ndarray, width: int, height: int, fmt: str = "png",
+                 quality: int = 75) -> bytes:
+    """OutputFormat dispatch (ogc/.../OutputFormat.scala:26-140 +
+    Render.scala:28-75): 'png' -> RGBA PNG; 'jpg' -> baseline JPEG with
+    transparent cells composited over mid-grey (the reference's nodata->grey
+    JPG rule, OutputFormat.scala:119-123); 'tif'/'geotiff' -> 4-sample
+    baseline TIFF of the RGBA channels."""
+    if fmt == "png":
+        return encode_png_rgba(colors, width, height)
+    if fmt in ("jpg", "jpeg"):
+        from .jpeg import rgba_to_jpeg
+
+        return rgba_to_jpeg(colors, width, height, quality)
+    if fmt in ("tif", "geotiff"):
+        from ..sources.tiff import write_tiff
+
+        c = np.asarray(colors, dtype=np.uint32).reshape(height, width)
+        r, g, b, a = _channels(c)
+        img = np.stack([r, g, b, a], axis=-1).astype(np.uint8)
+        return write_tiff(img, compression="deflate")
+    raise ValueError(f"unknown output format: {fmt}")
+
+
 def encode_png_rgba(colors: np.ndarray, width: int, height: int) -> bytes:
     """Minimal valid PNG (8-bit RGBA, no filters) from 0xRRGGBBAA values."""
     c = np.asarray(colors, dtype=np.uint32).reshape(height, width)

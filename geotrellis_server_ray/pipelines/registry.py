@@ -1859,6 +1859,84 @@ def q_media_payload_features(sf_dir: str):
     )
 
 
+TIFF_N = 64          # synthetic raster side (cells)
+TIFF_WIN = 16        # window side -> 4x4 = 16 window requests
+
+
+def q_tiff_windows(sf_dir: str):
+    """S1 real-format windowed reads as a Ray pipeline: a deterministic
+    GeoTIFF (deflate strips, geo tags) is written once under /tmp; an actor
+    pool holds the parsed IFD + HeaderByteCache (S6) and serves one window
+    read per request row, emitting per-window sums. Mirrors
+    GeoTiffNode.scala:49-93's windowed read over CacheRangeReader.scala:22-34
+    with actual TIFF bytes. Oracle: closed-form SQL over the same grid."""
+    import os
+
+    import ray.data as rd
+
+    from ..sources.tiff import write_tiff
+
+    path = "/tmp/graft_tiff/grid64.tif"
+    if not os.path.exists(path):
+        os.makedirs("/tmp/graft_tiff", exist_ok=True)
+        gy, gx = np.mgrid[0:TIFF_N, 0:TIFF_N]
+        vals = ((gx * 7 + gy * 13) % 100).astype(np.int32)
+        raw = write_tiff(vals, compression="deflate", rows_per_strip=8,
+                         pixel_scale=(1.0, 1.0), tiepoint=(0.0, 0.0, 0.0, float(TIFF_N)),
+                         epsg=3857)
+        tmp = path + ".part"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, path)  # atomic: concurrent query runs are safe
+
+    per_side = TIFF_N // TIFF_WIN
+
+    class WindowReader:
+        def __init__(self):
+            from ..sources.tiff import parse_ifds
+            from ..state.caches import HeaderByteCache
+
+            def read_range(uri, off, ln):
+                with open(uri, "rb") as f:
+                    f.seek(off)
+                    return f.read(ln)
+
+            self.cache = HeaderByteCache(read_range)
+            self.read = lambda off, ln: self.cache.read(path, off, ln)
+            self.info = parse_ifds(self.read)[0]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from ..sources.tiff import read_window
+
+            ids = b.column("id").to_numpy(zero_copy_only=False)
+            sums = np.empty(len(ids), dtype=np.int64)
+            for i, wid in enumerate(ids):  # <=16 window requests total
+                wx, wy = int(wid) % per_side, int(wid) // per_side
+                win = read_window(self.read, self.info,
+                                  wx * TIFF_WIN, wy * TIFF_WIN, TIFF_WIN, TIFF_WIN)
+                sums[i] = int(win.sum())
+            return pa.table({
+                "window_id": pa.array(ids.astype(np.int64)),
+                "win_sum": pa.array(sums),
+            })
+
+    ds = rd.range(per_side * per_side, override_num_blocks=2)
+    return ds.map_batches(WindowReader, batch_format="pyarrow",
+                          concurrency=(1, 2), num_cpus=1)
+
+
+def sql_tiff_windows() -> str:
+    n, w, ps = TIFF_N, TIFF_WIN, TIFF_N // TIFF_WIN
+    return f"""
+WITH g AS (
+  SELECT cx.gx, cy.gy
+  FROM (SELECT unnest(generate_series(0, {n - 1})) AS gx) cx,
+       (SELECT unnest(generate_series(0, {n - 1})) AS gy) cy)
+SELECT CAST((gy // {w}) * {ps} + gx // {w} AS BIGINT) AS window_id,
+       CAST(sum((gx * 7 + gy * 13) % 100) AS BIGINT) AS win_sum
+FROM g GROUP BY 1"""
+
+
 def q_getmap_requests(sf_dir: str):
     """The WMS GetMap lifecycle (SURVEY.md §3.1) over a batch of synthetic
     requests: catalog query -> var binding -> MAML eval -> histogram color
@@ -1918,6 +1996,7 @@ QUERIES: dict[str, tuple] = {
     "media_payload_features": (q_media_payload_features, None),
     # serving lifecycle (GetMap batch)
     "getmap_requests": (q_getmap_requests, None),
+    "tiff_windows": (q_tiff_windows, sql_tiff_windows),
     # scale machinery
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "checkpointed_write": (q_checkpointed_write, None),

@@ -30,11 +30,13 @@ def synth_requests(n: int) -> pa.Table:
     """Deterministic GetMap-style requests: (request_id, layer, tile x/y,
     style params)."""
     rid = np.arange(n, dtype=np.int64)
+    fmts = np.array(["png", "jpg", "tif"], dtype=object)
     return pa.table({
         "request_id": pa.array(rid),
         "layer": pa.array(np.where(rid % 2 == 0, "ndvi", "red").astype(object), type=pa.string()),
         "x": pa.array((rid * 13) % 16),
         "y": pa.array((rid * 29) % 16),
+        "format": pa.array(fmts[rid % 3], type=pa.string()),
     })
 
 
@@ -59,14 +61,16 @@ def getmap_batch(batch: pa.Table) -> pa.Table:
     """One fused stage = steps 2-7 of the GetMap trace for every request in
     the batch: catalog query, var binding, MAML eval, histogram-driven color
     ramp, render, PNG encode."""
-    out_rid, out_len, out_crc = [], [], []
+    out_rid, out_fmt, out_len, out_crc = [], [], [], []
     rids = batch.column("request_id").to_numpy(zero_copy_only=False)
     layers = batch.column("layer").to_pylist()
     xs = batch.column("x").to_numpy(zero_copy_only=False)
     ys = batch.column("y").to_numpy(zero_copy_only=False)
+    fmts = (batch.column("format").to_pylist() if "format" in batch.schema.names
+            else ["png"] * len(batch))
     ramp = np.array([render.rgba(0, 0, 128), render.rgba(0, 128, 0),
                      render.rgba(255, 255, 0), render.rgba(255, 0, 0)], dtype=np.uint32)
-    for rid, layer, x, y in zip(rids, layers, xs, ys):
+    for rid, layer, x, y, fmt in zip(rids, layers, xs, ys, fmts):
         # step 2: catalog query (WmsModel.getLayer)
         hit = eval_catalog(with_name(layer), _CATALOG)
         if hit.empty:
@@ -80,17 +84,19 @@ def getmap_batch(batch: pa.Table) -> pa.Table:
         h = FixedHistogram(-1.0, 256.0, 64).add(tile.to_float().ravel())
         vmin = h.bin_edge(int(np.argmax(h.counts > 0)))
         vmax = h.bin_edge(h.nbins - int(np.argmax(h.counts[::-1] > 0)))
-        # step 6: render + encode
+        # step 6: render + format-dispatched encode (png/jpg/tif, S7)
         colors = render.color_ramp_render(tile.values.ravel(), vmin, vmax, ramp,
                                           nodata_mask=tile.mask.ravel())
-        png = render.encode_png_rgba(colors, TILE, TILE)
+        img = render.encode_image(colors, TILE, TILE, fmt=fmt)
         out_rid.append(int(rid))
-        out_len.append(len(png))
-        out_crc.append(zlib.crc32(png) & 0x7FFFFFFF)
+        out_fmt.append(fmt)
+        out_len.append(len(img))
+        out_crc.append(zlib.crc32(img) & 0x7FFFFFFF)
     return pa.table({
         "request_id": pa.array(out_rid, type=pa.int64()),
-        "png_len": pa.array(out_len, type=pa.int64()),
-        "png_crc": pa.array(out_crc, type=pa.int64()),
+        "format": pa.array(out_fmt, type=pa.string()),
+        "img_len": pa.array(out_len, type=pa.int64()),
+        "img_crc": pa.array(out_crc, type=pa.int64()),
     })
 
 

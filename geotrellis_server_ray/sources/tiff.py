@@ -1,0 +1,358 @@
+"""Pure-Python baseline TIFF/GeoTIFF reader + writer (SURVEY.md §2.3 S1/S6/S7).
+
+Reader: classic TIFF (II and MM byte orders), striped or tiled layouts,
+uncompressed or Deflate (zlib) compression with the horizontal-differencing
+predictor, uint/int 8/16/32 and float 32/64 samples, chunky planar config,
+multiple IFDs (overviews). Windowed reads fetch ONLY the strips/tiles that
+intersect the requested window through a ``read(offset, length)`` callable,
+so the header-byte cache (state/caches.HeaderByteCache) serves IFD walks and
+small windows from its cached prefix — the engine analog of the reference's
+windowed COG reads (core/.../vlm/geotiff/GeoTiffNode.scala:49-93) over a
+CacheRangeReader (core/.../util/CacheRangeReader.scala:22-34).
+
+Writer: striped TIFF (optionally deflate-compressed) with the three baseline
+GeoTIFF tags (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory
+34735) — the S7 GeoTiff encode path (ogc/.../Render.scala:28-75 dispatches
+to geotiff bytes the same way).
+
+No GDAL anywhere; this is the engine's own baseline format support.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# tag ids
+_W, _H = 256, 257
+_BITS, _COMP, _PHOTO = 258, 259, 262
+_STRIP_OFF, _SPP, _RPS, _STRIP_CNT = 273, 277, 278, 279
+_PREDICTOR = 317
+_TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
+_SFORMAT = 339
+_MODEL_SCALE, _MODEL_TIE, _GEOKEYS = 33550, 33922, 34735
+_GDAL_NODATA = 42113
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+@dataclass
+class TiffInfo:
+    """Parsed metadata for one IFD (one resolution level)."""
+    endian: str
+    width: int
+    height: int
+    bits: int
+    sample_format: int  # 1 uint, 2 int, 3 float
+    samples: int
+    compression: int    # 1 none, 8 / 32946 deflate
+    predictor: int
+    tiled: bool
+    tile_w: int
+    tile_h: int
+    offsets: list = field(default_factory=list)
+    counts: list = field(default_factory=list)
+    pixel_scale: tuple | None = None   # (sx, sy)
+    tiepoint: tuple | None = None      # (px, py, gx, gy) raster px -> geo
+    geokeys: tuple | None = None
+    nodata: float | None = None
+
+    @property
+    def dtype(self) -> np.dtype:
+        kind = {1: "u", 2: "i", 3: "f"}[self.sample_format]
+        dt = np.dtype(f"{kind}{self.bits // 8}")
+        return dt.newbyteorder(self.endian)
+
+    def geo_extent(self) -> tuple[float, float, float, float] | None:
+        """(xmin, ymin, xmax, ymax) from scale+tiepoint (north-up rasters)."""
+        if self.pixel_scale is None or self.tiepoint is None:
+            return None
+        sx, sy = self.pixel_scale
+        px, py, gx, gy = self.tiepoint
+        xmin = gx - px * sx
+        ymax = gy + py * sy
+        return (xmin, ymax - self.height * sy, xmin + self.width * sx, ymax)
+
+
+def _unpack(endian: str, fmt: str, data: bytes):
+    return struct.unpack(endian + fmt, data)
+
+
+def parse_ifds(read) -> list[TiffInfo]:
+    """Walk every IFD via the ``read(offset, length) -> bytes`` callable.
+    Reads only the bytes it needs (header, IFD entries, out-of-line values)."""
+    head = read(0, 8)
+    if head[:2] == b"II":
+        endian = "<"
+    elif head[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    magic, = _unpack(endian, "H", head[2:4])
+    if magic != 42:
+        raise ValueError(f"not a classic TIFF (magic {magic}); BigTIFF unsupported")
+    next_ifd, = _unpack(endian, "I", head[4:8])
+    infos = []
+    while next_ifd:
+        n_entries, = _unpack(endian, "H", read(next_ifd, 2))
+        raw = read(next_ifd + 2, n_entries * 12 + 4)
+        tags: dict[int, tuple] = {}
+        for i in range(n_entries):
+            ent = raw[i * 12 : i * 12 + 12]
+            tag, typ = _unpack(endian, "HH", ent[0:4])
+            count, = _unpack(endian, "I", ent[4:8])
+            size = _TYPE_SIZE.get(typ, 1) * count
+            if size <= 4:
+                val_bytes = ent[8 : 8 + size]
+            else:
+                off, = _unpack(endian, "I", ent[8:12])
+                val_bytes = read(off, size)
+            tags[tag] = (typ, count, val_bytes)
+        next_ifd, = _unpack(endian, "I", raw[n_entries * 12 :])
+        infos.append(_info_from_tags(endian, tags))
+    return infos
+
+
+def _tag_values(endian: str, entry: tuple):
+    typ, count, vb = entry
+    if typ == 2:  # ASCII
+        return vb.rstrip(b"\x00").decode("ascii", "replace")
+    if typ in (5, 10):  # RATIONAL
+        fmt = "II" if typ == 5 else "ii"
+        out = []
+        for i in range(count):
+            num, den = _unpack(endian, fmt, vb[i * 8 : i * 8 + 8])
+            out.append(num / den if den else float("nan"))
+        return out
+    fmt = _TYPE_FMT[typ]
+    return list(_unpack(endian, fmt * count, vb))
+
+
+def _info_from_tags(endian: str, tags: dict) -> TiffInfo:
+    def get(tag, default=None):
+        if tag not in tags:
+            return default
+        return _tag_values(endian, tags[tag])
+
+    width = get(_W)[0]
+    height = get(_H)[0]
+    samples = (get(_SPP) or [1])[0]
+    bits = (get(_BITS) or [8])[0]
+    sfmt = (get(_SFORMAT) or [1])[0]
+    comp = (get(_COMP) or [1])[0]
+    pred = (get(_PREDICTOR) or [1])[0]
+    tiled = _TILE_OFF in tags
+    if tiled:
+        tw, th = get(_TILE_W)[0], get(_TILE_H)[0]
+        offsets, counts = get(_TILE_OFF), get(_TILE_CNT)
+    else:
+        tw = width
+        th = (get(_RPS) or [height])[0]
+        offsets, counts = get(_STRIP_OFF), get(_STRIP_CNT)
+    scale = get(_MODEL_SCALE)
+    tie = get(_MODEL_TIE)
+    nod = get(_GDAL_NODATA)
+    return TiffInfo(
+        endian=endian, width=width, height=height, bits=bits, sample_format=sfmt,
+        samples=samples, compression=comp, predictor=pred, tiled=tiled,
+        tile_w=tw, tile_h=th, offsets=offsets, counts=counts,
+        pixel_scale=(scale[0], scale[1]) if scale else None,
+        tiepoint=(tie[0], tie[1], tie[3], tie[4]) if tie and len(tie) >= 5 else None,
+        geokeys=tuple(get(_GEOKEYS) or ()) or None,
+        nodata=float(nod) if nod not in (None, "") else None,
+    )
+
+
+def _decode_block(info: TiffInfo, data: bytes, bw: int, bh: int) -> np.ndarray:
+    if info.compression in (8, 32946):
+        data = zlib.decompress(data)
+    elif info.compression != 1:
+        raise ValueError(f"unsupported TIFF compression {info.compression}")
+    arr = np.frombuffer(data, dtype=info.dtype)
+    want = bw * bh * info.samples
+    if len(arr) < want:  # short final strip: pad (writers may truncate)
+        arr = np.concatenate([arr, np.zeros(want - len(arr), dtype=arr.dtype)])
+    arr = arr[:want].reshape(bh, bw, info.samples)
+    if info.predictor == 2:
+        arr = np.cumsum(arr.astype(np.int64), axis=1).astype(info.dtype)
+    return arr
+
+
+def read_window(read, info: TiffInfo, col0: int, row0: int, w: int, h: int) -> np.ndarray:
+    """Read a (h, w, samples) window; fetches ONLY intersecting blocks."""
+    col0, row0 = max(0, col0), max(0, row0)
+    w = min(w, info.width - col0)
+    h = min(h, info.height - row0)
+    out = np.zeros((h, w, info.samples), dtype=info.dtype.newbyteorder("="))
+    if info.tiled:
+        across = (info.width + info.tile_w - 1) // info.tile_w
+        b0x, b1x = col0 // info.tile_w, (col0 + w - 1) // info.tile_w
+        b0y, b1y = row0 // info.tile_h, (row0 + h - 1) // info.tile_h
+        for by in range(b0y, b1y + 1):
+            for bx in range(b0x, b1x + 1):
+                bi = by * across + bx
+                block = _decode_block(info, read(info.offsets[bi], info.counts[bi]),
+                                      info.tile_w, info.tile_h)
+                _paste(out, block, bx * info.tile_w, by * info.tile_h, col0, row0)
+    else:
+        b0, b1 = row0 // info.tile_h, (row0 + h - 1) // info.tile_h
+        for bi in range(b0, b1 + 1):
+            bh = min(info.tile_h, info.height - bi * info.tile_h)
+            block = _decode_block(info, read(info.offsets[bi], info.counts[bi]),
+                                  info.width, bh)
+            _paste(out, block, 0, bi * info.tile_h, col0, row0)
+    return out
+
+
+def _paste(out: np.ndarray, block: np.ndarray, bx0: int, by0: int, col0: int, row0: int):
+    h, w = out.shape[:2]
+    src_x0 = max(0, col0 - bx0)
+    src_y0 = max(0, row0 - by0)
+    dst_x0 = max(0, bx0 - col0)
+    dst_y0 = max(0, by0 - row0)
+    cw = min(block.shape[1] - src_x0, w - dst_x0)
+    ch = min(block.shape[0] - src_y0, h - dst_y0)
+    if cw > 0 and ch > 0:
+        out[dst_y0 : dst_y0 + ch, dst_x0 : dst_x0 + cw] = (
+            block[src_y0 : src_y0 + ch, src_x0 : src_x0 + cw]
+        )
+
+
+def read_extent_window(read, info: TiffInfo, xmin: float, ymin: float,
+                       xmax: float, ymax: float) -> np.ndarray:
+    """Windowed read by GEO extent (the reference's rs.read(extent) shape,
+    GeoTiffNode.scala:88-93): map the extent through the geotransform to a
+    grid window (row 0 = north edge) and read only that."""
+    ext = info.geo_extent()
+    if ext is None:
+        raise ValueError("TIFF has no geotransform tags")
+    gx0, gy0, gx1, gy1 = ext
+    sx = (gx1 - gx0) / info.width
+    sy = (gy1 - gy0) / info.height
+    col0 = int(round((xmin - gx0) / sx))
+    col1 = int(round((xmax - gx0) / sx))
+    row0 = int(round((gy1 - ymax) / sy))
+    row1 = int(round((gy1 - ymin) / sy))
+    return read_window(read, info, col0, row0, col1 - col0, row1 - row0)
+
+
+def file_range_reader(path: str):
+    """Plain file-backed ``read(offset, length)`` (the Azure/S3 range-read
+    stand-in; see state/caches.HeaderByteCache for the cached wrapper)."""
+    def read(offset: int, length: int) -> bytes:
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    return read
+
+
+# ------------------------------------------------------------------ writer
+
+_SFMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
+
+
+def write_tiff(array: np.ndarray, compression: str = "none",
+               pixel_scale: tuple | None = None, tiepoint: tuple | None = None,
+               epsg: int | None = None, rows_per_strip: int | None = None,
+               nodata: float | None = None) -> bytes:
+    """Encode a (h, w) or (h, w, samples) array as a striped little-endian
+    TIFF; with geo args it is a baseline GeoTIFF. Returns the bytes."""
+    if array.ndim == 2:
+        array = array[:, :, None]
+    h, w, s = array.shape
+    dt = array.dtype
+    sfmt = _SFMT_OF_KIND[dt.kind]
+    bits = dt.itemsize * 8
+    rps = rows_per_strip or h
+    arr = np.ascontiguousarray(array, dtype=dt.newbyteorder("<"))
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = arr[r0 : r0 + rps].tobytes()
+        strips.append(zlib.compress(raw) if compression == "deflate" else raw)
+
+    entries: list[tuple[int, int, list]] = [
+        (_W, 4, [w]), (_H, 4, [h]), (_BITS, 3, [bits] * s),
+        (_COMP, 3, [8 if compression == "deflate" else 1]),
+        (_PHOTO, 3, [1]), (_SPP, 3, [s]), (_RPS, 3, [min(rps, h)]),
+        (_SFORMAT, 3, [sfmt] * s),
+    ]
+    if pixel_scale is not None:
+        entries.append((_MODEL_SCALE, 12, [pixel_scale[0], pixel_scale[1], 0.0]))
+    if tiepoint is not None:
+        px, py, gx, gy = tiepoint
+        entries.append((_MODEL_TIE, 12, [px, py, 0.0, gx, gy, 0.0]))
+    if epsg is not None:
+        model = 2 if epsg == 4326 else 1
+        keys = [1, 1, 0, 3, 1024, 0, 1, model, 1025, 0, 1, 1,
+                (2048 if model == 2 else 3072), 0, 1, epsg]
+        keys[3] = 3
+        entries.append((_GEOKEYS, 3, keys))
+    if nodata is not None:
+        txt = (repr(float(nodata)) + "\x00").encode()
+        entries.append((_GDAL_NODATA, 2, list(txt)))
+
+    # layout: header(8) | IFD | out-of-line values | strip data
+    n_with_strips = len(entries) + 2
+    ifd_size = 2 + n_with_strips * 12 + 4
+    cursor = 8 + ifd_size
+
+    def pack_values(typ, vals):
+        if typ == 2:
+            return bytes(vals)
+        if typ == 12:
+            return struct.pack("<" + "d" * len(vals), *[float(v) for v in vals])
+        fmt = _TYPE_FMT[typ]
+        return struct.pack("<" + fmt * len(vals), *vals)
+
+    out_of_line = bytearray()
+    packed = []
+    for tag, typ, vals in entries:
+        vb = pack_values(typ, vals)
+        count = len(vals)
+        if len(vb) <= 4:
+            packed.append((tag, typ, count, vb.ljust(4, b"\x00"), None))
+        else:
+            packed.append((tag, typ, count, None, cursor + len(out_of_line)))
+            out_of_line += vb
+
+    # strip offsets/counts (LONG each)
+    n_strips = len(strips)
+    counts_vals = [len(b) for b in strips]
+    strip_data_start = cursor + len(out_of_line)
+    if n_strips == 1:
+        off_field = struct.pack("<I", strip_data_start)
+        cnt_field = struct.pack("<I", counts_vals[0])
+        packed.append((_STRIP_OFF, 4, 1, off_field, None))
+        packed.append((_STRIP_CNT, 4, 1, cnt_field, None))
+    else:
+        off_pos = strip_data_start
+        # out-of-line arrays come before strip data; recompute layout
+        arrays_size = n_strips * 4 * 2
+        data_start = strip_data_start + arrays_size
+        offs = []
+        p = data_start
+        for c in counts_vals:
+            offs.append(p)
+            p += c
+        packed.append((_STRIP_OFF, 4, n_strips, None, off_pos))
+        packed.append((_STRIP_CNT, 4, n_strips, None, off_pos + n_strips * 4))
+        out_of_line += struct.pack("<" + "I" * n_strips, *offs)
+        out_of_line += struct.pack("<" + "I" * n_strips, *counts_vals)
+
+    packed.sort(key=lambda e: e[0])
+    buf = bytearray()
+    buf += b"II" + struct.pack("<HI", 42, 8)
+    buf += struct.pack("<H", n_with_strips)
+    for tag, typ, count, inline, off in packed:
+        buf += struct.pack("<HHI", tag, typ, count)
+        buf += inline if inline is not None else struct.pack("<I", off)
+    buf += struct.pack("<I", 0)  # no next IFD
+    buf += out_of_line
+    for bts in strips:
+        buf += bts
+    return bytes(buf)

@@ -176,7 +176,21 @@ def test_getmap_lifecycle_batch(ray_session):
     reqs = synth_requests(32)
     out = getmap_batch(reqs)
     assert out.num_rows == 32
-    assert (np.asarray(out.column("png_len")) > 60).all()
+    assert (np.asarray(out.column("img_len")) > 60).all()
+    assert set(out.column("format").to_pylist()) == {"png", "jpg", "tif"}
+    # each format's bytes decode with the matching validator
+    from geotrellis_server_ray.functions.jpeg import decode_jpeg
+    from geotrellis_server_ray.functions.render import encode_image
+    from geotrellis_server_ray.sources.tiff import parse_ifds
+    colors = np.full(64, np.uint32(0xFF0000FF), dtype=np.uint32)
+    png = encode_image(colors, 8, 8, "png")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    jpg = encode_image(colors, 8, 8, "jpg")
+    dec = decode_jpeg(jpg)
+    assert dec.shape == (8, 8, 3) and abs(int(dec[..., 0].mean()) - 255) <= 6
+    tif = encode_image(colors, 8, 8, "tif")
+    info, = parse_ifds(lambda off, ln: tif[off : off + ln])
+    assert (info.width, info.height, info.samples) == (8, 8, 4)
     # unknown layer -> dropped (GetMapBadRequest path)
     bad = pa.table({
         "request_id": pa.array([0], type=pa.int64()),

@@ -1,0 +1,105 @@
+"""Pure-Python TIFF reader/writer (S1/S6/S7): round-trips, windowed reads,
+header-cache integration, and the reference 8x8.tif golden."""
+
+import os
+
+import numpy as np
+import pytest
+
+from geotrellis_server_ray.sources.tiff import (
+    file_range_reader, parse_ifds, read_extent_window, read_window, write_tiff,
+)
+from geotrellis_server_ray.state.caches import HeaderByteCache
+
+REF_8X8 = "/root/reference/core/src/test/resources/8x8.tif"
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int32, np.float32, np.float64])
+@pytest.mark.parametrize("compression", ["none", "deflate"])
+def test_roundtrip_dtypes(tmp_path, dtype, compression):
+    rng = np.random.default_rng(3)
+    arr = (rng.uniform(0, 100, (37, 23)) if np.dtype(dtype).kind == "f"
+           else rng.integers(0, 100, (37, 23))).astype(dtype)
+    raw = write_tiff(arr, compression=compression)
+    p = tmp_path / "t.tif"
+    p.write_bytes(raw)
+    rd = file_range_reader(str(p))
+    info, = parse_ifds(rd)
+    assert (info.width, info.height) == (23, 37)
+    got = read_window(rd, info, 0, 0, 23, 37)[:, :, 0]
+    assert np.array_equal(got, arr)
+
+
+def test_multistrip_windowed_read(tmp_path):
+    arr = np.arange(64 * 48, dtype=np.uint16).reshape(64, 48)
+    raw = write_tiff(arr, compression="deflate", rows_per_strip=7)
+    p = tmp_path / "s.tif"
+    p.write_bytes(raw)
+    rd = file_range_reader(str(p))
+    info, = parse_ifds(rd)
+    assert len(info.offsets) == (64 + 6) // 7
+    for (c0, r0, w, h) in [(0, 0, 48, 64), (5, 9, 13, 21), (40, 60, 8, 4), (0, 63, 48, 1)]:
+        got = read_window(rd, info, c0, r0, w, h)[:, :, 0]
+        assert np.array_equal(got, arr[r0 : r0 + h, c0 : c0 + w]), (c0, r0, w, h)
+
+
+def test_multisample_roundtrip(tmp_path):
+    arr = np.arange(16 * 8 * 3, dtype=np.uint8).reshape(16, 8, 3)
+    p = tmp_path / "rgb.tif"
+    p.write_bytes(write_tiff(arr))
+    rd = file_range_reader(str(p))
+    info, = parse_ifds(rd)
+    assert info.samples == 3
+    got = read_window(rd, info, 2, 3, 4, 5)
+    assert np.array_equal(got, arr[3:8, 2:6])
+
+
+def test_geotiff_tags_and_extent_window(tmp_path):
+    arr = np.arange(100, dtype=np.int32).reshape(10, 10)
+    raw = write_tiff(arr, pixel_scale=(1.0, 1.0), tiepoint=(0.0, 0.0, 100.0, 210.0),
+                     epsg=3857, nodata=-1.0)
+    p = tmp_path / "g.tif"
+    p.write_bytes(raw)
+    rd = file_range_reader(str(p))
+    info, = parse_ifds(rd)
+    assert info.geo_extent() == (100.0, 200.0, 110.0, 210.0)
+    assert info.nodata == -1.0
+    assert info.geokeys is not None
+    got = read_extent_window(rd, info, 100.0, 201.0, 110.0, 210.0)[:, :, 0]
+    assert got.sum() == arr[:9].sum()  # bottom row excised
+
+
+def test_header_cache_serves_ifd_and_small_windows(tmp_path):
+    arr = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+    p = tmp_path / "c.tif"
+    p.write_bytes(write_tiff(arr, rows_per_strip=8))
+    calls = []
+
+    def counting_read(uri, offset, length):
+        calls.append((offset, length))
+        with open(uri, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    cache = HeaderByteCache(counting_read, prefix=256 * 1024)
+    rd = lambda off, ln: cache.read(str(p), off, ln)
+    info, = parse_ifds(rd)
+    n_after_parse = len(calls)
+    assert n_after_parse == 1  # one prefix fetch served the whole IFD walk
+    got = read_window(rd, info, 0, 0, 32, 32)[:, :, 0]
+    assert np.array_equal(got, arr)
+    assert len(calls) == 1  # small file: windows hit the cached prefix too
+
+
+@pytest.mark.skipif(not os.path.exists(REF_8X8), reason="reference fixture absent")
+def test_reference_8x8_golden_sum_1596():
+    """LayerExtentTest.scala:29-37 replayed on real TIFF bytes: reading
+    Extent(0, 1, 8, 8) excises the bottom row; band sum == 1596."""
+    rd = file_range_reader(REF_8X8)
+    infos = parse_ifds(rd)
+    base = infos[0]
+    assert (base.width, base.height) == (8, 8)
+    win = read_extent_window(rd, base, 0, 1, 8, 8)
+    assert win.sum() == 1596
+    full = read_window(rd, base, 0, 0, 8, 8)
+    assert full.sum() == 2080  # values 1..64
