@@ -1,7 +1,12 @@
-"""Resample kernels (M2): the methods the reference's codec enumerates
-(core/.../vlm/RasterSourceUtils.scala:31-59 — nearest-neighbor, bilinear,
-plus the aggregating methods average/sum/min/max/mode used for overviews).
-Vectorized over (H, W) or batched (N, H, W) tiles."""
+"""Resample kernels (M2): the full 11-method surface the reference's codec
+enumerates (core/.../vlm/RasterSourceUtils.scala:31-59):
+
+  interpolating — nearest-neighbor, bilinear, cubic-convolution (Keys
+  a=-0.5), cubic-spline (B-spline), lanczos (a=3);
+  aggregating (overview builds) — average, mode, median, max, min, sum.
+
+Vectorized over (H, W) or batched (N, H, W) tiles. The separable kernel
+resamplers share one weights-precompute + two tensordot passes."""
 
 from __future__ import annotations
 
@@ -36,6 +41,77 @@ def bilinear(tile: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return tl * (1 - wy) * (1 - wx) + tr * (1 - wy) * wx + bl * wy * (1 - wx) + br * wy * wx
 
 
+def _separable_resample(tile: np.ndarray, out_h: int, out_w: int, kernel,
+                        support: int) -> np.ndarray:
+    """Generic separable kernel resample: per-axis tap weights from
+    ``kernel(offset)`` over ``2*support`` taps, edge-clamped, normalized to
+    sum 1 (so constants are reproduced exactly), applied as two vectorized
+    gather+weight passes."""
+    t = np.asarray(tile, dtype=np.float64)
+    h, w = t.shape[-2:]
+    taps = np.arange(1 - support, support + 1, dtype=np.int64)  # e.g. -1..2
+
+    def axis_weights(out_n: int, in_n: int):
+        f = (np.arange(out_n) + 0.5) * in_n / out_n - 0.5
+        base = np.floor(f).astype(np.int64)
+        idx = np.clip(base[:, None] + taps[None, :], 0, in_n - 1)
+        wts = kernel(f[:, None] - (base[:, None] + taps[None, :]))
+        wts = wts / wts.sum(axis=1, keepdims=True)
+        return idx, wts
+
+    yi, wy = axis_weights(out_h, h)
+    xi, wx = axis_weights(out_w, w)
+    # rows pass: (..., out_h, w)
+    rows = (t[..., yi, :] * wy[..., :, :, None]).sum(axis=-2)
+    # cols pass: (..., out_h, out_w)
+    return (rows[..., :, xi] * wx[None, :, :]).sum(axis=-1)
+
+
+def _keys_cubic(a: float = -0.5):
+    def k(x: np.ndarray) -> np.ndarray:
+        ax = np.abs(x)
+        return np.where(
+            ax <= 1.0, (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0,
+            np.where(ax < 2.0, a * ax**3 - 5.0 * a * ax**2 + 8.0 * a * ax - 4.0 * a, 0.0),
+        )
+    return k
+
+
+def _bspline_cubic(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(x)
+    return np.where(
+        ax < 1.0, (3.0 * ax**3 - 6.0 * ax**2 + 4.0) / 6.0,
+        np.where(ax < 2.0, (2.0 - ax) ** 3 / 6.0, 0.0),
+    )
+
+
+def _lanczos(a: int = 3):
+    def k(x: np.ndarray) -> np.ndarray:
+        ax = np.abs(x)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            v = np.sinc(x) * np.sinc(x / a)
+        return np.where(ax < a, v, 0.0)
+    return k
+
+
+def cubic_convolution(tile: np.ndarray, out_h: int, out_w: int, a: float = -0.5) -> np.ndarray:
+    """Keys (1981) cubic convolution — the classic GIS 'cubic'. Interpolates
+    through the samples (identity at integer offsets) and reproduces linear
+    ramps exactly."""
+    return _separable_resample(tile, out_h, out_w, _keys_cubic(a), support=2)
+
+
+def cubic_spline(tile: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Cubic B-spline kernel (smoothing; does NOT interpolate through
+    samples — the standard 'cubic spline' resampler surface)."""
+    return _separable_resample(tile, out_h, out_w, _bspline_cubic, support=2)
+
+
+def lanczos(tile: np.ndarray, out_h: int, out_w: int, a: int = 3) -> np.ndarray:
+    """Lanczos-3 windowed sinc."""
+    return _separable_resample(tile, out_h, out_w, _lanczos(a), support=a)
+
+
 def _block_reduce(tile: np.ndarray, factor: int, fn) -> np.ndarray:
     t = np.asarray(tile, dtype=np.float64)
     h, w = t.shape[-2:]
@@ -61,6 +137,10 @@ def downsample_max(tile: np.ndarray, factor: int) -> np.ndarray:
 
 def downsample_min(tile: np.ndarray, factor: int) -> np.ndarray:
     return _block_reduce(tile, factor, np.nanmin)
+
+
+def downsample_median(tile: np.ndarray, factor: int) -> np.ndarray:
+    return _block_reduce(tile, factor, np.nanmedian)
 
 
 def downsample_mode(tile: np.ndarray, factor: int) -> np.ndarray:

@@ -1859,6 +1859,65 @@ def q_media_payload_features(sf_dir: str):
     )
 
 
+GC_N = 64  # synthetic GetCoverage request batch size
+
+
+def q_getcoverage_requests(sf_dir: str):
+    """WCS GetCoverage validated-param batch (M7/M8, §3.3): a request table
+    alternates geographic/projected CRS; parse_getcoverage_params replays the
+    WcsParams.scala:85-113 axis-swap + sign-flipped-GridOffsets + half-cell
+    buffer math per request; output = the final extent (scaled ints). The
+    oracle re-derives the same arithmetic in SQL."""
+    import ray.data as rd
+
+    from ..functions.params import parse_getcoverage_params
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("id").to_numpy(zero_copy_only=False)
+        rows = {"request_id": [], "xmin_e2": [], "ymin_e2": [], "xmax_e2": [], "ymax_e2": []}
+        for rid in ids:
+            rid = int(rid)
+            geo = rid % 2 == 0
+            x0, y0 = float((rid * 3) % 50), float((rid * 7) % 40)
+            p = {
+                "identifier": "dem",
+                "boundingbox": f"{x0},{y0},{x0 + 10.0},{y0 + 8.0},"
+                               + ("EPSG:4326" if geo else "EPSG:3857"),
+                "format": "image/png",
+                "gridoffsets": "0.5,-0.5",
+            }
+            v = parse_getcoverage_params(p)
+            if not v.ok:
+                continue
+            e = v.value["extent"]
+            rows["request_id"].append(rid)
+            rows["xmin_e2"].append(int(np.floor(e.xmin * 100)))
+            rows["ymin_e2"].append(int(np.floor(e.ymin * 100)))
+            rows["xmax_e2"].append(int(np.floor(e.xmax * 100)))
+            rows["ymax_e2"].append(int(np.floor(e.ymax * 100)))
+        return pa.table({k: pa.array(vv, type=pa.int64()) for k, vv in rows.items()})
+
+    ds = rd.range(GC_N, override_num_blocks=2)
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+def sql_getcoverage_requests() -> str:
+    # geographic: bbox (x0,y0,x1,y1) shrinks 0.25/side then swapXY;
+    # projected: expands 0.25/side (cell=(0.5,0.5))
+    return f"""
+WITH r AS (SELECT unnest(generate_series(0, {GC_N - 1})) AS rid),
+b AS (
+  SELECT rid, rid % 2 = 0 AS geo,
+         CAST((rid * 3) % 50 AS DOUBLE) AS x0, CAST((rid * 7) % 40 AS DOUBLE) AS y0
+  FROM r)
+SELECT CAST(rid AS BIGINT) AS request_id,
+  CAST(floor(CASE WHEN geo THEN (y0 + 0.25e0) ELSE (x0 - 0.25e0) END * 100) AS BIGINT) AS xmin_e2,
+  CAST(floor(CASE WHEN geo THEN (x0 + 0.25e0) ELSE (y0 - 0.25e0) END * 100) AS BIGINT) AS ymin_e2,
+  CAST(floor(CASE WHEN geo THEN (y0 + 8.0e0 - 0.25e0) ELSE (x0 + 10.0e0 + 0.25e0) END * 100) AS BIGINT) AS xmax_e2,
+  CAST(floor(CASE WHEN geo THEN (x0 + 10.0e0 - 0.25e0) ELSE (y0 + 8.0e0 + 0.25e0) END * 100) AS BIGINT) AS ymax_e2
+FROM b"""
+
+
 TIFF_N = 64          # synthetic raster side (cells)
 TIFF_WIN = 16        # window side -> 4x4 = 16 window requests
 
@@ -1997,6 +2056,7 @@ QUERIES: dict[str, tuple] = {
     # serving lifecycle (GetMap batch)
     "getmap_requests": (q_getmap_requests, None),
     "tiff_windows": (q_tiff_windows, sql_tiff_windows),
+    "getcoverage_requests": (q_getcoverage_requests, sql_getcoverage_requests),
     # scale machinery
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "checkpointed_write": (q_checkpointed_write, None),

@@ -100,3 +100,85 @@ def test_expression_store_atomic_file(tmp_path):
     s.put("a", {"symbol": "var", "name": "x"})
     # no stray tmp files after a put
     assert os.listdir(tmp_path) == ["e.jsonl"]
+
+
+# -------------------------------------------- WCS/WMTS param surface (M7/M8)
+
+
+def test_getcoverage_geographic_axis_swap_and_shrink():
+    """The WcsParams.scala:85-111 traps: geographic CRS swaps axes, grid
+    offsets flip signs per family, extent buffers by half a (negative) cell
+    -> shrink to cell centers, then swapXY."""
+    from geotrellis_server_ray.functions.params import parse_getcoverage_params
+
+    v = parse_getcoverage_params({
+        "service": "wcs", "request": "getcoverage", "version": "1.1.1",
+        "identifier": "dem", "boundingbox": "10,20,14,26,EPSG:4326",
+        "format": "image/png", "gridoffsets": "0.5,-0.5",
+    })
+    assert v.ok, v.errors
+    out = v.value
+    assert out["geographic"] is True
+    assert out["cell_size"] == (-0.5, -0.5)  # CellSize(-f, s)
+    e = out["extent"]
+    # pre-swap extent (10,20,14,26) shrinks 0.25/side -> (10.25,20.25,13.75,25.75),
+    # then swapXY -> (ymin,xmin,ymax,xmax)
+    assert (e.xmin, e.ymin, e.xmax, e.ymax) == (20.25, 10.25, 25.75, 13.75)
+
+
+def test_getcoverage_projected_no_swap_expands():
+    from geotrellis_server_ray.functions.params import parse_getcoverage_params
+
+    v = parse_getcoverage_params({
+        "identifier": "dem", "boundingbox": "100,200,140,260",
+        "gridbasecrs": "EPSG:3857", "format": "image/geotiff",
+        "gridoffsets": "0.5,-0.5",
+    })
+    assert v.ok, v.errors
+    out = v.value
+    assert out["geographic"] is False
+    assert out["cell_size"] == (0.5, 0.5)  # CellSize(f, -s)
+    e = out["extent"]
+    assert (e.xmin, e.ymin, e.xmax, e.ymax) == (99.75, 199.75, 140.25, 260.25)
+    assert out["format"] == "tif"
+
+
+def test_getcoverage_gridorigin_overrides_corner():
+    from geotrellis_server_ray.functions.params import parse_getcoverage_params
+
+    v = parse_getcoverage_params({
+        "identifier": "dem", "boundingbox": "0,0,10,10,EPSG:3857",
+        "format": "image/png", "gridorigin": "1,9",
+    })
+    assert v.ok, v.errors
+    e = v.value["extent"]
+    # projected origin = (xmin, ymax) replacement; no offsets -> no buffer
+    assert (e.xmin, e.ymin, e.xmax, e.ymax) == (1.0, 0.0, 10.0, 9.0)
+
+
+def test_getcoverage_accumulates_all_errors():
+    from geotrellis_server_ray.functions.params import parse_getcoverage_params
+
+    v = parse_getcoverage_params({"boundingbox": "1,2,3", "format": "image/bmp"})
+    assert not v.ok
+    joined = " ".join(v.errors)
+    assert "identifier" in joined
+    assert "4 or 5 components" in joined
+    assert "format" in joined
+    assert "CRS" in joined
+    assert len(v.errors) >= 4  # all reported, not just the first
+
+
+def test_gettile_parse_golden_and_errors():
+    from geotrellis_server_ray.functions.params import parse_gettile_params
+
+    v = parse_gettile_params({
+        "service": "wmts", "request": "gettile", "layer": "ndvi",
+        "style": "default", "tilematrixset": "webmerc", "tilematrix": "12",
+        "tilerow": "1205", "tilecol": "2047", "format": "image/jpeg",
+    })
+    assert v.ok, v.errors
+    assert v.value["tilerow"] == 1205 and v.value["tilecol"] == 2047
+    assert v.value["format"] == "jpg"
+    bad = parse_gettile_params({"tilerow": "x", "format": "image/png"})
+    assert not bad.ok and len(bad.errors) >= 5

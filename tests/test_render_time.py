@@ -227,3 +227,68 @@ def test_resample_nodata_and_dtype_edges():
     assert np.isnan(m[0, 0])
     batched = RS.downsample_mode(np.zeros((3, 4, 4)), 2)
     assert batched.shape == (3, 2, 2)
+
+
+# -------------------------------------------- round-2 resample methods
+
+
+def test_cubic_convolution_properties():
+    """Keys cubic: exact on constants, exact on linear ramps (the defining
+    property of the a=-0.5 kernel), identity at same-size resample."""
+    gy, gx = np.mgrid[0:16, 0:16]
+    const = np.full((16, 16), 7.25)
+    assert np.allclose(RS.cubic_convolution(const, 8, 8), 7.25)
+    ramp = (2.0 * gx + 3.0 * gy).astype(np.float64)
+    same = RS.cubic_convolution(ramp, 16, 16)
+    assert np.allclose(same, ramp)
+    up = RS.cubic_convolution(ramp, 32, 32)
+    # interior of an upsampled linear ramp is still linear with half the step
+    interior = up[4:-4, 4:-4]
+    dgx = np.diff(interior, axis=1)
+    assert np.allclose(dgx, 1.0)
+
+
+def test_cubic_spline_smooths_but_preserves_constants():
+    const = np.full((12, 12), -3.5)
+    assert np.allclose(RS.cubic_spline(const, 24, 24), -3.5)
+    spike = np.zeros((12, 12))
+    spike[6, 6] = 100.0
+    out = RS.cubic_spline(spike, 12, 12)
+    # B-spline smooths: center mass spreads, peak strictly below input
+    assert out[6, 6] < 100.0 and out[6, 6] > 0.0
+
+
+def test_lanczos_constant_and_bandlimited():
+    const = np.full((18, 18), 42.0)
+    assert np.allclose(RS.lanczos(const, 9, 9), 42.0)
+    gy, gx = np.mgrid[0:32, 0:32]
+    wave = np.sin(2 * np.pi * gx / 16.0)
+    up = RS.lanczos(wave, 32, 64)
+    # a band-limited signal upsamples with small interior error
+    want = np.sin(2 * np.pi * ((np.arange(64) + 0.5) * 0.5 - 0.5) / 16.0)
+    err = np.abs(up[16, 8:-8] - want[8:-8]).max()
+    assert err < 0.05, err
+
+
+def test_median_downsample_golden():
+    t = np.array([
+        [1.0, 9.0, 2.0, 2.0],
+        [5.0, 7.0, 2.0, 100.0],
+        [np.nan, np.nan, 0.0, 4.0],
+        [np.nan, 3.0, 8.0, 6.0],
+    ])
+    out = RS.downsample_median(t, 2)
+    assert out.shape == (2, 2)
+    assert out[0, 0] == 6.0      # median of 1,9,5,7
+    assert out[0, 1] == 2.0      # median of 2,2,2,100
+    assert out[1, 0] == 3.0      # NaNs excluded
+    assert out[1, 1] == 5.0      # median of 0,4,8,6
+
+
+def test_batched_kernel_resample_matches_single():
+    rng = np.random.default_rng(2)
+    stack = rng.uniform(0, 10, (3, 8, 8))
+    for fn in (RS.cubic_convolution, RS.cubic_spline, RS.lanczos):
+        batched = fn(stack, 4, 12)
+        singles = np.stack([fn(stack[i], 4, 12) for i in range(3)])
+        assert np.allclose(batched, singles), fn.__name__
