@@ -1859,6 +1859,143 @@ def q_media_payload_features(sf_dir: str):
     )
 
 
+STAC_BBOX = (-60.0, -30.0, 80.0, 45.0)
+STAC_T1, STAC_T2 = "2024-01-10", "2024-03-01"
+STAC_ASSET_RE = r"^B0[48]$"
+STAC_TAKE = 60  # assetLimit.take — caps the paged item stream
+
+
+def q_stac_asset_select(sf_dir: str):
+    """STAC-shaped external-catalog join (S3/J5; VERDICT round-1 missing #1):
+    a synthetic local STAC item catalog (items with bbox, datetime,
+    collection, and an assets list<struct<key, href>>) is searched with a
+    compiled query (collection + bbox intersects + datetime range =
+    SearchFiltersQuery.scala:123-146's And-intersection semantics), the item
+    stream is paged and capped (`assetLimit.take`,
+    StacOgcRepositories.scala:61-77 — modeled as a deterministic id-ordered
+    limit), and each item selects its FIRST regex-matching asset
+    (stac-example/.../stac/package.scala:46-51). Output: (item_id, asset_key,
+    href)."""
+    import pyarrow.dataset  # noqa: F401
+
+    ds = read(sf_dir, "part", ["p_partkey"])
+
+    def build_items(b: pa.Table) -> pa.Table:
+        ids = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        xmin = ((ids * 13) % 300 - 150).astype(np.float64)
+        ymin = ((ids * 7) % 120 - 60).astype(np.float64)
+        day = (ids % 90).astype("timedelta64[D]")
+        dt = np.datetime64("2024-01-01", "us") + day
+        coll = np.where(ids % 4 == 0, "c1", "c2")
+        # assets: key B0j for j in (1, 4, 8), present when (id + j) % 3 != 0
+        keys, hrefs, offs = [], [], [0]
+        for i, iid in enumerate(ids):
+            for j in (1, 4, 8):
+                if (iid + j) % 3 != 0:
+                    keys.append(f"B0{j}")
+                    hrefs.append(f"stac://items/{iid}/B0{j}.tif")
+            offs.append(len(keys))
+        assets = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(keys, pa.string()), pa.array(hrefs, pa.string())],
+                names=["key", "href"],
+            ),
+        )
+        return pa.table({
+            "item_id": pa.array(ids),
+            "collection": pa.array(coll, pa.string()),
+            "xmin": pa.array(xmin), "ymin": pa.array(ymin),
+            "xmax": pa.array(xmin + 20.0), "ymax": pa.array(ymin + 10.0),
+            "datetime": pa.array(dt, pa.timestamp("us")),
+            "assets": assets,
+        })
+
+    items = ds.map_batches(build_items, batch_format="pyarrow")
+
+    # compiled SearchFilters: And = intersection of collection/bbox/temporal
+    qx0, qy0, qx1, qy1 = STAC_BBOX
+    t1 = np.datetime64(STAC_T1, "us")
+    t2 = np.datetime64(STAC_T2, "us")
+
+    def search_filter(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b.column("collection"), pa.scalar("c1")),
+                    pc.and_(
+            pc.and_(pc.greater_equal(b.column("xmax"), pa.scalar(qx0)),
+                    pc.less_equal(b.column("xmin"), pa.scalar(qx1))),
+            pc.and_(pc.greater_equal(b.column("ymax"), pa.scalar(qy0)),
+                    pc.less_equal(b.column("ymin"), pa.scalar(qy1))),
+        ))
+        m = pc.and_(m, pc.and_(pc.greater_equal(b.column("datetime"), pa.scalar(t1)),
+                               pc.less(b.column("datetime"), pa.scalar(t2))))
+        return b.filter(m)
+
+    hits = items.map_batches(search_filter, batch_format="pyarrow")
+    # paged item stream with deterministic API order + assetLimit.take
+    paged = hits.sort("item_id").limit(STAC_TAKE)
+
+    import re
+
+    def select_assets(b: pa.Table) -> pa.Table:
+        assets = b.column("assets")
+        if isinstance(assets, pa.ChunkedArray):
+            assets = assets.combine_chunks()
+        flat = assets.flatten()
+        keys = flat.field("key")
+        n_per = pc.list_value_length(assets).to_numpy(zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(b), dtype=np.int64), n_per)
+        is_match = pc.match_substring_regex(keys, STAC_ASSET_RE).to_numpy(zero_copy_only=False)
+        # first match per item: minimum flat index among matches
+        midx = np.nonzero(is_match)[0]
+        if len(midx) == 0:
+            return pa.table({"item_id": pa.array([], I64),
+                             "asset_key": pa.array([], pa.string()),
+                             "href": pa.array([], pa.string())})
+        first = {}
+        for fi in midx:  # paged sliver: <= STAC_TAKE items x <=3 assets
+            p = int(parent[fi])
+            if p not in first:
+                first[p] = int(fi)
+        take = pa.array(sorted(first.values()), type=pa.int64())
+        rows = pa.array(sorted(first.keys()), type=pa.int64())
+        return pa.table({
+            "item_id": b.column("item_id").take(rows),
+            "asset_key": keys.take(take),
+            "href": flat.field("href").take(take),
+        })
+
+    out = paged.map_batches(select_assets, batch_format="pyarrow")
+    return _cast_cols(out, {"item_id": I64})
+
+
+def sql_stac_asset_select() -> str:
+    x0, y0, x1, y1 = STAC_BBOX
+    return f"""
+WITH items AS (
+  SELECT p_partkey AS item_id,
+         CASE WHEN p_partkey % 4 = 0 THEN 'c1' ELSE 'c2' END AS collection,
+         CAST((p_partkey * 13) % 300 - 150 AS DOUBLE) AS xmin,
+         CAST((p_partkey * 7) % 120 - 60 AS DOUBLE) AS ymin,
+         TIMESTAMP '2024-01-01' + (p_partkey % 90) * INTERVAL 1 DAY AS dt
+  FROM part),
+filtered AS (
+  SELECT item_id FROM items
+  WHERE collection = 'c1'
+    AND xmin + 20.0 >= {flit(x0)} AND xmin <= {flit(x1)}
+    AND ymin + 10.0 >= {flit(y0)} AND ymin <= {flit(y1)}
+    AND dt >= TIMESTAMP '{STAC_T1}' AND dt < TIMESTAMP '{STAC_T2}'
+  ORDER BY item_id LIMIT {STAC_TAKE}),
+matches AS (
+  SELECT item_id, min(j) AS j
+  FROM filtered, unnest([4, 8]) AS u(j)
+  WHERE (item_id + j) % 3 <> 0
+  GROUP BY item_id)
+SELECT CAST(item_id AS BIGINT) AS item_id,
+       'B0' || j AS asset_key,
+       'stac://items/' || item_id || '/B0' || j || '.tif' AS href
+FROM matches"""
+
+
 GC_N = 64  # synthetic GetCoverage request batch size
 
 
@@ -2057,6 +2194,7 @@ QUERIES: dict[str, tuple] = {
     "getmap_requests": (q_getmap_requests, None),
     "tiff_windows": (q_tiff_windows, sql_tiff_windows),
     "getcoverage_requests": (q_getcoverage_requests, sql_getcoverage_requests),
+    "stac_asset_select": (q_stac_asset_select, sql_stac_asset_select),
     # scale machinery
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "checkpointed_write": (q_checkpointed_write, None),
