@@ -1859,6 +1859,80 @@ def q_media_payload_features(sf_dir: str):
     )
 
 
+FIE_NQ = 12  # extended feature-info query points (6 distinct, each twice)
+
+
+def q_feature_info_window(sf_dir: str):
+    """GetFeatureInfoExtended (VERDICT round-1 missing #7,
+    GetFeatureInfoExtended.scala:81-118): each query point evaluates a
+    +-10-cell buffered window around its cell (border-collision avoidance),
+    the window raster is CACHED keyed by its extent (the ST4 rasterCache),
+    and featureFromRaster samples the point's own cell per band via
+    mapToGrid. Duplicate query points share cache entries — asserted in
+    tests. Oracle: the window read must not change the sampled value, so SQL
+    computes the band formulas at the point's cell directly."""
+    import ray.data as rd
+
+    from ..functions.tiles import lonlat_to_tile
+    from ..state.caches import LruCache
+
+    zoom, buf = 8, 10
+
+    class WindowEval:
+        def __init__(self):
+            self.cache = LruCache(32)
+
+        def _window(self, key):
+            x0, y0, x1, y1 = key
+            gx, gy = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+            b0 = (gx * 13 + gy * 29) % 1000
+            b1 = (gx * 7 + gy * 3) % 500
+            return np.stack([b0, b1])  # (bands, h, w)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pid = ids % (FIE_NQ // 2)
+            qlon = ((pid * 73) % 360 - 180).astype(np.float64) + 0.5
+            qlat = ((pid * 37) % 140 - 70).astype(np.float64) + 0.5
+            x, y = lonlat_to_tile(qlon, qlat, zoom)
+            n = (1 << zoom) - 1
+            out0 = np.empty(len(ids), dtype=np.int64)
+            out1 = np.empty(len(ids), dtype=np.int64)
+            for i in range(len(ids)):  # FIE_NQ tiny window requests total
+                x0, x1 = max(0, int(x[i]) - buf), min(n, int(x[i]) + buf)
+                y0, y1 = max(0, int(y[i]) - buf), min(n, int(y[i]) + buf)
+                key = (x0, y0, x1, y1)
+                win = self.cache.get_or_compute(key, lambda k=key: self._window(k))
+                c, r = int(x[i]) - x0, int(y[i]) - y0  # mapToGrid within window
+                out0[i] = int(win[0, r, c])
+                out1[i] = int(win[1, r, c])
+            return pa.table({
+                "query_id": pa.array(ids),
+                "band0_value": pa.array(out0),
+                "band1_value": pa.array(out1),
+            })
+
+    ds = rd.range(FIE_NQ, override_num_blocks=1)
+    return ds.map_batches(WindowEval, batch_format="pyarrow", concurrency=1, num_cpus=1)
+
+
+def sql_feature_info_window() -> str:
+    xe, ye = _tile_xy_sql(8)
+    return f"""
+WITH q AS (
+  SELECT rid, rid % {FIE_NQ // 2} AS pid
+  FROM (SELECT unnest(generate_series(0, {FIE_NQ - 1})) AS rid)),
+p AS (
+  SELECT rid, CAST((pid * 73) % 360 - 180 AS DOUBLE) + 0.5e0 AS lon,
+              CAST((pid * 37) % 140 - 70 AS DOUBLE) + 0.5e0 AS lat
+  FROM q),
+c AS (SELECT rid, {xe} AS x, {ye} AS y FROM p)
+SELECT CAST(rid AS BIGINT) AS query_id,
+       CAST((x * 13 + y * 29) % 1000 AS BIGINT) AS band0_value,
+       CAST((x * 7 + y * 3) % 500 AS BIGINT) AS band1_value
+FROM c"""
+
+
 STAC_BBOX = (-60.0, -30.0, 80.0, 45.0)
 STAC_T1, STAC_T2 = "2024-01-10", "2024-03-01"
 STAC_ASSET_RE = r"^B0[48]$"
@@ -2195,6 +2269,7 @@ QUERIES: dict[str, tuple] = {
     "tiff_windows": (q_tiff_windows, sql_tiff_windows),
     "getcoverage_requests": (q_getcoverage_requests, sql_getcoverage_requests),
     "stac_asset_select": (q_stac_asset_select, sql_stac_asset_select),
+    "feature_info_window": (q_feature_info_window, sql_feature_info_window),
     # scale machinery
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "checkpointed_write": (q_checkpointed_write, None),

@@ -153,3 +153,61 @@ def test_rescale_per_tile_in_batches():
     np.testing.assert_allclose(out.values, [[0, 1], [0, 1]])
     solo = maml.evaluate(expr, {"t": maml.Tile.of(np.array([0.0, 10.0]))})
     np.testing.assert_allclose(solo.values, [0, 1])
+
+
+# --------------------------------------------------- multiband (round 2)
+
+
+def test_multiband_bandwise_eval_and_min_band_rule():
+    from geotrellis_server_ray.functions import maml
+
+    a = maml.MultibandTile.of([[1.0, 2.0], [10.0, 20.0], [100.0, 200.0]])
+    b = maml.MultibandTile.of([[1.0, 1.0], [2.0, 2.0]])  # fewer bands
+    expr = {"symbol": "+", "args": [maml.var("a"), maml.var("b")]}
+    out = maml.evaluate_multiband(expr, {"a": a, "b": b})
+    assert out.band_count == 2  # min bandCount across sources (A7)
+    assert out.values.tolist() == [[2.0, 3.0], [12.0, 22.0]]
+
+
+def test_multiband_single_band_broadcast_and_nodata_poison():
+    import numpy as np
+
+    from geotrellis_server_ray.functions import maml
+
+    mb = maml.MultibandTile.of([[1.0, np.nan], [3.0, 4.0]])
+    scalar = maml.Tile.of([10.0, 10.0])
+    expr = {"symbol": "*", "args": [maml.var("m"), maml.var("s")]}
+    out = maml.evaluate_multiband(expr, {"m": mb, "s": scalar})
+    assert out.band_count == 2
+    assert out.mask[0].tolist() == [False, True]  # NoData poisons its band only
+    assert out.mask[1].tolist() == [False, False]
+    assert out.values[1].tolist() == [30.0, 40.0]
+
+
+def test_band_selection_node():
+    from geotrellis_server_ray.functions import maml
+
+    img = maml.MultibandTile.of([[5.0], [7.0], [9.0]])
+    expr = {"symbol": "-",
+            "args": [{"symbol": "band", "index": 2, "args": [maml.var("img")]},
+                     {"symbol": "band", "index": 0, "args": [maml.var("img")]}]}
+    out = maml.evaluate_multiband(expr, {"img": img})
+    # band select pins both operands, so every output band is 9 - 5
+    assert all(v == [4.0] for v in out.values.tolist())
+
+
+def test_compose_rgb_and_render_dispatch():
+    import numpy as np
+
+    from geotrellis_server_ray.functions import maml, render
+
+    mb = maml.MultibandTile.of([
+        [[255.0, 0.0]], [[0.0, np.nan]], [[0.0, 0.0]],
+    ])
+    rgba = maml.compose_rgb(mb)
+    assert rgba.shape == (1, 2)
+    assert rgba[0, 0] == 0xFF0000FF  # opaque red
+    assert rgba[0, 1] & 0xFF == 0    # NoData band -> transparent
+    # multiband render dispatch passes composed values through
+    out = render.render_tile(rgba, style=None, band_count=3)
+    assert (out == rgba).all()
