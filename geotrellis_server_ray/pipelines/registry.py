@@ -949,42 +949,40 @@ FROM ranked WHERE rnk <= {KNN_K}"""
 # ----------------------------------------------- n-gram Jaccard similarity
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    """Character-3-gram set Jaccard for consecutive doc pairs (the n-gram
-    similarity op as a standalone oracle-backed query; it also serves as the
-    verify kernel inside the LSH pipeline in word-shingle form)."""
+    """Character-3-gram set Jaccard for consecutive doc pairs. Round-2 shape
+    (replaces the round-1 full-text broadcast + per-pair Python set kernel):
+    exact 24-bit gram sketches are computed vectorized per batch, the pair
+    stream is hash-shuffle-joined to the sketch stream on each side, and the
+    intersection counts come from one lexsort per batch (_pair_jaccard).
+    Pair GENERATION (lead over sorted ids) reads only the id column."""
     import pyarrow.parquet as pq
-    import ray
-
-    from ..stages.dedup import char_ngrams
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
-    tref = ray.put(texts)
-    ids = sorted(texts)
-
     import ray.data as rd
 
+    from ..stages.dedup import _pair_jaccard, char3gram_sketch_batch
+
+    ids = np.sort(pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+                  .column("doc_id").to_numpy(zero_copy_only=False))
     pairs = rd.from_arrow(pa.table({
-        "id_a": pa.array(ids[:-1], type=pa.int64()),
-        "id_b": pa.array(ids[1:], type=pa.int64()),
+        "id_a": pa.array(ids[:-1].astype(np.int64)),
+        "id_b": pa.array(ids[1:].astype(np.int64)),
     }))
+    sk = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        char3gram_sketch_batch, batch_format="pyarrow")
+    j1 = pairs.join(sk, join_type="inner", num_partitions=4,
+                    on=("id_a",), right_on=("doc_id",))
+    j2 = j1.join(sk, join_type="inner", num_partitions=4,
+                 on=("id_b",), right_on=("doc_id",),
+                 left_suffix="_a", right_suffix="_b")
 
-    class Jac:
-        def __init__(self):
-            self.texts = ray.get(tref)
+    def jac(b: pa.Table) -> pa.Table:
+        j = _pair_jaccard(b.column("shingles_a"), b.column("shingles_b"))
+        return pa.table({
+            "id_a": pc.cast(b.column("id_a"), I64),
+            "id_b": pc.cast(b.column("id_b"), I64),
+            "jaccard_e6": pa.array(np.floor(j * 1e6).astype(np.int64)),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            a = b.column("id_a").to_pylist()
-            c = b.column("id_b").to_pylist()
-            out = np.empty(len(a), dtype=np.int64)
-            for i, (x, y) in enumerate(zip(a, c)):
-                sa, sb = char_ngrams(self.texts[x], 3), char_ngrams(self.texts[y], 3)
-                inter = len(sa & sb)
-                union = len(sa | sb)
-                out[i] = np.int64(np.floor(inter / union * 1e6)) if union else 1_000_000
-            return b.append_column("jaccard_e6", pa.array(out))
-
-    return pairs.map_batches(Jac, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    return j2.map_batches(jac, batch_format="pyarrow")
 
 
 def sql_ngram_jaccard_pairs() -> str:

@@ -301,12 +301,16 @@ def ivf_exact_topk(ds, queries: tuple[np.ndarray, np.ndarray], dim: int, workdir
     cent = kmeans_centroids(samp, k=kcells, iters=5, seed=seed)
     kcells = len(cent)
 
-    # --- bucketed layout: one pass assigns cells, writes hive partitions
+    # --- bucketed layout: one pass assigns cells, writes hive partitions.
+    # Stateless tasks (centroids ride the task closure: kcells x dim floats)
+    # — an actor pool's ramp-up would dominate at small scale and buys
+    # nothing for a pure numpy kernel.
     shutil.rmtree(workdir, ignore_errors=True)
-    cref = ray.put(cent)
-    assigned = ds.map_batches(_CellAssign, fn_constructor_kwargs={"centroids_ref": cref},
-                              batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
-    assigned.write_parquet(workdir, partition_cols=["cell"])
+    assign = _CellAssign(cent)
+    assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
+    # few blocks in -> few files per hive partition (one file per block per
+    # cell otherwise; hundreds of tiny files would dominate the probe reads)
+    assigned.repartition(4).write_parquet(workdir, partition_cols=["cell"])
 
     def read_cells(cells: np.ndarray):
         # partition pruning at the directory level: only the probed cells'
@@ -324,15 +328,20 @@ def ivf_exact_topk(ds, queries: tuple[np.ndarray, np.ndarray], dim: int, workdir
 
         return d.map_batches(fix, batch_format="pyarrow")
 
-    # --- per-cell angular radius (min own-centroid cos), combiner groupby
-    all_cells = np.arange(kcells)
-    stats = _cell_min_cos(read_cells(all_cells))
+    # --- per-cell angular radius (min own-centroid cos): per-batch partial
+    # mins over the already-materialized assignment (<= kcells rows per
+    # block), merged on the driver — no shuffle, no re-read
+    def partial_min(b: pa.Table) -> pa.Table:
+        g = b.group_by(["cell"]).aggregate([("own_cos", "min")])
+        return g.rename_columns(["cell", "min_cos"])
 
+    stats = assigned.map_batches(partial_min, batch_format="pyarrow").take_all()
     min_cos = np.full(kcells, 1.0)
     present = np.zeros(kcells, dtype=bool)
     for row in stats:
-        min_cos[int(row["cell"])] = row["min_cos"]
-        present[int(row["cell"])] = True
+        c = int(row["cell"])
+        min_cos[c] = min(min_cos[c], row["min_cos"]) if present[c] else row["min_cos"]
+        present[c] = True
 
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     qcos = np.clip(qn @ cent.T, -1.0, 1.0)  # (Q, kcells)
@@ -349,12 +358,9 @@ def ivf_exact_topk(ds, queries: tuple[np.ndarray, np.ndarray], dim: int, workdir
     for qi in range(Q):
         mask1[probe1[qi], qi] = True
 
-    qref = ray.put((qids, qmat))
-    m1ref = ray.put(mask1)
     cells1 = np.unique(probe1.ravel())
     p1 = read_cells(cells1).map_batches(
-        _MaskedProbe, fn_constructor_kwargs={"queries_ref": qref, "mask_ref": m1ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+        _MaskedProbe((qids, qmat), mask1, k), batch_format="pyarrow",
     ).take_all()  # tiny: Q x k x blocks rows
 
     # per-query lower bound L = kth best sim seen in phase 1
@@ -373,10 +379,8 @@ def ivf_exact_topk(ds, queries: tuple[np.ndarray, np.ndarray], dim: int, workdir
     cells2 = np.nonzero(mask2.any(axis=1))[0]
     rows = list(p1)
     if len(cells2):
-        m2ref = ray.put(mask2)
         p2 = read_cells(cells2).map_batches(
-            _MaskedProbe, fn_constructor_kwargs={"queries_ref": qref, "mask_ref": m2ref, "k": k},
-            batch_format="pyarrow", concurrency=(1, 8), num_cpus=1,
+            _MaskedProbe((qids, qmat), mask2, k), batch_format="pyarrow",
         ).take_all()
         rows.extend(p2)
 
@@ -388,20 +392,6 @@ def ivf_exact_topk(ds, queries: tuple[np.ndarray, np.ndarray], dim: int, workdir
     out = out.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "rank", "vec_id"]].astype("int64")
-
-
-def _cell_min_cos(ds_cells):
-    """Distributed per-cell min of own-centroid cosine: per-batch pyarrow
-    partial min, then a tiny global Min groupby (kcells rows out)."""
-    from ray.data.aggregate import Min
-
-    def partial_min(b: pa.Table) -> pa.Table:
-        g = b.group_by(["cell"]).aggregate([("own_cos", "min")])
-        return g.rename_columns(["cell", "min_cos"])
-
-    agg = ds_cells.map_batches(partial_min, batch_format="pyarrow") \
-        .groupby("cell").aggregate(Min("min_cos", alias_name="min_cos"))
-    return agg.take_all()
 
 
 class LshBuckets:

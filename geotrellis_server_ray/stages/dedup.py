@@ -388,6 +388,64 @@ def verify_pairs(pairs_ds, docs_ds, id_col: str = "doc_id", text_col: str = "tex
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+def char3gram_sketch_batch(batch: pa.Table, id_col: str = "doc_id",
+                           text_col: str = "text") -> pa.Table:
+    """Per-doc DISTINCT character-3-gram sketch as a sorted-uint64 binary
+    blob (same layout as shingle_sketch_batch, consumed by _pair_jaccard).
+    Gram codes are EXACT 24-bit byte packs (no hash collisions possible);
+    docs shorter than 3 bytes use a disjoint high-bit namespace for their
+    whole-string gram. Fully vectorized over the flat Arrow string buffer."""
+    arr = batch.column(text_col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.large_string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    start = offs[0]
+    b = data[start : offs[-1]].astype(np.uint64)
+    o = (offs - start).astype(np.int64)
+    n_docs = len(arr)
+    lens = np.diff(o)
+    grams_list, docs_list = [], []
+    if len(b) >= 3:
+        h3 = (b[:-2] << np.uint64(16)) | (b[1:-1] << np.uint64(8)) | b[2:]
+        pos = np.arange(len(b) - 2, dtype=np.int64)
+        doc_of = np.searchsorted(o, pos, side="right") - 1
+        valid = pos + 3 <= o[doc_of + 1]  # window inside its doc
+        grams_list.append(h3[valid])
+        docs_list.append(doc_of[valid])
+    short = np.nonzero(lens < 3)[0]
+    for d in short:  # rare: only docs under 3 bytes
+        seg = b[o[d] : o[d + 1]]
+        h = np.uint64(1 << 30)
+        for x in seg:
+            h = (h << np.uint64(8)) | x
+        grams_list.append(np.array([h], dtype=np.uint64))
+        docs_list.append(np.array([d], dtype=np.int64))
+    if grams_list:
+        gr = np.concatenate(grams_list)
+        dc = np.concatenate(docs_list)
+    else:
+        gr = np.empty(0, dtype=np.uint64)
+        dc = np.empty(0, dtype=np.int64)
+    order = np.lexsort((gr, dc))
+    g2, d2 = gr[order], dc[order]
+    new = np.ones(len(g2), dtype=bool)
+    if len(g2) > 1:
+        new[1:] = (d2[1:] != d2[:-1]) | (g2[1:] != g2[:-1])
+    gv, dv = g2[new], d2[new]
+    counts = np.bincount(dv, minlength=n_docs).astype(np.int64)
+    cum = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=cum[1:])
+    flat = gv.tobytes()
+    blobs = [flat[cum[i] * 8 : cum[i + 1] * 8] for i in range(n_docs)]
+    return pa.table({
+        id_col: batch.column(id_col),
+        "shingles": pa.array(blobs, type=pa.large_binary()),
+        "n_sh": pa.array(counts),
+    })
+
+
 def char_ngrams(s: str, n: int = 5) -> set:
     if len(s) < n:
         return {s}
