@@ -1,0 +1,118 @@
+"""OGC capabilities XML writers (SURVEY.md §2.3 S8 — the last out-of-scope
+row from round 1): WMS 1.3.0 GetCapabilities, WMTS 1.0.0 GetCapabilities
+(tile matrix sets with the reference's scale-denominator formula,
+GeotrellisTileMatrix.scala:49: cellwidth / 0.00028 * metersPerUnit), and WCS
+1.1.1 coverage summaries (CoverageView.scala:41-57 shape).
+
+The reference renders these with scalaxb case classes
+(wms/CapabilitiesView.scala, wmts/CapabilitiesView.scala); here they are
+built with xml.etree from the engine's layer-catalog rows — the same
+metadata-only transform, no data plane involved. Layer rows: dicts with
+name, title, xmin/ymin/xmax/ymax (EPSG:4326 lon/lat), optional
+time_positions (ISO strings).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from .tiles import WORLD, tile_cell_size
+
+_WMS_NS = "http://www.opengis.net/wms"
+_WMTS_NS = "http://www.opengis.net/wmts/1.0"
+_OWS_NS = "http://www.opengis.net/ows/1.1"
+_WCS_NS = "http://www.opengis.net/wcs/1.1.1"
+
+# WMTS scale denominator: 0.28 mm per pixel (GeotrellisTileMatrix.scala:49)
+_METERS_PER_PIXEL = 0.00028
+
+
+def _sub(parent, tag, text=None, **attrs):
+    e = ET.SubElement(parent, tag, {k: str(v) for k, v in attrs.items()})
+    if text is not None:
+        e.text = str(text)
+    return e
+
+
+def wms_capabilities(layers: list[dict], service_title: str = "geotrellis_server_ray",
+                     service_url: str = "http://localhost/wms") -> str:
+    """WMS 1.3.0 capabilities document (wms/CapabilitiesView.scala:47-140
+    shape: Service block, Request block, nested Layer tree with CRS,
+    EX_GeographicBoundingBox, and time Dimension per temporal layer)."""
+    root = ET.Element("WMS_Capabilities", {"version": "1.3.0", "xmlns": _WMS_NS})
+    svc = _sub(root, "Service")
+    _sub(svc, "Name", "WMS")
+    _sub(svc, "Title", service_title)
+    _sub(svc, "OnlineResource", href=service_url)
+    cap = _sub(root, "Capability")
+    req = _sub(cap, "Request")
+    for op in ("GetCapabilities", "GetMap", "GetFeatureInfo"):
+        op_el = _sub(req, op)
+        for fmt in (("text/xml",) if op == "GetCapabilities"
+                    else ("image/png", "image/jpeg", "image/tiff")):
+            _sub(op_el, "Format", fmt)
+    parent = _sub(cap, "Layer")
+    _sub(parent, "Title", service_title)
+    for crs in ("EPSG:4326", "EPSG:3857"):
+        _sub(parent, "CRS", crs)
+    for lyr in layers:
+        el = _sub(parent, "Layer", queryable="1")
+        _sub(el, "Name", lyr["name"])
+        _sub(el, "Title", lyr.get("title", lyr["name"]))
+        bb = _sub(el, "EX_GeographicBoundingBox")
+        _sub(bb, "westBoundLongitude", lyr["xmin"])
+        _sub(bb, "eastBoundLongitude", lyr["xmax"])
+        _sub(bb, "southBoundLatitude", lyr["ymin"])
+        _sub(bb, "northBoundLatitude", lyr["ymax"])
+        if lyr.get("time_positions"):
+            dim = _sub(el, "Dimension", name="time", units="ISO8601",
+                       default=lyr["time_positions"][0])
+            dim.text = ",".join(lyr["time_positions"])
+    return ET.tostring(root, encoding="unicode")
+
+
+def wmts_capabilities(layers: list[dict], matrix_set: str = "webmercator",
+                      zooms: range = range(0, 20), tile_size: int = 256) -> str:
+    """WMTS 1.0.0 capabilities with one WebMercator TileMatrixSet; each
+    TileMatrix carries the reference's scale denominator (cell width /
+    0.00028, metersPerUnit = 1 for EPSG:3857) and the top-left corner of the
+    WebMercator world extent (GeotrellisTileMatrix.scala:30-55)."""
+    root = ET.Element("Capabilities", {"version": "1.0.0", "xmlns": _WMTS_NS,
+                                       "xmlns:ows": _OWS_NS})
+    contents = _sub(root, "Contents")
+    for lyr in layers:
+        el = _sub(contents, "Layer")
+        _sub(el, "ows:Title", lyr.get("title", lyr["name"]))
+        _sub(el, "ows:Identifier", lyr["name"])
+        _sub(el, "Format", "image/png")
+        link = _sub(el, "TileMatrixSetLink")
+        _sub(link, "TileMatrixSet", matrix_set)
+    tms = _sub(contents, "TileMatrixSet")
+    _sub(tms, "ows:Identifier", matrix_set)
+    _sub(tms, "ows:SupportedCRS", "urn:ogc:def:crs:EPSG::3857")
+    for z in zooms:
+        m = _sub(tms, "TileMatrix")
+        _sub(m, "ows:Identifier", z)
+        _sub(m, "ScaleDenominator", repr(tile_cell_size(z, tile_size) / _METERS_PER_PIXEL))
+        _sub(m, "TopLeftCorner", f"{-WORLD!r} {WORLD!r}")
+        _sub(m, "TileWidth", tile_size)
+        _sub(m, "TileHeight", tile_size)
+        _sub(m, "MatrixWidth", 1 << z)
+        _sub(m, "MatrixHeight", 1 << z)
+    return ET.tostring(root, encoding="unicode")
+
+
+def wcs_capabilities(layers: list[dict]) -> str:
+    """WCS 1.1.1 capabilities + coverage summaries (CoverageView.scala:41-57:
+    one CoverageSummary per source with its WGS84 bounding box)."""
+    root = ET.Element("Capabilities", {"version": "1.1.1", "xmlns": _WCS_NS,
+                                       "xmlns:ows": _OWS_NS})
+    contents = _sub(root, "Contents")
+    for lyr in layers:
+        cs = _sub(contents, "CoverageSummary")
+        _sub(cs, "ows:Title", lyr.get("title", lyr["name"]))
+        _sub(cs, "Identifier", lyr["name"])
+        bb = _sub(cs, "ows:WGS84BoundingBox")
+        _sub(bb, "ows:LowerCorner", f'{lyr["xmin"]!r} {lyr["ymin"]!r}')
+        _sub(bb, "ows:UpperCorner", f'{lyr["xmax"]!r} {lyr["ymax"]!r}')
+    return ET.tostring(root, encoding="unicode")

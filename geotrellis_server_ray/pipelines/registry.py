@@ -1671,20 +1671,38 @@ FROM events GROUP BY 1"""
 def q_rolling_value(sf_dir: str):
     """Rolling 3-event sum per user over the ordered log (ROWS 2 PRECEDING
     window) — integer-scaled values so engines agree exactly."""
-    import pandas as pd
+    from ..stages.focal import add_key_partition
 
     ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        vc = np.floor(g["value"].to_numpy() * 100.0).astype(np.int64)
-        rolled = pd.Series(vc).rolling(3, min_periods=1).sum().astype(np.int64)
-        return pd.DataFrame({
-            "user_id": g["user_id"], "event_id": g["event_id"],
-            "rolling_value_c": rolled,
+    def roll_partition(t: pa.Table) -> pa.Table:
+        # one vectorized pass over EVERY user in the hash partition: lexsort
+        # by (user, ts, id), windowed cumsum diffs, key-boundary correction
+        if len(t) == 0:
+            return pa.table({"user_id": pa.array([], I64), "event_id": pa.array([], I64),
+                             "rolling_value_c": pa.array([], I64)})
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        vc = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, e, v = uid[order], eid[order], vc[order]
+        n = len(u)
+        pos = np.arange(n, dtype=np.int64)
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = u[1:] != u[:-1]
+        key_start = pos[np.nonzero(newkey)[0]][np.cumsum(newkey) - 1]
+        csum = np.concatenate([[0], np.cumsum(v)])
+        lo = np.maximum(pos - 2, key_start)  # ROWS 2 PRECEDING clipped per key
+        rolled = csum[pos + 1] - csum[lo]
+        return pa.table({
+            "user_id": pa.array(u), "event_id": pa.array(e),
+            "rolling_value_c": pa.array(rolled.astype(np.int64)),
         })
 
-    out = ds.groupby("user_id").map_groups(roll, batch_format="pandas")
+    out = ds.map_batches(partial(add_key_partition, key_cols=["user_id"], num_partitions=32),
+                         batch_format="pyarrow") \
+        .groupby("part").map_groups(roll_partition, batch_format="pyarrow")
     return _cast_cols(out, {"user_id": I64, "event_id": I64, "rolling_value_c": I64})
 
 

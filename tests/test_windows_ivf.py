@@ -6,37 +6,47 @@ import pyarrow as pa
 import pytest
 
 
-def test_sessionize_group_gap_logic():
-    from geotrellis_server_ray.stages.windows import _sessionize_group
+def test_sessionize_partition_gap_logic():
+    from geotrellis_server_ray.stages.windows import _sessionize_partition
 
     ts = pd.to_datetime([
         "2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 11:30",
         "2024-01-01 11:40", "2024-01-02 09:00",
+        # second key interleaved: its own session numbering restarts
+        "2024-01-01 10:05", "2024-01-01 12:00",
     ]).astype("datetime64[us]")
-    g = pd.DataFrame({"user_id": 7, "ts": ts})
-    out = _sessionize_group(g, "ts", 30 * 60 * 1_000_000, "user_id")
-    assert out["sid"].tolist() == [0, 1, 2]
-    assert out["n_events"].tolist() == [2, 2, 1]
+    t = pa.table({"user_id": pa.array([7] * 5 + [9] * 2, pa.int64()),
+                  "ts": pa.array(ts)})
+    out = _sessionize_partition(t, "user_id", "ts", 30 * 60 * 1_000_000).to_pandas()
+    u7 = out[out["user_id"] == 7].sort_values("sid")
+    assert u7["sid"].tolist() == [0, 1, 2]
+    assert u7["n_events"].tolist() == [2, 2, 1]
+    u9 = out[out["user_id"] == 9].sort_values("sid")
+    assert u9["sid"].tolist() == [0, 1]
 
 
-def test_asof_group_backward_match():
-    from geotrellis_server_ray.stages.windows import _asof_group
+def test_asof_partition_backward_match():
+    from geotrellis_server_ray.stages.windows import _asof_partition
 
     ts = pd.to_datetime([
         "2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:10", "2024-01-01 09:00",
+        # key 2: exact-ts tie — click matches the max-id view at the SAME ts
+        "2024-01-01 08:00", "2024-01-01 08:00", "2024-01-01 08:00",
     ]).astype("datetime64[us]")
-    g = pd.DataFrame({
-        "user_id": 1,
-        "event_id": [100, 200, 300, 400],
-        "event_type": ["view", "click", "view", "click"],
-        "ts": ts,
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        "event_id": pa.array([100, 200, 300, 400, 10, 30, 20], pa.int64()),
+        "event_type": pa.array(["view", "click", "view", "click",
+                                "view", "view", "click"]),
+        "ts": pa.array(ts),
     })
-    out = _asof_group(g, "ts",
-                      lambda d: d["event_type"] == "click",
-                      lambda d: d["event_type"] == "view", "user_id")
+    out = _asof_partition(t, "user_id", "ts",
+                          lambda d: d["event_type"] == "click",
+                          lambda d: d["event_type"] == "view").to_pandas()
     got = dict(zip(out["left_id"], out["right_id"]))
     assert got[200] == 100          # click at 10:05 -> view at 10:00
     assert pd.isna(got[400])        # click at 09:00 has no earlier view
+    assert got[20] == 30            # equal-ts tie -> max event_id view
 
 
 def test_ivf_exact_equals_brute_force(ray_session, sf_correct):
