@@ -1610,13 +1610,40 @@ def q_top_parts_per_brand(sf_dir: str):
     ds = ds.map_batches(lambda b: b.select(["p_brand", "l_partkey", "qty_c"]), batch_format="pyarrow")
     totals = grouped_sums(ds, ["p_brand", "l_partkey"], ["qty_c"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["qty_c", "l_partkey"], ascending=[False, True]).head(3)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    # grouped top-k WITHOUT a second all-to-all: per-batch vectorized top-3
+    # per brand (lexsort + group-head mask), then one coalesce of the tiny
+    # partial stream (<= 3 x brands x blocks rows) and the same kernel again
+    def topk_batch(b: pa.Table, with_rank: bool) -> pa.Table:
+        if len(b) == 0:
+            cols = {"p_brand": pa.array([], pa.string()),
+                    "l_partkey": pa.array([], I64), "qty_c": pa.array([], I64)}
+            if with_rank:
+                cols["rank"] = pa.array([], I64)
+            return pa.table(cols)
+        brand = b.column("p_brand").to_numpy(zero_copy_only=False)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = b.column("qty_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pk, -q, brand))
+        bs = brand[order]
+        nb = np.ones(len(bs), dtype=bool)
+        nb[1:] = bs[1:] != bs[:-1]
+        starts = np.nonzero(nb)[0]
+        seg = np.cumsum(nb) - 1
+        pos = np.arange(len(bs)) - starts[seg]
+        keep = pos < 3
+        take = pa.array(order[keep], type=pa.int64())
+        out = pa.table({
+            "p_brand": b.column("p_brand").take(take),
+            "l_partkey": b.column("l_partkey").take(take),
+            "qty_c": b.column("qty_c").take(take),
+        })
+        if with_rank:
+            out = out.append_column("rank", pa.array((pos[keep] + 1).astype(np.int64)))
+        return out
 
-    out = totals.groupby("p_brand").map_groups(topk, batch_format="pandas")
+    partials = totals.map_batches(partial(topk_batch, with_rank=False), batch_format="pyarrow")
+    out = partials.repartition(1).map_batches(partial(topk_batch, with_rank=True),
+                                              batch_format="pyarrow")
     return _cast_cols(out, {"l_partkey": I64, "qty_c": I64, "rank": I64})
 
 
