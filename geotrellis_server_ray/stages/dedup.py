@@ -192,62 +192,18 @@ class MinHashLsh:
 def lsh_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     """docs -> candidate near-dup pairs via banded minhash LSH.
 
-    Scale shape: almost every (band, band_hash) bucket is a singleton, and a
-    per-group Python callback over millions of singletons is the classic
-    map_groups trap. Instead: (1) vectorized per-batch pre-count + a small
-    grouped count over partials finds the *colliding* buckets (near-dup count
-    sized, tiny); (2) only rows in colliding buckets survive a broadcast
-    semi-join filter; (3) pair generation + pair-dedup run vectorized on the
-    surviving sliver."""
+    Scale shape: ONE shuffle of the banded rows (docs x BANDS x 3 ints) —
+    hash-partitioned by bucket key — then one vectorized call per partition
+    generates every bucket's i<j pairs (singleton buckets cost one sorted-run
+    boundary each, nothing more). The round-1 two-pass design (hot-bucket
+    precount + broadcast semi-join filter before the shuffle) is unnecessary
+    once pair generation is partition-vectorized: it only reduced the rows
+    entering a per-bucket map_groups that no longer exists. If the banded
+    shuffle itself ever dominates (extremely wide corpora), the precount can
+    be reinstated in front of this as a row filter."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    from ..pipelines.relational import grouped_sums
-
-    # banded is consumed twice (bucket counts + survivor filter); materialize
-    # so the signature computation runs once. Size = docs x BANDS x 3 ints —
-    # a small fraction of the input corpus.
-    banded = ds.map_batches(MinHashLsh(id_col, text_col), batch_format="pyarrow").materialize()
-
-    def ones(b: pa.Table) -> pa.Table:
-        return b.append_column("n", pa.array(np.ones(len(b), dtype=np.int64)))
-
-    counts = grouped_sums(banded.map_batches(ones, batch_format="pyarrow"),
-                          ["band", "band_hash"], ["n"])
-    hot = counts.map_batches(
-        lambda b: b.filter(pc.greater(b.column("n"), pa.scalar(1))), batch_format="pyarrow"
-    ).to_pandas()
-    if len(hot) == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
-                                       "id_b": pa.array([], pa.int64())}))
-    # broadcast the colliding keys as one sorted uint64 array: key =
-    # (band_hash << 4) | band. The shift drops band_hash's top 4 bits, so a
-    # key collision can only ADD a spurious singleton survivor (grouping below
-    # is still by the exact (band, band_hash)) — never lose a true pair.
-    hot_key = (hot["band_hash"].to_numpy().astype(np.uint64) << np.uint64(4)) \
-        | hot["band"].to_numpy().astype(np.uint64)
-    hot_key = np.sort(hot_key)
-    import ray
-
-    href = ray.put(hot_key)
-
-    class FilterHot:
-        def __init__(self):
-            self.keys = ray.get(href)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            band = b.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
-            bh = b.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                key = (bh << np.uint64(4)) | band
-            idx = np.searchsorted(self.keys, key)
-            idx = np.clip(idx, 0, len(self.keys) - 1)
-            return b.filter(pa.array(self.keys[idx] == key))
-
-    survivors = banded.map_batches(FilterHot, batch_format="pyarrow",
-                                   concurrency=(1, 8), num_cpus=1)
+    banded = ds.map_batches(MinHashLsh(id_col, text_col), batch_format="pyarrow")
 
     # Pair generation: many buckets per Python call (hash-partition by bucket
     # key, vectorized i<j combination generation within the partition) — NOT
@@ -289,7 +245,7 @@ def lsh_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
             "id_b": pa.array(np.maximum(ia, ib).astype(np.int64)),
         })
 
-    cand = survivors.map_batches(add_part, batch_format="pyarrow") \
+    cand = banded.map_batches(add_part, batch_format="pyarrow") \
         .groupby("part").map_groups(pairs_in_partition, batch_format="pyarrow")
     # cross-bucket duplicate pairs are distincted by the CALLER (a combiner
     # groupby over the near-dup-density-sized pair stream)
