@@ -1149,6 +1149,100 @@ SELECT doc_id,
 FROM sig"""
 
 
+SIMHASH_HAM_T = 3  # 4x16-bit chunk banding is EXHAUSTIVE for hamming <= 3
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs, end-to-end and EXACT: 64-bit fingerprints ->
+    4x16-bit chunk banding (pigeonhole: any pair with hamming <= 3 shares an
+    intact chunk, so recall is guaranteed 1.0) -> within-bucket pairs with
+    the hamming verify computed INLINE from the signatures riding the bucket
+    rows (no join-back) -> combiner distinct. Oracle: brute-force O(n^2)
+    hamming join over the HUGEINT simhash replay."""
+    from ..stages.dedup import hamming64, simhash_batch
+    from ..stages.focal import add_key_partition
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def chunk_rows(b: pa.Table) -> pa.Table:
+        sig = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(b)
+        chunk = np.tile(np.arange(4, dtype=np.int64), n)
+        s_rep = np.repeat(sig, 4)
+        i_rep = np.repeat(ids, 4)
+        cval = (s_rep.astype(np.uint64) >> (chunk.astype(np.uint64) * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        return pa.table({
+            "chunk": pa.array(chunk),
+            "cval": pa.array(cval.astype(np.int64)),
+            "doc_id": pa.array(i_rep),
+            "simhash": pa.array(s_rep),
+        })
+
+    rows = sigs.map_batches(chunk_rows, batch_format="pyarrow")
+    rows = rows.map_batches(
+        partial(add_key_partition, key_cols=["chunk", "cval"], num_partitions=32),
+        batch_format="pyarrow",
+    )
+
+    def pairs_in_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], I64), "id_b": pa.array([], I64),
+                          "hamming": pa.array([], I64)})
+        n = len(t)
+        if n == 0:
+            return empty
+        ch = t.column("chunk").to_numpy(zero_copy_only=False)
+        cv = t.column("cval").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = t.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cv, ch))
+        ch, cv, ids, sig = ch[order], cv[order], ids[order], sig[order]
+        nb = np.ones(n, dtype=bool)
+        nb[1:] = (ch[1:] != ch[:-1]) | (cv[1:] != cv[:-1])
+        starts = np.nonzero(nb)[0]
+        seg = np.cumsum(nb) - 1
+        pos = np.arange(n, dtype=np.int64) - starts[seg]
+        total = int(pos.sum())
+        if total == 0:
+            return empty
+        b_rep = np.repeat(np.arange(n, dtype=np.int64), pos)
+        csum = np.concatenate([[0], np.cumsum(pos)])
+        within = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], pos)
+        a_rep = np.repeat(np.arange(n, dtype=np.int64) - pos, pos) + within
+        ham = hamming64(sig[a_rep], sig[b_rep])
+        keep = ham <= SIMHASH_HAM_T
+        ia, ib = ids[a_rep][keep], ids[b_rep][keep]
+        return pa.table({
+            "id_a": pa.array(np.minimum(ia, ib).astype(np.int64)),
+            "id_b": pa.array(np.maximum(ia, ib).astype(np.int64)),
+            "hamming": pa.array(ham[keep].astype(np.int64)),
+        })
+
+    cand = rows.groupby("part").map_groups(pairs_in_partition, batch_format="pyarrow")
+    # distinct via combiner groupby (same pair may collide in several chunks)
+    from ray.data.aggregate import Min
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")]) \
+            .rename_columns(["id_a", "id_b", "hamming"])
+
+    out = cand.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return _cast_cols(out, {"id_a": I64, "id_b": I64, "hamming": I64})
+
+
+def sql_simhash_neardup() -> str:
+    sig_sql = sql_simhash_fingerprints().strip()
+    return f"""
+WITH sigs AS ({sig_sql})
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_T}"""
+
+
 EMB_PLANT_STRIDE = 25
 EMB_PLANT_OFFSET = 10_000
 
@@ -2302,6 +2396,7 @@ QUERIES: dict[str, tuple] = {
     # near-dup family
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
     "simhash_fingerprints": (q_simhash_fingerprints, sql_simhash_fingerprints),
+    "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "lang_id": (q_lang_id, sql_lang_id),
     "doc_fingerprints": (q_doc_fingerprints, sql_doc_fingerprints),
