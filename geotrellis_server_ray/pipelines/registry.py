@@ -1149,6 +1149,46 @@ SELECT doc_id,
 FROM sig"""
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Dedup cluster assignment (the dedup-family capstone): verified
+    minhash near-dup pairs become an edge list; iterative min-label
+    propagation (Dataset joins + combiner mins per round, converging when no
+    label changes) assigns every document its connected component's minimum
+    doc_id as cluster_rep. Edges are near-dup-density sized, so rounds move
+    edges + labels, never documents. Oracle: recursive-CTE transitive
+    closure over the same SQL-recomputed edge set."""
+    from ..stages.dedup import connected_components, lsh_candidate_pairs, verify_pairs
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    cand = lsh_candidate_pairs(ds, id_col="doc_id", text_col="text")
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column("n", pa.array(np.ones(len(b), dtype=np.int64)))
+
+    distinct = grouped_sums(cand.map_batches(ones, batch_format="pyarrow"),
+                            ["id_a", "id_b"], ["n"])
+    distinct = distinct.map_batches(lambda b: b.select(["id_a", "id_b"]),
+                                    batch_format="pyarrow")
+    edges = verify_pairs(distinct, ds, id_col="doc_id", text_col="text", threshold=0.8)
+    nodes = read(sf_dir, "documents", ["doc_id"])
+    out = connected_components(edges, nodes, id_col="doc_id")
+    return _cast_cols(out, {"doc_id": I64, "cluster_rep": I64})
+
+
+def sql_dedup_clusters() -> str:
+    edges_sql = sql_minhash_dedup().strip()
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql}),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY a"""
+
+
 SIMHASH_HAM_T = 3  # 4x16-bit chunk banding is EXHAUSTIVE for hamming <= 3
 
 
@@ -2397,6 +2437,7 @@ QUERIES: dict[str, tuple] = {
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
     "simhash_fingerprints": (q_simhash_fingerprints, sql_simhash_fingerprints),
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
+    "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "lang_id": (q_lang_id, sql_lang_id),
     "doc_fingerprints": (q_doc_fingerprints, sql_doc_fingerprints),

@@ -402,6 +402,67 @@ def char3gram_sketch_batch(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
+                         max_iters: int = 64, num_partitions: int = 8):
+    """Cluster assignment over a near-dup edge list: iterative min-label
+    propagation expressed as Dataset ops (each round: labels hash-join onto
+    the symmetric edge list, per-batch partial mins, combiner groupby; stop
+    when no label changed). The edge list is near-dup-density sized, so each
+    round's join moves edges + labels, never documents. Deterministic: the
+    final label of every member is the component's minimum doc id.
+
+    Returns a Dataset of (id_col, cluster_rep)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+
+    # symmetric edges once (a->b and b->a)
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, c])),
+                         "dst": pa.array(np.concatenate([c, a]))})
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids), "label": pa.array(ids)})
+
+    labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    for _ in range(max_iters):
+        # neighbor labels: edge dst receives src's current label
+        j = edges.join(labels, join_type="inner", num_partitions=num_partitions,
+                       on=("src",), right_on=(id_col,))
+
+        def partial_min(b: pa.Table) -> pa.Table:
+            g = b.group_by(["dst"]).aggregate([("label", "min")])
+            return g.rename_columns([id_col, "cand"])
+
+        cand = j.map_batches(partial_min, batch_format="pyarrow") \
+            .groupby(id_col).aggregate(Min("cand", alias_name="cand"))
+        merged = labels.join(cand, join_type="left_outer",
+                             num_partitions=num_partitions, on=(id_col,))
+
+        def take_min(b: pa.Table) -> pa.Table:
+            lab = pc.cast(b.column("label"), pa.int64())
+            cand_c = pc.fill_null(pc.cast(b.column("cand"), pa.int64()),
+                                  pa.scalar(np.int64(2**62)))
+            new = pc.min_element_wise(lab, cand_c)
+            chg = pc.cast(pc.not_equal(new, lab), pa.int64())
+            return pa.table({id_col: b.column(id_col), "label": new, "chg": chg})
+
+        merged = merged.map_batches(take_min, batch_format="pyarrow").materialize()
+        n_changed = merged.sum("chg")
+        labels = merged.drop_columns(["chg"]).materialize()
+        if not n_changed:
+            break
+    return labels.map_batches(
+        lambda b: b.rename_columns([id_col, "cluster_rep"]), batch_format="pyarrow"
+    )
+
+
 def char_ngrams(s: str, n: int = 5) -> set:
     if len(s) < n:
         return {s}
