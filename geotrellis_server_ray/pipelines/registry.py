@@ -655,8 +655,11 @@ def q_maml_focal_slope(sf_dir: str):
         if len(b) == 0:
             return pa.table({"x": pa.array([], I64), "y": pa.array([], I64),
                              "slope_sum_e6": pa.array([], I64), "n_valid": pa.array([], I64)})
-        cells = np.stack([np.asarray(c) for c in b.column("cells").to_pylist()])
-        mask = np.stack([np.asarray(m) for m in b.column("mask").to_pylist()])
+        from ..stages.focal import flat_cells
+
+        width = len(b.column("cells")[0])
+        cells = flat_cells(b.column("cells"), width)
+        mask = flat_cells(b.column("mask"), width).astype(bool)
         scaled = np.floor(cells * 1e6)
         scaled[mask] = 0
         return pa.table({
@@ -738,8 +741,11 @@ def q_mosaic_merge(sf_dir: str):
         if len(b) == 0:
             return pa.table({"x": pa.array([], I64), "y": pa.array([], I64),
                              "merged_sum": pa.array([], I64), "n_valid": pa.array([], I64)})
-        cells = np.stack([np.asarray(c) for c in b.column("cells").to_pylist()])
-        mask = np.stack([np.asarray(m) for m in b.column("mask").to_pylist()])
+        from ..stages.focal import flat_cells
+
+        width = len(b.column("cells")[0])
+        cells = flat_cells(b.column("cells"), width)
+        mask = flat_cells(b.column("mask"), width).astype(bool)
         vals = np.where(mask, 0.0, cells)
         return pa.table({
             "x": pc.cast(b.column("x"), I64), "y": pc.cast(b.column("y"), I64),
@@ -801,8 +807,11 @@ def q_maml_focal_hillshade(sf_dir: str):
         if len(b) == 0:
             return pa.table({"x": pa.array([], I64), "y": pa.array([], I64),
                              "shade_sum": pa.array([], I64)})
-        cells = np.stack([np.asarray(c) for c in b.column("cells").to_pylist()])
-        mask = np.stack([np.asarray(m) for m in b.column("mask").to_pylist()])
+        from ..stages.focal import flat_cells
+
+        width = len(b.column("cells")[0])
+        cells = flat_cells(b.column("cells"), width)
+        mask = flat_cells(b.column("mask"), width).astype(bool)
         cells[mask] = 0
         return pa.table({
             "x": pc.cast(b.column("x"), I64), "y": pc.cast(b.column("y"), I64),

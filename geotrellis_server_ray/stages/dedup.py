@@ -104,37 +104,47 @@ def _shingles(th: np.ndarray, offs: np.ndarray, k: int = 3):
     single whole-doc shingle)."""
     C = np.uint64(0x9E3779B97F4A7C15)
     n_docs = len(offs) - 1
-    out_chunks = []
-    out_counts = np.empty(n_docs, dtype=np.int64)
     lens = np.diff(offs)
+    nt = len(th)
     with np.errstate(over="ignore"):
         # combined[i] = hash of tokens [i, i+k): rolling xor-mul mix
-        acc = np.zeros(len(th), dtype=np.uint64)
+        acc = np.zeros(nt, dtype=np.uint64)
         for j in range(k):
             shifted = th[j:] if j else th
             pad = np.zeros(j, dtype=np.uint64)
             sh = np.concatenate([shifted, pad]) if j else th.copy()
             acc = acc * C + sh
-    for d in range(n_docs):
-        s, e = offs[d], offs[d + 1]
-        n = e - s
-        if n >= k:
-            out_chunks.append(acc[s : e - k + 1])
-            out_counts[d] = n - k + 1
-        elif n > 0:
-            # whole-doc shingle from ONLY this doc's tokens (acc[s] would mix
-            # in the next document's tokens across the boundary, making short
-            # docs' signatures depend on their batch neighbors)
-            h = np.uint64(0)
-            with np.errstate(over="ignore"):
-                for tok in th[s:e]:
-                    h = h * C + tok
-            out_chunks.append(np.array([h], dtype=np.uint64))
-            out_counts[d] = 1
-        else:
-            out_chunks.append(np.array([np.uint64(0)]))
-            out_counts[d] = 1
-    flat = np.concatenate(out_chunks) if out_chunks else np.empty(0, dtype=np.uint64)
+    # valid shingle positions: window fits inside the position's own doc
+    # (acc mixes across doc boundaries; out-of-doc windows are dropped here)
+    pos = np.arange(nt, dtype=np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    valid = np.zeros(nt, dtype=bool)
+    if nt:
+        valid = pos + k <= offs[doc_of + 1]
+    long_docs = lens >= k
+    out_counts = np.where(long_docs, lens - k + 1, 1).astype(np.int64)
+    short = np.nonzero(~long_docs)[0]
+    if len(short) == 0:
+        flat = acc[valid]
+    else:
+        # short docs (< k tokens): one whole-doc shingle each, computed from
+        # ONLY that doc's tokens (rare path; loop over short docs only)
+        parts = []
+        cursor = 0
+        flat_long = acc[valid]
+        long_counts = np.where(long_docs, out_counts, 0)
+        splits = np.cumsum(long_counts)[:-1]
+        per_doc = np.split(flat_long, splits)
+        for d in range(n_docs):
+            if long_docs[d]:
+                parts.append(per_doc[d])
+            else:
+                h = np.uint64(0)
+                with np.errstate(over="ignore"):
+                    for tok in th[offs[d] : offs[d + 1]]:
+                        h = h * C + tok
+                parts.append(np.array([h], dtype=np.uint64))
+        flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
     so = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(out_counts, out=so[1:])
     return flat, so
@@ -252,6 +262,17 @@ def lsh_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     return cand
 
 
+
+def _blob_array(flat_u64: np.ndarray, counts: np.ndarray) -> pa.Array:
+    """Sorted-uint64 runs -> large_binary column, zero-copy: the Arrow data
+    buffer IS the numpy hash array; offsets are counts*8 cumsums."""
+    offs = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts.astype(np.int64) * 8, out=offs[1:])
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(counts),
+        [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(flat_u64))],
+    )
+
 def shingle_sketch_batch(batch: pa.Table, id_col: str = "doc_id",
                          text_col: str = "text", shingle_k: int = 3) -> pa.Table:
     """Per-doc DISTINCT word-shingle hash sketch, encoded as a sorted-uint64
@@ -269,13 +290,9 @@ def shingle_sketch_batch(batch: pa.Table, id_col: str = "doc_id",
         new[1:] = (d2[1:] != d2[:-1]) | (s2[1:] != s2[:-1])
     sv, dv = s2[new], d2[new]
     counts = np.bincount(dv, minlength=n_docs).astype(np.int64)
-    offsets = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    flat = sv.tobytes()
-    blobs = [flat[offsets[i] * 8 : offsets[i + 1] * 8] for i in range(n_docs)]
     return pa.table({
         id_col: batch.column(id_col),
-        "shingles": pa.array(blobs, type=pa.large_binary()),
+        "shingles": _blob_array(sv, counts),
         "n_sh": pa.array(counts),
     })
 
@@ -391,13 +408,9 @@ def char3gram_sketch_batch(batch: pa.Table, id_col: str = "doc_id",
         new[1:] = (d2[1:] != d2[:-1]) | (g2[1:] != g2[:-1])
     gv, dv = g2[new], d2[new]
     counts = np.bincount(dv, minlength=n_docs).astype(np.int64)
-    cum = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(counts, out=cum[1:])
-    flat = gv.tobytes()
-    blobs = [flat[cum[i] * 8 : cum[i + 1] * 8] for i in range(n_docs)]
     return pa.table({
         id_col: batch.column(id_col),
-        "shingles": pa.array(blobs, type=pa.large_binary()),
+        "shingles": _blob_array(gv, counts),
         "n_sh": pa.array(counts),
     })
 

@@ -88,29 +88,48 @@ class LangId:
 
 def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:
     """Document fingerprint: min of rolling polynomial hashes over byte
-    windows (winnowing-style). Vectorized: each document's byte array is
-    hashed with cumulative powers; min-sampled."""
-    texts = batch.column(text_col).combine_chunks()
+    windows (winnowing-style). Fully vectorized over the batch's flat Arrow
+    string buffer: 16 shifted multiply-adds build every window hash at once,
+    per-doc minima come from one minimum.reduceat; only sub-window docs
+    (< 16 bytes, rare) take a scalar path."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.cast(texts, pa.large_string())
+    n_docs = len(texts)
+    if n_docs == 0:
+        return batch.append_column("fingerprint", pa.array([], pa.int64()))
+    offs = np.frombuffer(texts.buffers()[1], dtype=np.int64)[texts.offset : texts.offset + n_docs + 1]
+    data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+    b = data[offs[0] : offs[-1]].astype(np.uint64)
+    o = (offs - offs[0]).astype(np.int64)
+    lens = np.diff(o)
     B, MOD = np.uint64(257), np.uint64(0xFFFFFFFFFFFF)
-    out = np.empty(len(texts), dtype=np.uint64)
-    np_err = np.geterr()
-    np.seterr(over="ignore")
-    try:
-        for i, s in enumerate(texts):
-            b = np.frombuffer(s.as_py().encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if len(b) < window:
-                h = np.uint64(0)
-                for x in b:
-                    h = h * B + x
-                out[i] = h & MOD
-                continue
-            # min over window hashes (winnowing): every window weighted by
-            # fixed powers of B
-            idx = np.arange(window, dtype=np.uint64)
-            pw = np.power(B, idx, dtype=np.uint64)
-            win = np.lib.stride_tricks.sliding_window_view(b, window)
-            hashes = (win * pw[None, :]).sum(axis=1) & MOD
-            out[i] = hashes.min()
-    finally:
-        np.seterr(**np_err)
+    idx = np.arange(window, dtype=np.uint64)
+    pw = np.power(B, idx, dtype=np.uint64)
+    nb = len(b)
+    out = np.empty(n_docs, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(nb, dtype=np.uint64)
+        for j in range(window):
+            acc[: nb - j] += b[j:] * pw[j]
+        # valid window start: window fits inside the position's own doc
+        if nb:
+            pos = np.arange(nb, dtype=np.int64)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            valid = pos + window <= o[doc_of + 1]
+            hv = (acc & MOD)[valid]
+            counts = np.maximum(lens - window + 1, 0)
+            starts = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            long_docs = lens >= window
+            cuts = starts[:-1][long_docs]
+            if len(hv):
+                mins = np.minimum.reduceat(hv, np.minimum(cuts, len(hv) - 1))
+                out[long_docs] = mins[: int(long_docs.sum())]
+        for d in np.nonzero(lens < window)[0]:  # rare: docs under 16 bytes
+            h = np.uint64(0)
+            for x in b[o[d] : o[d + 1]]:
+                h = h * B + x
+            out[d] = h & MOD
     return batch.append_column("fingerprint", pa.array(out.astype(np.int64) & 0x7FFFFFFFFFFFFFFF, type=pa.int64()))
