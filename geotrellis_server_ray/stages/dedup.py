@@ -416,15 +416,24 @@ def char3gram_sketch_batch(batch: pa.Table, id_col: str = "doc_id",
 
 
 def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
-                         max_iters: int = 64, num_partitions: int = 8):
-    """Cluster assignment over a near-dup edge list: iterative min-label
-    propagation expressed as Dataset ops (each round: labels hash-join onto
-    the symmetric edge list, per-batch partial mins, combiner groupby; stop
-    when no label changed). The edge list is near-dup-density sized, so each
-    round's join moves edges + labels, never documents. Deterministic: the
+                         max_iters: int = 64, num_partitions: int = 8,
+                         small_edge_threshold: int = 5_000_000):
+    """Cluster assignment over a near-dup edge list. Deterministic: the
     final label of every member is the component's minimum doc id.
 
+    Two physical plans, chosen by edge count:
+
+    * edges below ``small_edge_threshold`` (the common case — the edge list
+      is near-dup-density sized, NOT corpus sized): union-find on the driver
+      over just the edges, then one broadcast map over the node stream. Zero
+      shuffles touch the corpus.
+    * larger graphs: iterative min-label propagation as Dataset ops (each
+      round: labels hash-join onto the symmetric edge list, per-batch
+      partial mins, combiner groupby; stop when no label changed) — rounds
+      move edges + labels, never documents.
+
     Returns a Dataset of (id_col, cluster_rep)."""
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Min
 
@@ -437,6 +446,41 @@ def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
                          "dst": pa.array(np.concatenate([c, a]))})
 
     edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+
+    if edges.count() <= small_edge_threshold:
+        ep = edges.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, c in zip(ep["src"].to_numpy(), ep["dst"].to_numpy()):
+            ra, rc = find(int(a)), find(int(c))
+            if ra != rc:
+                # union by MIN id so the rep is deterministic
+                lo, hi = (ra, rc) if ra < rc else (rc, ra)
+                parent[hi] = lo
+        members = np.array(sorted(parent), dtype=np.int64)
+        reps = np.array([find(int(x)) for x in members], dtype=np.int64)
+        rref = ray.put((members, reps))
+
+        def label(b: pa.Table) -> pa.Table:
+            mem, rp = ray.get(rref)
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(mem):
+                idx = np.clip(np.searchsorted(mem, ids), 0, len(mem) - 1)
+                hit = mem[idx] == ids
+                out = np.where(hit, rp[idx], ids)
+            else:
+                out = ids
+            return pa.table({id_col: pa.array(ids), "cluster_rep": pa.array(out)})
+
+        return nodes_ds.map_batches(label, batch_format="pyarrow")
 
     def init_labels(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)

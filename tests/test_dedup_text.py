@@ -142,3 +142,23 @@ def test_short_doc_signature_batch_independent():
     b = D.minhash_signatures(pa.array(["hello world", "xxx yyy zzz www"]))[0]
     c = D.minhash_signatures(pa.array(["hello world"]))[0]
     assert (a == b).all() and (a == c).all()
+
+
+def test_connected_components_both_paths_agree(ray_session):
+    """The driver union-find fast path and the iterative label-propagation
+    path must produce identical cluster assignments (chain + triangle +
+    isolated nodes)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.dedup import connected_components
+
+    edges = pa.table({"id_a": pa.array([1, 2, 10, 11, 10], pa.int64()),
+                      "id_b": pa.array([2, 3, 11, 12, 12], pa.int64())})
+    nodes = pa.table({"doc_id": pa.array([1, 2, 3, 5, 10, 11, 12, 99], pa.int64())})
+    want = {1: 1, 2: 1, 3: 1, 5: 5, 10: 10, 11: 10, 12: 10, 99: 99}
+    for thresh in (5_000_000, 0):  # fast path, then forced iterative path
+        out = connected_components(rd.from_arrow(edges), rd.from_arrow(nodes),
+                                   small_edge_threshold=thresh).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster_rep"]))
+        assert got == want, thresh
