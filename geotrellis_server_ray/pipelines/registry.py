@@ -1158,6 +1158,77 @@ SELECT doc_id,
 FROM sig"""
 
 
+def _hilbert_sql_ctes(level: int, src_cte: str) -> tuple[str, str]:
+    """Unroll the engine's Hilbert rot/flip recurrence (functions/cells.py
+    hilbert_key) as a chained-CTE state machine over columns (hx, hy, hd).
+    ``src_cte`` must provide BIGINT hx, hy plus any passthrough columns."""
+    parts = [f"h0 AS (SELECT *, CAST(0 AS BIGINT) AS hd FROM {src_cte})"]
+    i = 0
+    s = 1 << (level - 1)
+    while s > 0:
+        i += 1
+        rx = f"CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END"
+        ry = f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END"
+        xf = f"CASE WHEN ({ry}) = 0 AND ({rx}) = 1 THEN {s} - 1 - hx ELSE hx END"
+        yf = f"CASE WHEN ({ry}) = 0 AND ({rx}) = 1 THEN {s} - 1 - hy ELSE hy END"
+        parts.append(
+            f"h{i} AS (SELECT * EXCLUDE (hx, hy, hd), "
+            f"CASE WHEN ({ry}) = 0 THEN ({yf}) ELSE ({xf}) END AS hx, "
+            f"CASE WHEN ({ry}) = 0 THEN ({xf}) ELSE ({yf}) END AS hy, "
+            f"hd + {s * s} * xor(3 * ({rx}), ({ry})) AS hd FROM h{i - 1})"
+        )
+        s >>= 1
+    return ",\n".join(parts), f"h{i}"
+
+
+HILBERT_PARTS = 8
+
+
+def q_hilbert_partitions(sf_dir: str):
+    """The checkpointed-write partitioning logic, oracle-backed: flagship
+    join rows -> Hilbert curve keys -> range partition ids -> per-partition
+    row counts. The SQL twin unrolls the 12-step Hilbert rot/flip recurrence
+    as chained CTEs, proving the curve math behind the resumable layout
+    cross-engine (the checkpointed_write query itself stays rows-only for
+    its filesystem/checksum side)."""
+    from ..state.checkpoint import hilbert_partition
+
+    joined = geo.pip_joined(sf_dir, layers=["grid-zones"], with_hilbert=True)
+
+    def shape(b: pa.Table) -> pa.Table:
+        t = pa.table({"hilbert": b.column("hilbert")})
+        return hilbert_partition(t, "hilbert", bits=geo.FLAGSHIP_ZOOM,
+                                 num_partitions=HILBERT_PARTS)
+
+    ds = joined.map_batches(shape, batch_format="pyarrow")
+    out = grouped_sums(
+        ds.map_batches(lambda b: pa.table({
+            "partition_id": b.column("partition_id"),
+            "rows": pa.array(np.ones(len(b), dtype=np.int64)),
+        }), batch_format="pyarrow"),
+        ["partition_id"], ["rows"],
+    )
+    return _cast_cols(out, {"partition_id": I64, "rows": I64})
+
+
+def sql_hilbert_partitions() -> str:
+    zoom = geo.FLAGSHIP_ZOOM
+    xe, ye = _tile_xy_sql(zoom)
+    rects = _rect_values_sql(_grid_rects())
+    ctes, last = _hilbert_sql_ctes(zoom, "keyed")
+    total = 1 << (2 * zoom)
+    return f"""{SPANS}
+, pts AS (
+  SELECT s.lon, s.lat
+  FROM spans_flat s JOIN {rects}
+    ON s.is_media AND s.lon >= r.x0 AND s.lon <= r.x1 AND s.lat >= r.y0 AND s.lat <= r.y1),
+keyed AS (SELECT {xe} AS hx, {ye} AS hy FROM pts),
+{ctes}
+SELECT CAST(LEAST(GREATEST(CAST(floor(CAST(hd AS DOUBLE) / {float(total)!r} * {HILBERT_PARTS}) AS BIGINT), 0), {HILBERT_PARTS - 1}) AS BIGINT) AS partition_id,
+       CAST(count(*) AS BIGINT) AS rows
+FROM {last} GROUP BY 1"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Dedup cluster assignment (the dedup-family capstone): verified
     minhash near-dup pairs become an edge list; iterative min-label
@@ -2447,6 +2518,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_fingerprints": (q_simhash_fingerprints, sql_simhash_fingerprints),
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
+    "hilbert_partitions": (q_hilbert_partitions, sql_hilbert_partitions),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "lang_id": (q_lang_id, sql_lang_id),
     "doc_fingerprints": (q_doc_fingerprints, sql_doc_fingerprints),
