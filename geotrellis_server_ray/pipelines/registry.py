@@ -2116,6 +2116,38 @@ def q_media_payload_features(sf_dir: str):
     )
 
 
+def _crc32_table() -> list[int]:
+    out = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        out.append(c)
+    return out
+
+
+def sql_media_payload_features() -> str:
+    """The payload bytes are a deterministic arithmetic sequence, so even the
+    CRC32 is SQL-expressible: list_reduce over the generated byte list with
+    the standard reflected table embedded as a literal."""
+    tbl = "[" + ",".join(map(str, _crc32_table())) + "]"
+    crc = (
+        f"xor(list_reduce(list_prepend(4294967295, "
+        f"list_transform(range(0, nb), k -> (seed + k) % 251)), "
+        f"(acc, b) -> xor(acc >> 8, ({tbl})[xor(acc, b) % 256 + 1])), 4294967295)"
+    )
+    return f"""{SPANS}
+, m AS (
+  SELECT doc_id, span_idx,
+         (64 + (doc_idx * 7 + span_idx * 13) % 512)
+           * (64 + (doc_idx * 11 + span_idx * 3) % 512) // 64 AS nb,
+         (doc_idx * 131 + span_idx * 17) % 251 AS seed
+  FROM spans_flat WHERE is_media)
+SELECT doc_id, span_idx, CAST(nb AS BIGINT) AS n_bytes,
+       CAST(({crc}) & 2147483647 AS BIGINT) AS payload_crc
+FROM m"""
+
+
 FIE_NQ = 12  # extended feature-info query points (6 distinct, each twice)
 
 
@@ -2523,7 +2555,7 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, sql_lang_id),
     "doc_fingerprints": (q_doc_fingerprints, sql_doc_fingerprints),
     # multimodal binary payloads
-    "media_payload_features": (q_media_payload_features, None),
+    "media_payload_features": (q_media_payload_features, sql_media_payload_features),
     # serving lifecycle (GetMap batch)
     "getmap_requests": (q_getmap_requests, None),
     "tiff_windows": (q_tiff_windows, sql_tiff_windows),
