@@ -2095,6 +2095,58 @@ SELECT feature_id,
 FROM v GROUP BY feature_id"""
 
 
+ZH_BINS = 8
+
+
+def q_zonal_histogram(sf_dir: str):
+    """Per-zone value HISTOGRAM (LayerHistogram generalized to zones — the
+    north rule's zonal summaries include sketch aggregates, SURVEY.md §2.7):
+    PIP-joined media spans sample the analytic NDVI at their z12 cell; each
+    zone accumulates fixed-bin counts over [-1, 1]. Combiner shape: per-batch
+    pyarrow (zone, bin) partials before the one small shuffle."""
+    joined = geo.pip_joined(sf_dir, layers=["grid-zones"])
+
+    def bin_batch(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        red = ((x * 64 + y * 17) % 256).astype(np.float64)
+        nir = ((x * 31 + y * 7) % 256).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nd = (red - nir) / (red + nir)
+        valid = np.isfinite(nd)
+        bins = np.clip(np.floor((nd + 1.0) / 2.0 * ZH_BINS), 0, ZH_BINS - 1)
+        t = pa.table({
+            "feature_id": pc.cast(b.column("feature_id"), I64).take(
+                pa.array(np.nonzero(valid)[0], type=pa.int64())),
+            "bin": pa.array(bins[valid].astype(np.int64)),
+            "n": pa.array(np.ones(int(valid.sum()), dtype=np.int64)),
+        })
+        return t
+
+    ds = joined.map_batches(bin_batch, batch_format="pyarrow")
+    out = grouped_sums(ds, ["feature_id", "bin"], ["n"])
+    return _cast_cols(out, {"feature_id": I64, "bin": I64, "n": I64})
+
+
+def sql_zonal_histogram() -> str:
+    xe, ye = _tile_xy_sql(12)
+    rects = _rect_values_sql(_grid_rects())
+    return f"""{SPANS}
+, t AS (
+  SELECT CAST(r.feature_id AS BIGINT) AS feature_id, {xe} AS x, {ye} AS y
+  FROM spans_flat s JOIN {rects}
+    ON s.is_media AND s.lon >= r.x0 AND s.lon <= r.x1 AND s.lat >= r.y0 AND s.lat <= r.y1),
+v AS (
+  SELECT feature_id,
+         CAST((x * 64 + y * 17) % 256 AS DOUBLE) AS red,
+         CAST((x * 31 + y * 7) % 256 AS DOUBLE) AS nir
+  FROM t)
+SELECT feature_id,
+  CAST(LEAST(GREATEST(floor(((red - nir) / (red + nir) + 1.0e0) / 2.0e0 * {ZH_BINS}.0e0), 0), {ZH_BINS - 1}) AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n
+FROM v WHERE red + nir <> 0 GROUP BY 1, 2"""
+
+
 def q_media_payload_features(sf_dir: str):
     """Opaque-binary multimodal path: media spans -> fake decode -> attach
     payload bytes -> actor-pool feature extraction (byte-histogram stand-in
@@ -2551,6 +2603,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "hilbert_partitions": (q_hilbert_partitions, sql_hilbert_partitions),
+    "zonal_histogram": (q_zonal_histogram, sql_zonal_histogram),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "lang_id": (q_lang_id, sql_lang_id),
     "doc_fingerprints": (q_doc_fingerprints, sql_doc_fingerprints),
