@@ -144,3 +144,57 @@ def test_knn_ring_bound_is_conservative():
             d = haversine_m(plon[outside], plat[outside],
                             np.full(outside.sum(), qlon[i]), np.full(outside.sum(), qlat[i]))
             assert d.min() >= bound[i] - 1e-6, (i, d.min(), bound[i])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40), h=st.integers(1, 40),
+    rps=st.integers(1, 17),
+    comp=st.sampled_from(["none", "deflate"]),
+    dtype=st.sampled_from(["u1", "u2", "i4", "f8"]),
+    c0=st.integers(0, 39), r0=st.integers(0, 39),
+    seed=st.integers(0, 2**31),
+)
+def test_tiff_window_roundtrip_property(tmp_path_factory, w, h, rps, comp, dtype, c0, r0, seed):
+    """Any window of any written TIFF equals the numpy slice."""
+    import numpy as np
+
+    from geotrellis_server_ray.sources.tiff import parse_ifds, read_window, write_tiff
+
+    rng = np.random.default_rng(seed)
+    arr = (rng.uniform(0, 100, (h, w)) if dtype == "f8"
+           else rng.integers(0, 100, (h, w))).astype(np.dtype(dtype))
+    raw = write_tiff(arr, compression=comp, rows_per_strip=min(rps, h))
+    rd = lambda off, ln: raw[off : off + ln]
+    info, = parse_ifds(rd)
+    cw = min(5, w - min(c0, w - 1))
+    ch = min(5, h - min(r0, h - 1))
+    got = read_window(rd, info, min(c0, w - 1), min(r0, h - 1), cw, ch)[:, :, 0]
+    want = arr[min(r0, h - 1) : min(r0, h - 1) + ch, min(c0, w - 1) : min(c0, w - 1) + cw]
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(lon=st.floats(-179.9, 179.9), lat=st.floats(-83.0, 83.0))
+def test_utm_roundtrip_property(lon, lat):
+    from geotrellis_server_ray.functions.proj import utm_forward, utm_inverse
+
+    zone = int((lon + 180) // 6) + 1
+    E, N = utm_forward(np.array([lon]), np.array([lat]), zone, north=lat >= 0)
+    lon2, lat2 = utm_inverse(E, N, zone, north=lat >= 0)
+    assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**31), q=st.integers(30, 95))
+def test_jpeg_decodes_own_output_property(seed, q):
+    from geotrellis_server_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+    # smooth image (random low-freq mixture): decoder must parse and bound err
+    gy, gx = np.mgrid[0:h, 0:w]
+    img = (127 + 90 * np.sin(gx / 9.0 + seed % 7) * np.cos(gy / 11.0)).clip(0, 255).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(img, quality=q))
+    assert back.shape == (h, w)
+    assert np.abs(back.astype(int) - img.astype(int)).mean() < 12
