@@ -2536,6 +2536,97 @@ def q_tiff_windows(sf_dir: str):
                           concurrency=(1, 2), num_cpus=1)
 
 
+def q_getmap_from_tiff(sf_dir: str):
+    """The FULL reference GetMap trace over REAL raster bytes (S1 + C1 + M5
+    + §2.9 in one pipeline): each request maps an (Extent)->window through
+    the GeoTIFF geotransform, reads only the intersecting deflate strips via
+    the header-byte cache, binds the window as a MAML var, evaluates
+    (v * 2 + 1), renders a color ramp and PNG-encodes (validity is
+    pytest-covered; the oracle checks the SQL-expressible eval sums). This
+    is GeoTiffNode.scala:49-93 -> LayerExtent.scala:33-66 -> Render as one
+    batch query on actual TIFF bytes."""
+    import os
+
+    import ray.data as rd
+
+    from ..functions import render
+    from ..sources.tiff import write_tiff
+
+    path = "/tmp/graft_tiff/grid64.tif"
+    if not os.path.exists(path):
+        os.makedirs("/tmp/graft_tiff", exist_ok=True)
+        gy, gx = np.mgrid[0:TIFF_N, 0:TIFF_N]
+        vals = ((gx * 7 + gy * 13) % 100).astype(np.int32)
+        raw = write_tiff(vals, compression="deflate", rows_per_strip=8,
+                         pixel_scale=(1.0, 1.0), tiepoint=(0.0, 0.0, 0.0, float(TIFF_N)),
+                         epsg=3857)
+        tmp = path + ".part"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, path)
+
+    per_side = TIFF_N // TIFF_WIN
+    expr = {"symbol": "+",
+            "args": [{"symbol": "*", "args": [maml.var("v"), maml.lit(2)]},
+                     maml.lit(1)]}
+    ramp = np.array([render.rgba(0, 0, 128), render.rgba(255, 0, 0)], dtype=np.uint32)
+
+    class GetMapTiff:
+        def __init__(self):
+            from ..sources.tiff import parse_ifds
+            from ..state.caches import HeaderByteCache
+
+            def read_range(uri, off, ln):
+                with open(uri, "rb") as f:
+                    f.seek(off)
+                    return f.read(ln)
+
+            self.cache = HeaderByteCache(read_range)
+            self.read = lambda off, ln: self.cache.read(path, off, ln)
+            self.info = parse_ifds(self.read)[0]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from ..sources.tiff import read_extent_window
+
+            ids = b.column("id").to_numpy(zero_copy_only=False)
+            sums = np.empty(len(ids), dtype=np.int64)
+            nval = np.empty(len(ids), dtype=np.int64)
+            for i, rid in enumerate(ids):  # <=16 window requests total
+                wx, wy = int(rid) % per_side, int(rid) // per_side
+                ext = (wx * TIFF_WIN, TIFF_N - (wy + 1) * TIFF_WIN,
+                       (wx + 1) * TIFF_WIN, TIFF_N - wy * TIFF_WIN)
+                win = read_extent_window(self.read, self.info, *ext)[:, :, 0]
+                tile = maml.evaluate(expr, {"v": maml.Tile.of(win.astype(np.float64))})
+                colors = render.color_ramp_render(tile.values.ravel(), 0.0, 210.0, ramp,
+                                                  nodata_mask=tile.mask.ravel())
+                png = render.encode_png_rgba(colors, TIFF_WIN, TIFF_WIN)
+                assert png[:8] == b"\x89PNG\r\n\x1a\n"
+                sums[i] = int(tile.values[~tile.mask].sum())
+                nval[i] = int((~tile.mask).sum())
+            return pa.table({
+                "request_id": pa.array(ids.astype(np.int64)),
+                "eval_sum": pa.array(sums),
+                "n_valid": pa.array(nval),
+            })
+
+    ds = rd.range(per_side * per_side, override_num_blocks=2)
+    return ds.map_batches(GetMapTiff, batch_format="pyarrow",
+                          concurrency=(1, 2), num_cpus=1)
+
+
+def sql_getmap_from_tiff() -> str:
+    n, w, ps = TIFF_N, TIFF_WIN, TIFF_N // TIFF_WIN
+    return f"""
+WITH g AS (
+  SELECT cx.gx, cy.gy
+  FROM (SELECT unnest(generate_series(0, {n - 1})) AS gx) cx,
+       (SELECT unnest(generate_series(0, {n - 1})) AS gy) cy)
+SELECT CAST((gy // {w}) * {ps} + gx // {w} AS BIGINT) AS request_id,
+       CAST(sum(2 * ((gx * 7 + gy * 13) % 100) + 1) AS BIGINT) AS eval_sum,
+       CAST(count(*) AS BIGINT) AS n_valid
+FROM g GROUP BY 1"""
+
+
 def sql_tiff_windows() -> str:
     n, w, ps = TIFF_N, TIFF_WIN, TIFF_N // TIFF_WIN
     return f"""
@@ -2612,6 +2703,7 @@ QUERIES: dict[str, tuple] = {
     # serving lifecycle (GetMap batch)
     "getmap_requests": (q_getmap_requests, None),
     "tiff_windows": (q_tiff_windows, sql_tiff_windows),
+    "getmap_from_tiff": (q_getmap_from_tiff, sql_getmap_from_tiff),
     "getcoverage_requests": (q_getcoverage_requests, sql_getcoverage_requests),
     "stac_asset_select": (q_stac_asset_select, sql_stac_asset_select),
     "feature_info_window": (q_feature_info_window, sql_feature_info_window),
