@@ -1269,6 +1269,90 @@ SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY a"""
 
 
+PASSAGE_W = 8  # tokens per exact-duplicate passage window
+
+
+def q_passage_dedup(sf_dir: str):
+    """Exact PASSAGE-level dedup (the training-data 'repeated substring'
+    detector, complementing whole-doc exact dedup): every 8-token window
+    hashes to a polynomial fingerprint; windows occurring in MORE THAN ONE
+    document surface as (passage_hash, n_occurrences, n_docs). Fully
+    combiner-shaped: per-batch pyarrow partials (docs never split across
+    batches, so per-batch distinct doc counts are exact) before one small
+    groupby. Oracle: the window polynomial replayed in HUGEINT SQL."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _shingles, _token_hashes
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        th, offs = _token_hashes(b.column("text"))
+        sh, so = _shingles(th, offs, k=PASSAGE_W)
+        n_docs = len(so) - 1
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(so))
+        h = sh.astype(np.int64)
+        t = pa.table({"h": pa.array(h), "doc": pa.array(doc_of)})
+        g = t.group_by(["h"]).aggregate([("doc", "count"), ("doc", "count_distinct")])
+        return g.rename_columns(["h", "n_occ", "n_docs"])
+
+    parts = ds.map_batches(windows, batch_format="pyarrow")
+    agg = parts.groupby("h").aggregate(Sum("n_occ", alias_name="n_occ"),
+                                       Sum("n_docs", alias_name="n_docs"))
+    out = agg.map_batches(
+        lambda b: b.filter(pc.greater(b.column("n_docs"), pa.scalar(1)))
+        .rename_columns(["passage_hash", "n_occ", "n_docs"]),
+        batch_format="pyarrow",
+    )
+    return _cast_cols(out, {"passage_hash": I64, "n_occ": I64, "n_docs": I64})
+
+
+def sql_passage_dedup() -> str:
+    from ..stages.dedup import _POW_TABLE
+
+    C = 0x9E3779B97F4A7C15
+    cpow = [1]
+    for _ in range(PASSAGE_W - 1):
+        cpow.append((cpow[-1] * C) % _M64)
+    pw_list = "[" + ", ".join(str(int(_POW_TABLE[j])) for j in range(64)) + "]"
+    tok_hash = (
+        f"COALESCE((SELECT sum(CAST(ascii(substr(tok, i, 1)) AS HUGEINT)"
+        f" * ({pw_list})[length(tok) - i + 1] % {_M64})"
+        f" FROM unnest(generate_series(1, length(tok))) AS u(i)), 0) % {_M64}"
+    )
+    # window hash = sum_j th[p+j] * C^(W-1-j) mod 2^64. Both factors are
+    # ~2^64, so a direct HUGEINT product would overflow INT128; split the
+    # variable factor: a*c mod 2^64 = (a_lo*c mod 2^64
+    # + ((a_hi*(c mod 2^32)) mod 2^32) * 2^32) mod 2^64 — every intermediate
+    # stays under 2^96.
+    M32 = 1 << 32
+
+    def mulmod(ref: str, c: int) -> str:
+        return (f"(({ref} % {M32}) * {c} % {_M64}"
+                f" + (({ref} // {M32}) * {c % M32} % {M32}) * {M32}) % {_M64}")
+
+    win_terms = " + ".join(
+        mulmod(f"th[p + {j}]", cpow[PASSAGE_W - 1 - j]) for j in range(PASSAGE_W)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, p, string_split(lower(text), ' ')[p] AS tok
+  FROM documents,
+       LATERAL unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS u(p)),
+tokh AS (SELECT doc_id, p, {tok_hash} AS h FROM toks),
+arr AS (SELECT doc_id, list(h ORDER BY p) AS th FROM tokh GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, ({win_terms}) % {_M64} AS h
+  FROM arr, LATERAL unnest(generate_series(1, len(th) - {PASSAGE_W - 1})) AS w(p)
+  WHERE len(th) >= {PASSAGE_W}),
+agg AS (
+  SELECT h, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM wins GROUP BY h)
+SELECT CAST(CASE WHEN h >= 9223372036854775808 THEN h - {_M64} ELSE h END AS BIGINT) AS passage_hash,
+       CAST(n_occ AS BIGINT) AS n_occ, CAST(n_docs AS BIGINT) AS n_docs
+FROM agg WHERE n_docs > 1"""
+
+
 SIMHASH_HAM_T = 3  # 4x16-bit chunk banding is EXHAUSTIVE for hamming <= 3
 
 
@@ -2693,6 +2777,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_fingerprints": (q_simhash_fingerprints, sql_simhash_fingerprints),
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
+    "passage_dedup": (q_passage_dedup, sql_passage_dedup),
     "hilbert_partitions": (q_hilbert_partitions, sql_hilbert_partitions),
     "zonal_histogram": (q_zonal_histogram, sql_zonal_histogram),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
