@@ -1746,6 +1746,72 @@ SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
 FROM c GROUP BY x, y"""
 
 
+MB_GRID = 8   # multiband eval: 8x8 tiles of 64 cells, 3 bands
+
+
+def q_maml_multiband_eval(sf_dir: str):
+    """Band-wise MAML evaluation over MultibandTiles (missing #8 surface as
+    an oracle query): a 3-band source and a 2-band source bind to one
+    expression; the min-band-count rule (OgcSource.scala:284) yields 2
+    output bands; per (tile, band) sums are SQL-checked. Band values are
+    analytic; band 1 of 'b' contains NoData holes that must poison only
+    band 1 of the output."""
+    import ray.data as rd
+
+    expr = {"symbol": "+",
+            "args": [{"symbol": "*", "args": [maml.var("a"), maml.lit(2)]},
+                     maml.var("b")]}
+
+    def build_eval(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        x = (ids % MB_GRID).astype(np.int64)
+        y = (ids // MB_GRID).astype(np.int64)
+        i = np.arange(64, dtype=np.int64)
+        X = np.repeat(x, 64).reshape(-1, 64)
+        Y = np.repeat(y, 64).reshape(-1, 64)
+        II = np.broadcast_to(i, X.shape)
+        a_bands = [((X * (3 + bi) + Y * 7 + II) % 50).astype(np.float64) for bi in range(3)]
+        b0 = ((X * 5 + Y * 11 + II * 2) % 40).astype(np.float64)
+        b1 = ((X * 2 + Y * 3 + II) % 30).astype(np.float64)
+        b1 = np.where((X + Y + II) % 9 == 0, np.nan, b1)  # NoData holes
+        env = {"a": maml.MultibandTile.of(a_bands), "b": maml.MultibandTile.of([b0, b1])}
+        res = maml.evaluate_multiband(expr, env)
+        n_tiles = len(ids)
+        vals = np.where(res.mask, 0.0, res.values)  # (2, n, 64)
+        out = {
+            "tile_id": pa.array(np.repeat(ids.astype(np.int64), 2)),
+            "band": pa.array(np.tile(np.arange(2, dtype=np.int64), n_tiles)),
+            "band_sum": pa.array(vals.sum(axis=2).T.ravel().astype(np.int64)),
+            "n_valid": pa.array((~res.mask).sum(axis=2).T.ravel().astype(np.int64)),
+        }
+        return pa.table(out)
+
+    ds = rd.range(MB_GRID * MB_GRID, override_num_blocks=4)
+    out = ds.map_batches(build_eval, batch_format="pyarrow")
+    return _cast_cols(out, {"tile_id": I64, "band": I64, "band_sum": I64, "n_valid": I64})
+
+
+def sql_maml_multiband_eval() -> str:
+    n = MB_GRID * MB_GRID
+    return f"""
+WITH t AS (
+  SELECT tid.t AS tile_id, ci.i, tid.t % {MB_GRID} AS x, tid.t // {MB_GRID} AS y
+  FROM (SELECT unnest(generate_series(0, {n - 1})) AS t) tid,
+       (SELECT unnest(generate_series(0, 63)) AS i) ci),
+v AS (
+  SELECT tile_id, b.band, i,
+    CASE WHEN b.band = 0 THEN (x * 3 + y * 7 + i) % 50
+         ELSE (x * 4 + y * 7 + i) % 50 END AS av,
+    CASE WHEN b.band = 0 THEN (x * 5 + y * 11 + i * 2) % 40
+         WHEN (x + y + i) % 9 = 0 THEN NULL
+         ELSE (x * 2 + y * 3 + i) % 30 END AS bv
+  FROM t, (SELECT unnest(generate_series(0, 1)) AS band) b)
+SELECT CAST(tile_id AS BIGINT) AS tile_id, CAST(band AS BIGINT) AS band,
+       CAST(coalesce(sum(CASE WHEN bv IS NULL THEN 0 ELSE 2 * av + bv END), 0) AS BIGINT) AS band_sum,
+       CAST(count(bv) AS BIGINT) AS n_valid
+FROM v GROUP BY tile_id, band"""
+
+
 # -------------------------------------------- histogram / time / point ops
 
 def q_quantity_histogram(sf_dir: str):
@@ -2811,6 +2877,7 @@ QUERIES: dict[str, tuple] = {
     "zonal_ndvi_stats": (q_zonal_ndvi_stats, sql_zonal_ndvi_stats),
     # histogram / time / point lookup
     "maml_tms_eval": (q_maml_tms_eval, sql_maml_tms_eval),
+    "maml_multiband_eval": (q_maml_multiband_eval, sql_maml_multiband_eval),
     "quantity_histogram": (q_quantity_histogram, sql_quantity_histogram),
     "time_positions": (q_time_positions, sql_time_positions),
     "feature_info_lookup": (q_feature_info_lookup, sql_feature_info_lookup),
