@@ -1619,7 +1619,7 @@ def q_checkpointed_write(sf_dir: str):
     import os
     import shutil
 
-    from ..state.checkpoint import checkpointed_write, completed_partitions, hilbert_partition
+    from ..state.checkpoint import checkpointed_write, hilbert_partition
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = f"/tmp/graft_ckpt/{sf_tag}"
@@ -2441,7 +2441,6 @@ def q_stac_asset_select(sf_dir: str):
     limit), and each item selects its FIRST regex-matching asset
     (stac-example/.../stac/package.scala:46-51). Output: (item_id, asset_key,
     href)."""
-    import pyarrow.dataset  # noqa: F401
 
     ds = read(sf_dir, "part", ["p_partkey"])
 

@@ -161,7 +161,6 @@ def corpus_dataset(sf_dir: str, *, repeat: int = 1, num_blocks: int | None = Non
     seed file. ``num_blocks`` is accepted for API stability but the replica
     sharding already provides the parallelism."""
     import ray.data as rd
-    from functools import partial
 
     if repeat == 1:
         ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])

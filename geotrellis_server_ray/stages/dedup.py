@@ -20,10 +20,7 @@ computed vectorized over the Arrow string buffer with numpy uint64 wraparound.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 from functools import partial
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 TILE = 8  # cells per tile side (test fixture size, cf. the 8x8.tif fixture)

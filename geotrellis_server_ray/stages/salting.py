@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..pipelines.relational import grouped_sums
 from .dedup import poly_hash_strings
@@ -40,8 +39,6 @@ def salted_counts(ds, key_cols: list[str], id_col: str, num_salts: int = 8,
                   count_as: str = "n"):
     """Two-stage skew-safe count: groupby (keys + salt) partials, then
     groupby keys over the partials."""
-    from functools import partial as _partial
-
     def prep(batch: pa.Table) -> pa.Table:
         batch = add_salt(batch, id_col, num_salts)
         return batch.append_column(count_as, pa.array(np.ones(len(batch), dtype=np.int64)))

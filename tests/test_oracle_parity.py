@@ -96,3 +96,20 @@ def test_tile_assign_bit_exact_at_sf01(ray_session):
         assert np.array_equal(ray_df[c].values, ora_df[c].values), c  # bit-exact
     for c in ("x", "y", "cell_id"):
         assert (ray_df[c].values == ora_df[c].values).all(), c
+
+
+@pytest.mark.parametrize("name", ["hilbert_partitions", "exact_dedup", "simhash_fingerprints"])
+def test_round2_ops_bit_exact_at_sf01(name, ray_session):
+    """Scale-confidence for round-2 operators: the hash/curve contracts hold
+    on the 10x tier too, not just the sf0.01 gate tier."""
+    from geotrellis_server_ray.pipelines.registry import QUERIES
+
+    fn, sql = QUERIES[name]
+    sf = "/root/testdata/sf0.1"
+    ray_df = _canon(_to_pandas(fn(sf)))
+    con = _oracle_con(sf)
+    ora_df = _canon(con.execute(sql()).fetch_df())
+    assert list(ray_df.columns) == list(ora_df.columns)
+    assert len(ray_df) == len(ora_df) and len(ray_df) > 0
+    for c in ray_df.columns:
+        assert (ray_df[c].values == ora_df[c].values).all(), f"{name}.{c}"
