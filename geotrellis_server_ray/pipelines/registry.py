@@ -583,7 +583,7 @@ def q_maml_ndvi(sf_dir: str):
             }
         )
 
-    ds = rd.range(MAML_GRID * MAML_GRID)
+    ds = rd.range(MAML_GRID * MAML_GRID, override_num_blocks=8)
     return ds.map_batches(build_eval, batch_format="pyarrow")
 
 
@@ -644,7 +644,7 @@ def q_maml_focal_slope(sf_dir: str):
             "cells": pa.array(list(dem.reshape(len(x), -1)), type=pa.list_(pa.float64())),
         })
 
-    tiles_ds = rd.range(FOCAL_GRID * FOCAL_GRID).map_batches(build, batch_format="pyarrow")
+    tiles_ds = rd.range(FOCAL_GRID * FOCAL_GRID, override_num_blocks=8).map_batches(build, batch_format="pyarrow")
     res = focal_dataset(tiles_ds, kernel=lambda z, m: slope(z, m), grid_n=FOCAL_GRID)
 
     def summarize(b: pa.Table) -> pa.Table:
@@ -733,8 +733,8 @@ def q_mosaic_merge(sf_dir: str):
         })
 
     n = MOSAIC_GRID * MOSAIC_GRID
-    s0 = rd.range(n).map_batches(partial(build, src=0), batch_format="pyarrow")
-    s1 = rd.range(n).map_batches(partial(build, src=1), batch_format="pyarrow")
+    s0 = rd.range(n, override_num_blocks=4).map_batches(partial(build, src=0), batch_format="pyarrow")
+    s1 = rd.range(n, override_num_blocks=4).map_batches(partial(build, src=1), batch_format="pyarrow")
     merged = mosaic(s0.union(s1))
 
     def summarize(b: pa.Table) -> pa.Table:
@@ -796,7 +796,7 @@ def q_maml_focal_hillshade(sf_dir: str):
             "cells": pa.array(list(dem.reshape(len(x), -1)), type=pa.list_(pa.float64())),
         })
 
-    tiles_ds = rd.range(FOCAL_GRID * FOCAL_GRID).map_batches(build, batch_format="pyarrow")
+    tiles_ds = rd.range(FOCAL_GRID * FOCAL_GRID, override_num_blocks=8).map_batches(build, batch_format="pyarrow")
     res = focal_dataset(tiles_ds, kernel=lambda z, m: hillshade(z, m), grid_n=FOCAL_GRID)
 
     def summarize(b: pa.Table) -> pa.Table:
@@ -1685,8 +1685,8 @@ def q_maml_tms_eval(sf_dir: str):
         })
 
     n = TMS_GRID * TMS_GRID
-    red = rd.range(n).map_batches(partial(build, layer="red"), batch_format="pyarrow")
-    nir = rd.range(n).map_batches(partial(build, layer="nir"), batch_format="pyarrow")
+    red = rd.range(n, override_num_blocks=4).map_batches(partial(build, layer="red"), batch_format="pyarrow")
+    nir = rd.range(n, override_num_blocks=4).map_batches(partial(build, layer="nir"), batch_format="pyarrow")
 
     width = TILE * TILE
 
