@@ -360,11 +360,18 @@ def sql_distinct_flags() -> str:
 def q_first_order(sf_dir: str):
     """First-match-wins per key (O4: headOption with deterministic rank) —
     grouped min + count."""
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min, Sum
 
     ds = read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-    out = ds.groupby("o_custkey").aggregate(
-        Min("o_orderdate", alias_name="first_date"), Count(alias_name="n_orders")
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_custkey"]).aggregate(
+            [("o_orderdate", "min"), ("o_custkey", "count")]
+        )
+        return g.rename_columns(["o_custkey", "first_date", "n_orders"])
+
+    out = ds.map_batches(prep, batch_format="pyarrow").groupby("o_custkey").aggregate(
+        Min("first_date", alias_name="first_date"), Sum("n_orders", alias_name="n_orders")
     )
     return _cast_cols(out, {"n_orders": I64})
 
