@@ -26,6 +26,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", default=None, help="parquet output directory (default: print row count only)")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--list", action="store_true", help="list query names and exit")
+    ap.add_argument("--capabilities", choices=["wms", "wmts", "wcs"], default=None,
+                    help="print a GetCapabilities XML document for the demo catalog and exit")
     args = ap.parse_args(argv)
 
     from .pipelines.registry import QUERIES
@@ -33,6 +35,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.list:
         for name in QUERIES:
             print(name)
+        return 0
+    if args.capabilities:
+        from .functions import capabilities as caps
+        from .pipelines.serving import _CATALOG
+
+        layers = [{"name": r["name"], "xmin": r["xmin"], "ymin": r["ymin"],
+                   "xmax": r["xmax"], "ymax": r["ymax"]}
+                  for r in _CATALOG.to_dict("records")]
+        fn = {"wms": caps.wms_capabilities, "wmts": caps.wmts_capabilities,
+              "wcs": caps.wcs_capabilities}[args.capabilities]
+        print(fn(layers))
         return 0
     if args.query is None:
         ap.error("--query is required unless --list is given")
