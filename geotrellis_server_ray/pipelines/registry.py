@@ -2192,8 +2192,12 @@ def q_ann_ivf_topk(sf_dir: str):
     ds = ds.map_batches(lambda b: b.filter(pc.greater_equal(b.column("vec_id"), ANN_NQ)),
                         batch_format="pyarrow")
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     out = ivf_exact_topk(ds, queries, dim=dim, workdir=f"/tmp/graft_ivf/{sf_tag}",
-                         k=ANN_K, nprobe=6, kcells=16)
+                         k=ANN_K, nprobe=6, kcells=16,
+                         layout_key=f"{sf_dir}:{n_rows}")
     return out
 
 
