@@ -2007,7 +2007,22 @@ def q_top_parts_per_brand(sf_dir: str):
     ds = ds.map_batches(partial(add_cents, cols={"qty_c": "l_quantity"}), batch_format="pyarrow")
     ds = ds.map_batches(make_broadcast_join(part_lk, "l_partkey", ["p_brand"]), batch_format="pyarrow")
     ds = ds.map_batches(lambda b: b.select(["p_brand", "l_partkey", "qty_c"]), batch_format="pyarrow")
-    totals = grouped_sums(ds, ["p_brand", "l_partkey"], ["qty_c"])
+    # grouped totals WITHOUT an all-to-all: the key space is bounded by the
+    # part dimension (|keys| <= |part|, NOT corpus-sized), so per-batch
+    # pyarrow partials coalesce into one block for the final combine — a
+    # combiner tree, not a shuffle. (grouped_sums remains the right shape
+    # when keys scale with the fact table.)
+    from .relational import _partial_agg
+
+    partial_tot = ds.map_batches(
+        partial(_partial_agg, keys=["p_brand", "l_partkey"], sums=["qty_c"], count_as=None),
+        batch_format="pyarrow",
+    )
+    totals = partial_tot.repartition(1).map_batches(
+        lambda b: b.group_by(["p_brand", "l_partkey"]).aggregate([("qty_c", "sum")])
+        .rename_columns(["p_brand", "l_partkey", "qty_c"]),
+        batch_format="pyarrow",
+    )
 
     # grouped top-k WITHOUT a second all-to-all: per-batch vectorized top-3
     # per brand (lexsort + group-head mask), then one coalesce of the tiny
