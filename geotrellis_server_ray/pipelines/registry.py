@@ -188,7 +188,7 @@ def q_tile_counts_z8(sf_dir: str):
         )
 
     ds = ds.map_batches(ones, batch_format="pyarrow")
-    return _cast_cols(grouped_sums(ds, ["x", "y"], ["n_spans"]), {"n_spans": I64})
+    return _cast_cols(grouped_sums(ds, ["x", "y"], ["n_spans"], small_key_space=True), {"n_spans": I64})
 
 
 def sql_tile_counts_z8() -> str:
@@ -261,7 +261,7 @@ def q_revenue_by_nation(sf_dir: str):
                             }),
         batch_format="pyarrow",
     )
-    out = grouped_sums(ds, ["n_name"], ["revenue_c"], count_as="n_orders")
+    out = grouped_sums(ds, ["n_name"], ["revenue_c"], count_as="n_orders", small_key_space=True)
     return _cast_cols(out, {"revenue_c": I64, "n_orders": I64})
 
 
@@ -281,7 +281,7 @@ def q_brand_volume(sf_dir: str):
     ds = ds.map_batches(partial(add_cents, cols={"qty_c": "l_quantity"}), batch_format="pyarrow")
     ds = ds.map_batches(make_broadcast_join(part_lk, "l_partkey", ["p_brand"]), batch_format="pyarrow")
     ds = ds.map_batches(lambda b: b.select(["p_brand", "qty_c"]), batch_format="pyarrow")
-    out = grouped_sums(ds, ["p_brand"], ["qty_c"], count_as="n_items")
+    out = grouped_sums(ds, ["p_brand"], ["qty_c"], count_as="n_items", small_key_space=True)
     return _cast_cols(out, {"qty_c": I64, "n_items": I64})
 
 
@@ -306,7 +306,7 @@ def q_events_hourly(sf_dir: str):
         return pa.table({"event_type": b.column("event_type"), "hour": pc.cast(hour, I64), "value_c": val_c})
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    out = grouped_sums(ds, ["event_type", "hour"], ["value_c"], count_as="n_events")
+    out = grouped_sums(ds, ["event_type", "hour"], ["value_c"], count_as="n_events", small_key_space=True)
     return _cast_cols(out, {"hour": I64, "value_c": I64, "n_events": I64})
 
 
@@ -332,7 +332,7 @@ def q_events_between(sf_dir: str):
                          "n": pa.array(np.ones(len(b), dtype=np.int64))})
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    return _cast_cols(grouped_sums(ds, ["event_type"], ["n"]), {"n": I64})
+    return _cast_cols(grouped_sums(ds, ["event_type"], ["n"], small_key_space=True), {"n": I64})
 
 
 def sql_events_between() -> str:
@@ -350,7 +350,7 @@ def q_distinct_flags(sf_dir: str):
         return b.append_column("n", pa.array(np.ones(len(b), dtype=np.int64)))
 
     ds = ds.map_batches(ones, batch_format="pyarrow")
-    return _cast_cols(grouped_sums(ds, ["l_returnflag", "l_linestatus"], ["n"]), {"n": I64})
+    return _cast_cols(grouped_sums(ds, ["l_returnflag", "l_linestatus"], ["n"], small_key_space=True), {"n": I64})
 
 
 def sql_distinct_flags() -> str:
@@ -1251,7 +1251,7 @@ def q_hilbert_partitions(sf_dir: str):
             "partition_id": b.column("partition_id"),
             "rows": pa.array(np.ones(len(b), dtype=np.int64)),
         }), batch_format="pyarrow"),
-        ["partition_id"], ["rows"],
+        ["partition_id"], ["rows"], small_key_space=True,
     )
     return _cast_cols(out, {"partition_id": I64, "rows": I64})
 
@@ -2094,7 +2094,7 @@ def q_events_pivot(sf_dir: str):
         return pa.table(cols)
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    out = grouped_sums(ds, ["day"], [f"n_{t}" for t in _PIVOT_TYPES])
+    out = grouped_sums(ds, ["day"], [f"n_{t}" for t in _PIVOT_TYPES], small_key_space=True)
     return _cast_cols(out, {c: I64 for c in ["day"] + [f"n_{t}" for t in _PIVOT_TYPES]})
 
 
@@ -2274,7 +2274,7 @@ def q_zonal_ndvi_stats(sf_dir: str):
         })
 
     ds = joined.map_batches(ndvi_at_cell, batch_format="pyarrow")
-    out = grouped_sums(ds, ["feature_id"], ["ndvi_e6", "n_valid"])
+    out = grouped_sums(ds, ["feature_id"], ["ndvi_e6", "n_valid"], small_key_space=True)
     return _cast_cols(out, {"feature_id": I64, "ndvi_e6": I64, "n_valid": I64})
 
 
@@ -2328,7 +2328,7 @@ def q_zonal_histogram(sf_dir: str):
         return t
 
     ds = joined.map_batches(bin_batch, batch_format="pyarrow")
-    out = grouped_sums(ds, ["feature_id", "bin"], ["n"])
+    out = grouped_sums(ds, ["feature_id", "bin"], ["n"], small_key_space=True)
     return _cast_cols(out, {"feature_id": I64, "bin": I64, "n": I64})
 
 

@@ -49,16 +49,31 @@ def _partial_agg(batch: pa.Table, keys: list[str], sums: list[str], count_as: st
     return g.rename_columns(out_names)
 
 
-def grouped_sums(ds, keys: list[str], sums: list[str], count_as: str | None = None):
+def grouped_sums(ds, keys: list[str], sums: list[str], count_as: str | None = None,
+                 small_key_space: bool = False):
     """Combiner-style grouped aggregation: pyarrow group_by per batch (partial)
-    then a small global groupby over the partials. The wide shuffle sees
-    O(keys x blocks) rows, not O(rows)."""
+    then a global combine over the partials. The wide exchange sees
+    O(keys x blocks) rows, not O(rows).
+
+    ``small_key_space=True`` declares the key cardinality DIMENSION-bounded
+    (a catalog/enum/zone id — not corpus-scaled): the partials then coalesce
+    into one block for a single pyarrow combine instead of paying a Ray
+    hash-shuffle aggregate — a combiner tree. Leave it False whenever keys
+    grow with the fact table."""
     from ray.data.aggregate import Sum
 
     ds = ds.map_batches(
         partial(_partial_agg, keys=keys, sums=sums, count_as=count_as),
         batch_format="pyarrow",
     )
+    out_cols = sums + ([count_as] if count_as else [])
+    if small_key_space:
+        def combine(b: pa.Table) -> pa.Table:
+            g = b.group_by(keys).aggregate([(c, "sum") for c in out_cols])
+            return g.select(keys + [f"{c}_sum" for c in out_cols]) \
+                .rename_columns(keys + out_cols)
+
+        return ds.repartition(1).map_batches(combine, batch_format="pyarrow")
     aggs = [Sum(c, alias_name=c) for c in sums]
     if count_as:
         aggs.append(Sum(count_as, alias_name=count_as))

@@ -44,6 +44,6 @@ def salted_counts(ds, key_cols: list[str], id_col: str, num_salts: int = 8,
         return batch.append_column(count_as, pa.array(np.ones(len(batch), dtype=np.int64)))
 
     staged = ds.map_batches(prep, batch_format="pyarrow")
-    per_salt = grouped_sums(staged, key_cols + ["salt"], [count_as])
-    final = grouped_sums(per_salt, key_cols, [count_as])
+    per_salt = grouped_sums(staged, key_cols + ["salt"], [count_as], small_key_space=True)
+    final = grouped_sums(per_salt, key_cols, [count_as], small_key_space=True)
     return final
