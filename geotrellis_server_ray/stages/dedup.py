@@ -509,7 +509,26 @@ def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
 
         merged = merged.map_batches(take_min, batch_format="pyarrow").materialize()
         n_changed = merged.sum("chg")
-        labels = merged.drop_columns(["chg"]).materialize()
+        labels = merged.drop_columns(["chg"])
+        # pointer doubling: label <- label(label). Halves the remaining path
+        # length every round, so long chains converge in O(log diameter)
+        # rounds instead of O(diameter) (the SCALING.md long-chain limit).
+        lut = labels.map_batches(
+            lambda b: pa.table({"pj_id": b.column(id_col), "pj_label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        jumped = labels.join(lut, join_type="left_outer",
+                             num_partitions=num_partitions,
+                             on=("label",), right_on=("pj_id",))
+
+        def jump(b: pa.Table) -> pa.Table:
+            lab = pc.cast(b.column("label"), pa.int64())
+            pj = pc.fill_null(pc.cast(b.column("pj_label"), pa.int64()),
+                              pa.scalar(np.int64(2**62)))
+            return pa.table({id_col: b.column(id_col),
+                             "label": pc.min_element_wise(lab, pj)})
+
+        labels = jumped.map_batches(jump, batch_format="pyarrow").materialize()
         if not n_changed:
             break
     return labels.map_batches(

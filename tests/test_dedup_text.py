@@ -153,10 +153,13 @@ def test_connected_components_both_paths_agree(ray_session):
 
     from geotrellis_server_ray.stages.dedup import connected_components
 
-    edges = pa.table({"id_a": pa.array([1, 2, 10, 11, 10], pa.int64()),
-                      "id_b": pa.array([2, 3, 11, 12, 12], pa.int64())})
-    nodes = pa.table({"doc_id": pa.array([1, 2, 3, 5, 10, 11, 12, 99], pa.int64())})
+    # a 20-node chain exercises pointer doubling on the iterative path
+    chain = list(range(100, 120))
+    edges = pa.table({"id_a": pa.array([1, 2, 10, 11, 10] + chain[:-1], pa.int64()),
+                      "id_b": pa.array([2, 3, 11, 12, 12] + chain[1:], pa.int64())})
+    nodes = pa.table({"doc_id": pa.array([1, 2, 3, 5, 10, 11, 12, 99] + chain, pa.int64())})
     want = {1: 1, 2: 1, 3: 1, 5: 5, 10: 10, 11: 10, 12: 10, 99: 99}
+    want.update({c: 100 for c in chain})
     for thresh in (5_000_000, 0):  # fast path, then forced iterative path
         out = connected_components(rd.from_arrow(edges), rd.from_arrow(nodes),
                                    small_edge_threshold=thresh).to_pandas()
