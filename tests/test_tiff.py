@@ -103,3 +103,33 @@ def test_reference_8x8_golden_sum_1596():
     assert win.sum() == 1596
     full = read_window(rd, base, 0, 0, 8, 8)
     assert full.sum() == 2080  # values 1..64
+
+
+def test_range_readers_feed_tiff_and_cache(tmp_path):
+    """S5 surface: File and Memory range readers both drive the TIFF reader
+    through the header cache; the HTTP reader fails loudly without network."""
+    import pytest as _pytest
+
+    from geotrellis_server_ray.sources.rangereader import (
+        FileRangeReader, HttpRangeReader, MemoryRangeReader,
+    )
+
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    raw = write_tiff(arr)
+    p = tmp_path / "r.tif"
+    p.write_bytes(raw)
+
+    fr = FileRangeReader(str(p))
+    assert fr.total_length() == len(raw)
+    info, = parse_ifds(fr)
+    assert np.array_equal(read_window(fr, info, 0, 0, 8, 8)[:, :, 0], arr)
+
+    mr = MemoryRangeReader(raw)
+    cache = HeaderByteCache(lambda uri, off, ln: mr(off, ln))
+    rd = lambda off, ln: cache.read("mem://r.tif", off, ln)
+    info2, = parse_ifds(rd)
+    assert np.array_equal(read_window(rd, info2, 2, 2, 4, 4)[:, :, 0], arr[2:6, 2:6])
+
+    hr = HttpRangeReader("http://203.0.113.1/none.tif", timeout=0.5)
+    with _pytest.raises((RuntimeError, OSError)):
+        hr(0, 16)
