@@ -1873,22 +1873,23 @@ def q_time_positions(sf_dir: str):
     """OgcTime domain merge (M10/A4): per event_type, the distinct sorted
     time-position domain summarized as (count, oldest, newest) — the
     positions monoid + Oldest/Newest default selection."""
-    import pandas as pd
-
-    from ..functions.ogctime import OgcTimePositions
-
     ds = read(sf_dir, "events", ["event_type", "ts"])
 
-    def per_type(g: pd.DataFrame) -> pd.DataFrame:
-        dom = OgcTimePositions.of(list(g["ts"].values))
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "n_positions": [np.int64(len(dom.times))],
-            "oldest": [pd.Timestamp(dom.default("oldest"))],
-            "newest": [pd.Timestamp(dom.default("newest"))],
-        })
+    # combiner distinct per batch, then one coalesced combine (event types
+    # are an enum — a bounded key space, same rule as small_key_space)
+    def partial_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "ts"]).aggregate([])
 
-    out = ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+    def finalize(b: pa.Table) -> pa.Table:
+        d = b.group_by(["event_type", "ts"]).aggregate([])
+        g = d.group_by(["event_type"]).aggregate(
+            [("ts", "count"), ("ts", "min"), ("ts", "max")]
+        )
+        return g.select(["event_type", "ts_count", "ts_min", "ts_max"]) \
+            .rename_columns(["event_type", "n_positions", "oldest", "newest"])
+
+    out = ds.map_batches(partial_distinct, batch_format="pyarrow") \
+        .repartition(1).map_batches(finalize, batch_format="pyarrow")
     return _cast_cols(out, {"n_positions": I64})
 
 
