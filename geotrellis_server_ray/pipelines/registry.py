@@ -1510,20 +1510,48 @@ def q_embedding_neardup(sf_dir: str):
     ds = ds.map_batches(plant, batch_format="pyarrow")
     ds = ds.map_batches(LshBuckets(dim=dim, nbits=16), batch_format="pyarrow")
 
-    def pairs(group):
-        import pandas as pd
+    # many buckets per Python call (hash-partition by bucket, one vectorized
+    # pass per partition) — mostly-singleton LSH buckets must never cost one
+    # map_groups invocation each
+    from ..stages.focal import add_key_partition, flat_cells
 
-        ids = group["vec_id"].to_numpy()
-        embs = np.stack([np.asarray(e, dtype=np.float64) for e in group["embedding"]])
-        norms = np.linalg.norm(embs, axis=1, keepdims=True)
-        sims = (embs / norms) @ (embs / norms).T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        hit = sims[ia, ib] >= 0.999
-        a = np.minimum(ids[ia[hit]], ids[ib[hit]])
-        b = np.maximum(ids[ia[hit]], ids[ib[hit]])
-        return pd.DataFrame({"vec_a": a.astype(np.int64), "vec_b": b.astype(np.int64)})
+    ds = ds.map_batches(
+        partial(add_key_partition, key_cols=["bucket"], num_partitions=16),
+        batch_format="pyarrow",
+    )
 
-    out = ds.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    def pairs_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], I64), "vec_b": pa.array([], I64)})
+        n = len(t)
+        if n == 0:
+            return empty
+        bkt = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        embs = flat_cells(t.column("embedding"), dim)
+        order = np.lexsort((ids, bkt))
+        bkt, ids, embs = bkt[order], ids[order], embs[order]
+        nb = np.ones(n, dtype=bool)
+        nb[1:] = bkt[1:] != bkt[:-1]
+        seg = np.cumsum(nb) - 1
+        starts = np.nonzero(nb)[0]
+        pos = np.arange(n, dtype=np.int64) - starts[seg]
+        total = int(pos.sum())
+        if total == 0:
+            return empty
+        b_rep = np.repeat(np.arange(n, dtype=np.int64), pos)
+        csum = np.concatenate([[0], np.cumsum(pos)])
+        within = np.arange(total, dtype=np.int64) - np.repeat(csum[:-1], pos)
+        a_rep = np.repeat(np.arange(n, dtype=np.int64) - pos, pos) + within
+        en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+        sims = np.einsum("ij,ij->i", en[a_rep], en[b_rep])
+        hit = sims >= 0.999
+        ia, ib = ids[a_rep][hit], ids[b_rep][hit]
+        return pa.table({
+            "vec_a": pa.array(np.minimum(ia, ib)),
+            "vec_b": pa.array(np.maximum(ia, ib)),
+        })
+
+    out = ds.groupby("part").map_groups(pairs_part, batch_format="pyarrow")
     return _cast_cols(out, {"vec_a": I64, "vec_b": I64})
 
 
