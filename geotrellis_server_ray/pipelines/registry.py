@@ -407,6 +407,37 @@ SELECT o_orderkey FROM orders WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) 
 
 # ------------------------------------------------------------ text operators
 
+def q_fact_fact_join(sf_dir: str):
+    """Exchange-based N:M hash join between two FACT tables (the path
+    BroadcastLookup's uniqueness guard points at: neither side is a
+    broadcastable dimension at 100 TB): lineitem joins orders on orderkey
+    via Dataset.join (hash shuffle on both sides), then a combiner aggregate
+    per order status. The engine's other joins stay broadcast/semi/as-of;
+    this is the all-to-all fallback, used only when both sides scale."""
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    li = li.map_batches(partial(add_cents, cols={"qty_c": "l_quantity"}), batch_format="pyarrow")
+    li = li.map_batches(lambda b: b.select(["l_orderkey", "qty_c"]), batch_format="pyarrow")
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    out = grouped_sums(
+        j.map_batches(lambda b: b.select(["o_orderstatus", "qty_c"]), batch_format="pyarrow")
+        .map_batches(lambda b: b.append_column("n_items", pa.array(np.ones(len(b), dtype=np.int64))),
+                     batch_format="pyarrow"),
+        ["o_orderstatus"], ["qty_c", "n_items"], small_key_space=True,
+    )
+    return _cast_cols(out, {"qty_c": I64, "n_items": I64})
+
+
+def sql_fact_fact_join() -> str:
+    return """
+SELECT o.o_orderstatus,
+       CAST(sum(CAST(round(l.l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_c,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus"""
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact dedup keyed on a 128-bit content hash (two independent 64-bit
     polynomial hashes), not the raw text: the shuffle key is 16 bytes
@@ -2901,6 +2932,7 @@ QUERIES: dict[str, tuple] = {
     "first_order_per_customer": (q_first_order, sql_first_order),
     "or_union_dup": (q_or_union_dup, sql_or_union_dup),
     # training-data text ops
+    "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "exact_dedup": (q_exact_dedup, sql_exact_dedup),
     "token_counts": (q_token_counts, sql_token_counts),
     "bpe_token_counts": (q_bpe_token_counts, sql_bpe_token_counts),
