@@ -1587,9 +1587,21 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def sql_embedding_neardup() -> str:
+    # BRUTE-FORCE oracle: every pair of the planted corpus with cosine >=
+    # 0.999 (not just the planted-pair formula) — the engine's LSH-bucketed
+    # plan must reproduce the exhaustive answer. (Identical planted vectors
+    # share a bucket with probability 1; independent 64-dim vectors never
+    # reach 0.999, so bucketing loses nothing on this corpus — asserted by
+    # this oracle rather than assumed.)
     return f"""
-SELECT CAST(vec_id AS BIGINT) AS vec_a, CAST(vec_id + {EMB_PLANT_OFFSET} AS BIGINT) AS vec_b
-FROM embeddings WHERE vec_id % {EMB_PLANT_STRIDE} = 0"""
+WITH allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET}, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id % {EMB_PLANT_STRIDE} = 0)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.999e0"""
 
 
 def q_lang_id(sf_dir: str):
