@@ -340,10 +340,14 @@ def verify_pairs(pairs_ds, docs_ds, id_col: str = "doc_id", text_col: str = "tex
     shuffle; texts never leave their blocks."""
     from functools import partial as _p
 
+    # materialize: BOTH joins consume the sketch stream; without this the
+    # token-hash + shingle computation re-executes once per join side.
+    # Sketches are ~8 B/distinct shingle (about half the text bytes) and
+    # spill like any block, so storing beats recomputing.
     sk = docs_ds.map_batches(
         _p(shingle_sketch_batch, id_col=id_col, text_col=text_col, shingle_k=shingle_k),
         batch_format="pyarrow",
-    )
+    ).materialize()
     j1 = pairs_ds.join(sk, join_type="inner", num_partitions=num_partitions,
                        on=("id_a",), right_on=(id_col,))
     j2 = j1.join(sk, join_type="inner", num_partitions=num_partitions,
