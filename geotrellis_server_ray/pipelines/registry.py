@@ -407,6 +407,65 @@ SELECT o_orderkey FROM orders WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) 
 
 # ------------------------------------------------------------ text operators
 
+QF_MIN_TOK, QF_MAX_TOK = 20, 400
+QF_SAMPLE_ONE_IN = 4
+
+
+def q_quality_filter(sf_dir: str):
+    """The canonical LLM-data curation pipeline as ONE fused map chain:
+    token-count + character-class + language-ID features -> threshold filter
+    (token count in range, alpha ratio >= 0.5, predicted 'en') ->
+    deterministic 1-in-4 survivor sample by multiplicative id hash (stable
+    across block layouts; at 10^12 docs the same chain streams with no
+    shuffle at all). Output (doc_id, n_tokens, n_alpha)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(T.token_count_batch, batch_format="pyarrow")
+    ds = ds.map_batches(T.quality_batch, batch_format="pyarrow")
+    ds = ds.map_batches(T.LangId(), batch_format="pyarrow")
+
+    C = np.uint64(0x9E3779B97F4A7C15)
+
+    def filt(b: pa.Table) -> pa.Table:
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        na = b.column("n_alpha").to_numpy(zero_copy_only=False)
+        nc = b.column("n_chars_obs").to_numpy(zero_copy_only=False)
+        lang = pc.equal(b.column("lang_pred"), pa.scalar("en")).to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * C) >> np.uint64(33)
+        keep = ((nt >= QF_MIN_TOK) & (nt <= QF_MAX_TOK)
+                & (na * 2 >= nc) & lang
+                & (h % np.uint64(QF_SAMPLE_ONE_IN) == 0))
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(t.column("n_tokens"), I64),
+            "n_alpha": pc.cast(t.column("n_alpha"), I64),
+        })
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def sql_quality_filter() -> str:
+    lang_sql = sql_lang_id().strip()
+    C = 0x9E3779B97F4A7C15
+    return f"""
+WITH lang AS ({lang_sql}),
+feat AS (
+  SELECT d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(d.text) - length(regexp_replace(d.text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(d.text) AS BIGINT) AS n_chars,
+         l.lang_pred
+  FROM documents d JOIN lang l ON l.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, n_alpha
+FROM feat
+WHERE n_tokens BETWEEN {QF_MIN_TOK} AND {QF_MAX_TOK}
+  AND n_alpha * 2 >= n_chars
+  AND lang_pred = 'en'
+  AND (CAST(doc_id AS HUGEINT) * {C} % {_M64}) // {1 << 33} % {QF_SAMPLE_ONE_IN} = 0"""
+
+
 def q_fact_fact_join(sf_dir: str):
     """Exchange-based N:M hash join between two FACT tables (the path
     BroadcastLookup's uniqueness guard points at: neither side is a
@@ -2944,6 +3003,7 @@ QUERIES: dict[str, tuple] = {
     "first_order_per_customer": (q_first_order, sql_first_order),
     "or_union_dup": (q_or_union_dup, sql_or_union_dup),
     # training-data text ops
+    "quality_filter": (q_quality_filter, sql_quality_filter),
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "exact_dedup": (q_exact_dedup, sql_exact_dedup),
     "token_counts": (q_token_counts, sql_token_counts),
