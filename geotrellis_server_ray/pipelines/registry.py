@@ -1032,6 +1032,21 @@ def q_knn_media(sf_dir: str):
     return _cast_cols(out, {"query_id": I64, "rank": I64, "span_idx": I64})
 
 
+def q_knn_media_ring(sf_dir: str):
+    """The cell-ring-PRUNED kNN path (the north rule's cell-ring expansion)
+    against the SAME brute-force SQL oracle: candidates outside the query
+    rings skip the distance kernel; per-query bound validation falls back to
+    an unpruned scan whenever pruning could have cost a true neighbor, so
+    the result is provably identical to brute force — which is exactly what
+    the shared oracle asserts."""
+    from ..stages.knn import knn
+
+    ds = geo.anchored_spans(sf_dir)
+    out = knn(ds, _knn_queries(), k=KNN_K, ring_level=4, ring_k=2)
+    # the ring path returns a pandas frame (driver-merged partials)
+    return out.astype({"query_id": "int64", "rank": "int64", "span_idx": "int64"})
+
+
 def sql_knn_media() -> str:
     qid, qlon, qlat = _knn_queries()
     vals = ", ".join(f"({int(i)}, {flit(lo)}, {flit(la)})" for i, lo, la in zip(qid, qlon, qlat))
@@ -3021,6 +3036,7 @@ QUERIES: dict[str, tuple] = {
     "catalog_query": (q_catalog_query, sql_catalog_query),
     # kNN
     "knn_media": (q_knn_media, sql_knn_media),
+    "knn_media_ring": (q_knn_media_ring, sql_knn_media),
     # multimodal
     "media_meta": (q_media_meta, sql_media_meta),
     "frame_sample": (q_frame_sample, sql_frame_sample),
