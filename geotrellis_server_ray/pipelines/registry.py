@@ -1021,6 +1021,59 @@ def _knn_queries():
     return qid, qlon, qlat
 
 
+OGC_T1, OGC_T2 = "2024-01-08", "2024-01-20"
+
+
+def q_catalog_query_ogc(sf_dir: str):
+    """The SECOND Between semantics (SURVEY.md §2.2 Q3 / §7.4 dual-semantics
+    trap), oracle-backed: OgcSourceRepository layers carry an OgcTime DOMAIN
+    (empty | interval | positions) and Between(t1, t2) matches when either
+    envelope endpoint falls in [t1, t2] INCLUSIVE — unlike eval_catalog's
+    half-open rule (proven by the catalog_query oracle). Catalogs are the
+    reference's small in-memory repositories, so evaluation is driver-side
+    (J1 small-side rule)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..functions import query_algebra as qa
+    from ..functions.ogctime import OgcTimeEmpty, OgcTimeInterval, OgcTimePositions
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    k = t.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    base = np.datetime64("2024-01-01")
+
+    def dom(i):
+        kind = int(k[i]) % 3
+        if kind == 0:
+            return OgcTimeEmpty()
+        s = base + np.timedelta64(int(k[i]), "D")
+        e = base + np.timedelta64(int(k[i]) + (10 if kind == 1 else 5), "D")
+        if kind == 1:
+            return OgcTimeInterval(pd.Timestamp(s), pd.Timestamp(e))
+        return OgcTimePositions((pd.Timestamp(s), pd.Timestamp(e)))
+
+    cat = pd.DataFrame({
+        "name": t.column("n_name").to_pylist(),
+        "kind": (k % 3).astype(np.int64),
+        "time": [dom(i) for i in range(len(k))],
+    })
+    hit = qa.eval_ogc_catalog(qa.between(OGC_T1, OGC_T2), cat)
+    return hit[["name", "kind"]].reset_index(drop=True).astype({"kind": "int64"})
+
+
+def sql_catalog_query_ogc() -> str:
+    return f"""
+WITH cat AS (
+  SELECT n_name AS name, n_nationkey % 3 AS kind,
+         DATE '2024-01-01' + n_nationkey * INTERVAL 1 DAY AS s,
+         DATE '2024-01-01' + (n_nationkey + CASE WHEN n_nationkey % 3 = 1 THEN 10 ELSE 5 END) * INTERVAL 1 DAY AS e
+  FROM nation)
+SELECT name, CAST(kind AS BIGINT) AS kind FROM cat
+WHERE kind = 0
+   OR (s BETWEEN TIMESTAMP '{OGC_T1}' AND TIMESTAMP '{OGC_T2}')
+   OR (e BETWEEN TIMESTAMP '{OGC_T1}' AND TIMESTAMP '{OGC_T2}')"""
+
+
 def q_knn_media(sf_dir: str):
     """kNN point lookup (M13 generalized): k nearest media spans per query
     point by haversine; brute-force-broadcast partial top-k (the cell-ring
@@ -3034,6 +3087,7 @@ QUERIES: dict[str, tuple] = {
     "mosaic_merge": (q_mosaic_merge, sql_mosaic_merge),
     # catalog query algebra
     "catalog_query": (q_catalog_query, sql_catalog_query),
+    "catalog_query_ogc": (q_catalog_query_ogc, sql_catalog_query_ogc),
     # kNN
     "knn_media": (q_knn_media, sql_knn_media),
     "knn_media_ring": (q_knn_media_ring, sql_knn_media),
