@@ -1021,6 +1021,56 @@ def _knn_queries():
     return qid, qlon, qlat
 
 
+def q_time_slice_oldest(sf_dir: str):
+    """Q13 timeSlice at data scale (stac-example/.../stac/package.scala:
+    113-121 + OgcTimeDefault.selectTime): when the query carries no time,
+    temporal sources slice to the DEFAULT position — here Oldest per
+    event_type. Two-pass shape: combiner min per type (tiny), broadcast as a
+    sorted lookup, then a streaming filter keeps only rows AT the default
+    position. Output per-type kept-row counts."""
+    import ray
+
+    ds = read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate([("ts", "min")])
+        return g.rename_columns(["event_type", "ts_min"])
+
+    mins = ds.map_batches(partial_min, batch_format="pyarrow") \
+        .repartition(1).map_batches(
+            lambda b: b.group_by(["event_type"]).aggregate([("ts_min", "min")])
+            .rename_columns(["event_type", "ts_min"]),
+            batch_format="pyarrow",
+        ).take_all()  # enum-bounded: a handful of rows
+    lut = {r["event_type"]: np.datetime64(r["ts_min"], "us") for r in mins}
+    lref = ray.put(lut)
+
+    def keep_default(b: pa.Table) -> pa.Table:
+        lk = ray.get(lref)
+        # enum-bounded OR of (type == k AND ts == default_k) — vectorized
+        mask = pa.array(np.zeros(len(b), dtype=bool))
+        for k, v in lk.items():
+            m = pc.and_(pc.equal(b.column("event_type"), pa.scalar(k)),
+                        pc.equal(b.column("ts"), pa.scalar(v.item(), pa.timestamp("us"))))
+            mask = pc.or_(mask, pc.fill_null(m, False))
+        t = b.filter(mask)
+        return pa.table({"event_type": t.column("event_type"),
+                         "n": pa.array(np.ones(len(t), dtype=np.int64))})
+
+    out = grouped_sums(ds.map_batches(keep_default, batch_format="pyarrow"),
+                       ["event_type"], ["n"], small_key_space=True)
+    return _cast_cols(out, {"n": I64})
+
+
+def sql_time_slice_oldest() -> str:
+    return """
+WITH sliced AS (
+  SELECT event_type, ts, min(ts) OVER (PARTITION BY event_type) AS t0
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM sliced WHERE ts = t0 GROUP BY event_type"""
+
+
 OGC_T1, OGC_T2 = "2024-01-08", "2024-01-20"
 
 
@@ -3136,6 +3186,7 @@ QUERIES: dict[str, tuple] = {
     "maml_multiband_eval": (q_maml_multiband_eval, sql_maml_multiband_eval),
     "quantity_histogram": (q_quantity_histogram, sql_quantity_histogram),
     "time_positions": (q_time_positions, sql_time_positions),
+    "time_slice_oldest": (q_time_slice_oldest, sql_time_slice_oldest),
     "feature_info_lookup": (q_feature_info_lookup, sql_feature_info_lookup),
 }
 
