@@ -1302,11 +1302,15 @@ def _verified_neardup_pairs(sf_dir: str):
 
     from ..stages.dedup import lsh_candidate_pairs, verify_pairs
 
-    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    src = f"{sf_dir}/documents.parquet"
+    n_rows = pq.ParquetFile(src).metadata.num_rows
+    st = os.stat(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
     workdir = f"/tmp/graft_minhash/{tag}"
     meta_path = f"{workdir}/_meta.json"
-    key = f"{sf_dir}:{n_rows}:jac0.8"
+    # size+mtime guard: regenerated testdata with the same row count must
+    # invalidate the cached artifact
+    key = f"{sf_dir}:{n_rows}:{st.st_size}:{int(st.st_mtime)}:jac0.8"
     if os.path.exists(meta_path):
         try:
             if json.load(open(meta_path)).get("key") == key:
@@ -2486,10 +2490,12 @@ def q_ann_ivf_topk(sf_dir: str):
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     import pyarrow.parquet as pq
 
-    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    src = f"{sf_dir}/embeddings.parquet"
+    n_rows = pq.ParquetFile(src).metadata.num_rows
+    st = os.stat(src)
     out = ivf_exact_topk(ds, queries, dim=dim, workdir=f"/tmp/graft_ivf/{sf_tag}",
                          k=ANN_K, nprobe=6, kcells=16,
-                         layout_key=f"{sf_dir}:{n_rows}")
+                         layout_key=f"{sf_dir}:{n_rows}:{st.st_size}:{int(st.st_mtime)}")
     return out
 
 
