@@ -388,12 +388,14 @@ def eval_ogc_catalog(q: dict, catalog: pd.DataFrame) -> pd.DataFrame:
     return eval_catalog(q, catalog)
 
 
-def to_arrow_filter(q: dict):
+def to_arrow_filter(q: dict, time_col: str = "event_time", temporal_rule: str = "ogc"):
     """Compile the query to a pyarrow dataset filter expression for pushdown
     at the read (the engine's analog of SearchFilters.eval compiling Query ->
     STAC search, stac-example/.../SearchFiltersQuery.scala:123-146). Spatial
     nodes compile to bbox-overlap conjunctions over (xmin..ymax) columns;
-    returns None for universal queries."""
+    returns None for universal queries. ``time_col`` names the timestamp
+    column; ``temporal_rule`` selects the null-time arm exactly like
+    eval_catalog ('ogc' = non-temporal matches all, 'raster' = excluded)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads  # noqa: F401  (expression namespace)
 
@@ -419,21 +421,23 @@ def to_arrow_filter(q: dict):
         )
     if node == "at":
         t = _parse_ts(body["time"])
-        return pc.field("event_time").is_null() | (pc.field("event_time") == t)
+        hit = pc.field(time_col) == t
+        return (pc.field(time_col).is_null() | hit) if temporal_rule == "ogc" else hit
     if node == "between":
         t1, t2 = _parse_ts(body["from"]), _parse_ts(body["to"])
-        return pc.field("event_time").is_null() | (
-            (pc.field("event_time") >= t1) & (pc.field("event_time") < t2)
-        )
+        hit = (pc.field(time_col) >= t1) & (pc.field(time_col) < t2)
+        return (pc.field(time_col).is_null() | hit) if temporal_rule == "ogc" else hit
     if node == "and":
-        lf, rf = to_arrow_filter(body["left"]), to_arrow_filter(body["right"])
+        lf = to_arrow_filter(body["left"], time_col, temporal_rule)
+        rf = to_arrow_filter(body["right"], time_col, temporal_rule)
         if lf is None:
             return rf
         if rf is None:
             return lf
         return lf & rf
     if node == "or":
-        lf, rf = to_arrow_filter(body["left"]), to_arrow_filter(body["right"])
+        lf = to_arrow_filter(body["left"], time_col, temporal_rule)
+        rf = to_arrow_filter(body["right"], time_col, temporal_rule)
         if lf is None or rf is None:
             return None
         return lf | rf

@@ -320,14 +320,20 @@ FROM events GROUP BY 1, 2"""
 
 def q_events_between(sf_dir: str):
     """Between(t1, t2) half-open temporal filter (Q3 semantics,
-    RasterSourceRepository.scala:56-57: t1 <= t < t2)."""
-    ds = read(sf_dir, "events", ["event_type", "ts"])
-    lo = pa.scalar(np.datetime64("2024-01-10", "us"))
-    hi = pa.scalar(np.datetime64("2024-01-20", "us"))
+    RasterSourceRepository.scala:56-57: t1 <= t < t2), PUSHED DOWN to the
+    parquet read: the Q11 compiler turns the query AST into a pyarrow
+    dataset filter, so non-matching row groups never leave storage ("prune
+    at the read")."""
+    import ray.data as rd
+
+    from ..functions import query_algebra as qa
+
+    expr = qa.to_arrow_filter(qa.between("2024-01-10", "2024-01-20"),
+                              time_col="ts", temporal_rule="raster")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"],
+                         filter=expr)
 
     def prep(b: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.greater_equal(b.column("ts"), lo), pc.less(b.column("ts"), hi))
-        b = b.filter(keep)
         return pa.table({"event_type": b.column("event_type"),
                          "n": pa.array(np.ones(len(b), dtype=np.int64))})
 
