@@ -1027,6 +1027,71 @@ def _knn_queries():
     return qid, qlon, qlat
 
 
+SH_MAX_CELLS = 40_000
+SH_CELL = (0.5, 0.5)
+SH_EXTENT = (-180.0, -70.0, 180.0, 70.0)
+
+
+def _sh_windows():
+    from ..functions.geometry import Extent
+    from ..functions.sampling import sample_raster_extent
+
+    return sample_raster_extent(Extent(*SH_EXTENT), SH_CELL, SH_MAX_CELLS)
+
+
+def q_sampled_histogram(sf_dir: str):
+    """LayerHistogram's cell-budget sampling end-to-end (C3 + C9 + A1,
+    LayerHistogram.scala:46-94 + SampleUtils.scala:29-48): only spans inside
+    the four corner sample windows contribute to the fixed-bin NDVI
+    histogram. Window bounds come from the SAME sample_raster_extent call
+    the SQL twin embeds as literals, so the spatial cut is bit-identical."""
+    windows = _sh_windows()
+    ds = geo.anchored_spans(sf_dir, zoom=12)
+
+    def binned(b: pa.Table) -> pa.Table:
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        inside = np.zeros(len(b), dtype=bool)
+        for w in windows:
+            inside |= (lon >= w.xmin) & (lon <= w.xmax) & (lat >= w.ymin) & (lat <= w.ymax)
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        red = ((x * 64 + y * 17) % 256).astype(np.float64)
+        nir = ((x * 31 + y * 7) % 256).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nd = (red - nir) / (red + nir)
+        keep = inside & np.isfinite(nd)
+        bins = np.clip(np.floor((nd + 1.0) / 2.0 * ZH_BINS), 0, ZH_BINS - 1)
+        return pa.table({
+            "bin": pa.array(bins[keep].astype(np.int64)),
+            "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+        })
+
+    out = grouped_sums(ds.map_batches(binned, batch_format="pyarrow"),
+                       ["bin"], ["n"], small_key_space=True)
+    return _cast_cols(out, {"bin": I64, "n": I64})
+
+
+def sql_sampled_histogram() -> str:
+    xe, ye = _tile_xy_sql(12)
+    wins = " OR ".join(
+        f"(s.lon >= {flit(w.xmin)} AND s.lon <= {flit(w.xmax)}"
+        f" AND s.lat >= {flit(w.ymin)} AND s.lat <= {flit(w.ymax)})"
+        for w in _sh_windows()
+    )
+    return f"""{SPANS}
+, t AS (
+  SELECT {xe} AS x, {ye} AS y
+  FROM spans_flat s WHERE s.is_media AND ({wins})),
+v AS (
+  SELECT CAST((x * 64 + y * 17) % 256 AS DOUBLE) AS red,
+         CAST((x * 31 + y * 7) % 256 AS DOUBLE) AS nir
+  FROM t)
+SELECT CAST(LEAST(GREATEST(floor(((red - nir) / (red + nir) + 1.0e0) / 2.0e0 * {ZH_BINS}.0e0), 0), {ZH_BINS - 1}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM v WHERE red + nir <> 0 GROUP BY 1"""
+
+
 def q_time_slice_oldest(sf_dir: str):
     """Q13 timeSlice at data scale (stac-example/.../stac/package.scala:
     113-121 + OgcTimeDefault.selectTime): when the query carries no time,
@@ -3197,6 +3262,7 @@ QUERIES: dict[str, tuple] = {
     "maml_tms_eval": (q_maml_tms_eval, sql_maml_tms_eval),
     "maml_multiband_eval": (q_maml_multiband_eval, sql_maml_multiband_eval),
     "quantity_histogram": (q_quantity_histogram, sql_quantity_histogram),
+    "sampled_histogram": (q_sampled_histogram, sql_sampled_histogram),
     "time_positions": (q_time_positions, sql_time_positions),
     "time_slice_oldest": (q_time_slice_oldest, sql_time_slice_oldest),
     "feature_info_lookup": (q_feature_info_lookup, sql_feature_info_lookup),
