@@ -2192,6 +2192,43 @@ SELECT CAST(LEAST(GREATEST(floor(l_quantity / 60.0e0 * 60.0e0), 0), 59) AS BIGIN
 FROM lineitem GROUP BY 1"""
 
 
+CB_N = 9  # color-ramp break count
+
+
+def q_color_breaks(sf_dir: str):
+    """A2 color breaks at the gate (ColorRampStyle.scala:39-53): observed
+    value min/max come from a distributed combiner (per-batch pyarrow
+    min/max, coalesced), then breaks = linspace(min, max, n) scaled to
+    integer cents. The linspace arithmetic is replayed in SQL from the same
+    aggregate bounds."""
+    ds = read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial_mm(b: pa.Table) -> pa.Table:
+        g = b.group_by([]).aggregate([("l_quantity", "min"), ("l_quantity", "max")])
+        return g.rename_columns(["vmin", "vmax"])
+
+    mm = ds.map_batches(partial_mm, batch_format="pyarrow").repartition(1).map_batches(
+        lambda b: b.group_by([]).aggregate([("vmin", "min"), ("vmax", "max")])
+        .rename_columns(["vmin", "vmax"]),
+        batch_format="pyarrow",
+    ).take_all()[0]
+    from ..functions.histogram import color_breaks
+
+    br = color_breaks(float(mm["vmin"]), float(mm["vmax"]), CB_N)
+    return pa.table({
+        "idx": pa.array(np.arange(CB_N, dtype=np.int64)),
+        "break_c": pa.array(np.floor(br * 100.0).astype(np.int64)),
+    })
+
+
+def sql_color_breaks() -> str:
+    return f"""
+WITH mm AS (SELECT min(l_quantity) AS vmin, max(l_quantity) AS vmax FROM lineitem)
+SELECT CAST(i AS BIGINT) AS idx,
+       CAST(floor((vmin + (vmax - vmin) * CAST(i AS DOUBLE) / {CB_N - 1}.0e0) * 100.0e0) AS BIGINT) AS break_c
+FROM mm, LATERAL unnest(generate_series(0, {CB_N - 1})) AS u(i)"""
+
+
 def q_time_positions(sf_dir: str):
     """OgcTime domain merge (M10/A4): per event_type, the distinct sorted
     time-position domain summarized as (count, oldest, newest) — the
@@ -3263,6 +3300,7 @@ QUERIES: dict[str, tuple] = {
     "maml_multiband_eval": (q_maml_multiband_eval, sql_maml_multiband_eval),
     "quantity_histogram": (q_quantity_histogram, sql_quantity_histogram),
     "sampled_histogram": (q_sampled_histogram, sql_sampled_histogram),
+    "color_breaks": (q_color_breaks, sql_color_breaks),
     "time_positions": (q_time_positions, sql_time_positions),
     "time_slice_oldest": (q_time_slice_oldest, sql_time_slice_oldest),
     "feature_info_lookup": (q_feature_info_lookup, sql_feature_info_lookup),
