@@ -86,15 +86,16 @@ def main(argv: list[str] | None = None) -> int:
             if isinstance(ds, rd.Dataset):
                 ds.write_parquet(args.out)
                 n = rd.read_parquet(args.out).count()
-            else:  # pandas result
+            else:  # pandas DataFrame or pyarrow Table result
                 import pyarrow as pa
                 import pyarrow.parquet as pq
 
                 import os
 
                 os.makedirs(args.out, exist_ok=True)
-                pq.write_table(pa.Table.from_pandas(ds, preserve_index=False),
-                               f"{args.out}/part-00000.parquet")
+                tbl = ds if isinstance(ds, pa.Table) else pa.Table.from_pandas(
+                    ds, preserve_index=False)
+                pq.write_table(tbl, f"{args.out}/part-00000.parquet")
                 n = len(ds)
         else:
             n = ds.count() if isinstance(ds, rd.Dataset) else len(ds)

@@ -120,7 +120,11 @@ def compose_rgb(mbt: MultibandTile, lo: float = 0.0, hi: float = 255.0) -> np.nd
     if mbt.band_count < 3:
         raise ValueError("compose_rgb needs >= 3 bands")
     span = (hi - lo) or 1.0
-    ch = np.clip((mbt.values[:3] - lo) / span * 255.0, 0, 255).astype(np.uint32)
+    # nan_to_num before the uint cast: np.clip passes NaN through and a
+    # NaN->uint cast is platform-dependent garbage, which would make the
+    # encoded bytes of fully-transparent (alpha=0) pixels nondeterministic.
+    ch = np.nan_to_num(np.clip((mbt.values[:3] - lo) / span * 255.0, 0, 255),
+                       nan=0.0).astype(np.uint32)
     alpha = np.where(mbt.mask[:3].any(axis=0), np.uint32(0), np.uint32(255))
     return (ch[0] << 24) | (ch[1] << 16) | (ch[2] << 8) | alpha
 

@@ -403,8 +403,11 @@ def ivf_exact_topk(ds, queries: tuple[np.ndarray, np.ndarray], dim: int, workdir
         if len(s) >= k:
             L[qpos[q]] = s[k - 1]
 
-    # --- phase 2: unprobed cells whose upper bound could still matter
-    mask2 = (bound >= L[:, None]).T & ~mask1  # (kcells, Q)
+    # --- phase 2: unprobed cells whose upper bound could still matter.
+    # Restrict to PRESENT cells: a query with < k phase-1 hits leaves
+    # L = -inf, and (bound = -inf) >= (L = -inf) would otherwise admit
+    # absent cells, whose hive partitions have no files (ADVICE r2).
+    mask2 = (bound >= L[:, None]).T & ~mask1 & present[:, None]  # (kcells, Q)
     cells2 = np.nonzero(mask2.any(axis=1))[0]
     rows = list(p1)
     if len(cells2):
