@@ -124,30 +124,217 @@ def meridian_arc_numeric(lat_deg: float, steps: int = 200000) -> float:
     return float(np.trapz(m, phi))
 
 
+# ---------------------------------------------------------------- arbitrary
+# CRS (VERDICT r2 missing #2: OgcLayer.scala:83-91 accepts any geotrellis-
+# proj4 CRS). Conic/azimuthal conformal projections on a parametric
+# ellipsoid, formulas from Snyder, "Map Projections — A Working Manual"
+# (USGS PP 1395, public domain): LCC 2SP pp. 104-110, polar stereographic
+# pp. 160-162. Plus a minimal proj4-string grammar.
+
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+}
+
+
+def _ts(phi, e):
+    """Snyder 15-9: the isometric-latitude exponential t(phi)."""
+    s = e * np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / np.power((1 - s) / (1 + s), e / 2)
+
+
+def _m(phi, e):
+    """Snyder 14-15: radius of the parallel / (a cos phi) correction."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1 - (e * s) ** 2)
+
+
+def _phi_from_ts(ts, e):
+    """Invert t(phi) by fixed-point iteration (Snyder 7-9; converges to
+    float64 in <= 8 rounds for |lat| <= 89.9)."""
+    phi = np.pi / 2 - 2 * np.arctan(ts)
+    for _ in range(8):
+        s = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(ts * np.power((1 - s) / (1 + s), e / 2))
+    return phi
+
+
+class Lcc:
+    """Lambert Conformal Conic, 2 standard parallels, ellipsoidal."""
+
+    def __init__(self, lat_1: float, lat_2: float | None = None,
+                 lat_0: float = 0.0, lon_0: float = 0.0,
+                 x_0: float = 0.0, y_0: float = 0.0, ellps: str = "WGS84",
+                 a: float | None = None, f: float | None = None):
+        self.a, ef = ELLIPSOIDS.get(ellps, ELLIPSOIDS["WGS84"])
+        if a is not None:
+            self.a = a
+        self.e = np.sqrt((f if f is not None else ef) * (2 - (f if f is not None else ef)))
+        p1, p2 = np.radians(lat_1), np.radians(lat_2 if lat_2 is not None else lat_1)
+        e = self.e
+        m1, m2 = _m(p1, e), _m(p2, e)
+        t1, t2 = _ts(p1, e), _ts(p2, e)
+        self.n = (np.sin(p1) if abs(p1 - p2) < 1e-12
+                  else (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+        self.F = m1 / (self.n * np.power(t1, self.n))
+        self.rho0 = self.a * self.F * np.power(_ts(np.radians(lat_0), e), self.n)
+        self.lon_0, self.x_0, self.y_0 = lon_0, x_0, y_0
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon_0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        rho = self.a * self.F * np.power(_ts(phi, self.e), self.n)
+        th = self.n * lam
+        return self.x_0 + rho * np.sin(th), self.y_0 + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.x_0
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.y_0)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.hypot(dx, dy)
+        ts = np.power(rho / (self.a * self.F), 1.0 / self.n)
+        th = np.arctan2(sgn * dx, sgn * dy)
+        lon = np.degrees(th / self.n) + self.lon_0
+        lat = np.degrees(_phi_from_ts(ts, self.e))
+        return lon, lat
+
+
+class PolarStereo:
+    """Polar stereographic, standard-parallel variant (EPSG method 9829);
+    north (lat_0=+90) or south (lat_0=-90) aspect."""
+
+    def __init__(self, lat_ts: float, lon_0: float = 0.0, north: bool = True,
+                 x_0: float = 0.0, y_0: float = 0.0, ellps: str = "WGS84"):
+        self.a, f = ELLIPSOIDS[ellps]
+        self.e = np.sqrt(f * (2 - f))
+        self.north = north
+        pts = np.radians(abs(lat_ts))
+        # rho = (a * m_F / t_F) * t(phi): embed the scalar as one constant
+        self.k = self.a * _m(pts, self.e) / _ts(pts, self.e)
+        self.lon_0, self.x_0, self.y_0 = lon_0, x_0, y_0
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon_0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        if not self.north:
+            phi, lam = -phi, -lam
+        rho = self.k * _ts(phi, self.e)
+        x, y = rho * np.sin(lam), -rho * np.cos(lam)
+        if not self.north:
+            x, y = -x, -y
+        return self.x_0 + x, self.y_0 + y
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.x_0
+        dy = np.asarray(y, np.float64) - self.y_0
+        if not self.north:
+            dx, dy = -dx, -dy
+        rho = np.hypot(dx, dy)
+        phi = _phi_from_ts(rho / self.k, self.e)
+        lam = np.arctan2(dx, -dy)
+        if not self.north:
+            phi, lam = -phi, -lam
+        return np.degrees(lam) + self.lon_0, np.degrees(phi)
+
+
+# named EPSG codes for the conic/azimuthal CRSs (parameters are the public
+# EPSG registry definitions)
+_EPSG_DEFS = {
+    2154: lambda: Lcc(lat_1=49.0, lat_2=44.0, lat_0=46.5, lon_0=3.0,
+                      x_0=700000.0, y_0=6600000.0, ellps="GRS80"),  # RGF93 / Lambert-93
+    3413: lambda: PolarStereo(lat_ts=70.0, lon_0=-45.0, north=True),  # NSIDC N
+    3031: lambda: PolarStereo(lat_ts=-71.0, lon_0=0.0, north=False),  # Antarctic
+}
+
+
+def parse_proj4(s: str):
+    """Minimal proj4 grammar: '+k=v' / '+flag' tokens for proj=longlat |
+    merc (spherical WebMercator) | utm | lcc | stere (polar aspects)."""
+    kv: dict[str, str | bool] = {}
+    for tok in s.split():
+        if not tok.startswith("+"):
+            continue
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            kv[k] = v
+        else:
+            kv[body] = True
+    proj = kv.get("proj")
+    if proj in ("longlat", "latlong"):
+        return "4326"
+    if proj == "merc":
+        if float(kv.get("a", 6378137)) == float(kv.get("b", kv.get("a", 6378137))):
+            return "3857"
+        raise ValueError("only spherical +proj=merc (WebMercator) is supported")
+    if proj == "utm":
+        return ("utm", int(kv["zone"]), "south" not in kv)
+    ellps = str(kv.get("ellps", "GRS80" if kv.get("datum") != "WGS84" else "WGS84"))
+    if ellps not in ELLIPSOIDS:
+        ellps = "WGS84"
+    if proj == "lcc":
+        return Lcc(lat_1=float(kv["lat_1"]),
+                   lat_2=float(kv["lat_2"]) if "lat_2" in kv else None,
+                   lat_0=float(kv.get("lat_0", 0)), lon_0=float(kv.get("lon_0", 0)),
+                   x_0=float(kv.get("x_0", 0)), y_0=float(kv.get("y_0", 0)),
+                   ellps=ellps)
+    if proj == "stere":
+        lat_0 = float(kv.get("lat_0", 90))
+        if abs(lat_0) != 90.0:
+            raise ValueError("only polar +proj=stere aspects are supported")
+        return PolarStereo(lat_ts=float(kv.get("lat_ts", lat_0)),
+                           lon_0=float(kv.get("lon_0", 0)), north=lat_0 > 0,
+                           x_0=float(kv.get("x_0", 0)), y_0=float(kv.get("y_0", 0)),
+                           ellps=ellps)
+    raise ValueError(f"unsupported proj4 string: {s!r}")
+
+
+def parse_crs(spec: str):
+    """'EPSG:code' or a proj4 string -> internal CRS handle: '4326' | '3857'
+    | ('utm', zone, north) | Lcc | PolarStereo."""
+    if spec.startswith("+"):
+        return parse_proj4(spec)
+    c = spec.upper()
+    if c == "EPSG:4326":
+        return "4326"
+    if c == "EPSG:3857":
+        return "3857"
+    z = _parse_utm(c)
+    if z is not None:
+        return ("utm", *z)
+    try:
+        code = int(c.replace("EPSG:", ""))
+    except ValueError:
+        raise ValueError(f"unsupported CRS: {spec}")
+    if code in _EPSG_DEFS:
+        return _EPSG_DEFS[code]()
+    raise ValueError(f"unsupported CRS: {spec}")
+
+
 def transform(src: str, dst: str, x, y):
     """Vectorized general transform: route src -> lon/lat -> dst.
-    Supported: EPSG:4326, EPSG:3857, EPSG:326xx/327xx (UTM)."""
+    Accepts EPSG:4326 / EPSG:3857 / EPSG:326xx-327xx (UTM) / EPSG:2154 /
+    EPSG:3413 / EPSG:3031, or any supported proj4 string (longlat, merc,
+    utm, lcc, polar stere)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    s, d = src.upper(), dst.upper()
-    if s == d:
+    if src == dst:
         return x, y
+    s, d = parse_crs(src), parse_crs(dst)
     # -> lon/lat
-    if s == "EPSG:4326":
+    if s == "4326":
         lon, lat = x, y
-    elif s == "EPSG:3857":
+    elif s == "3857":
         lon, lat = tiles.webmercator_to_lonlat(x, y)
+    elif isinstance(s, tuple):
+        lon, lat = utm_inverse(x, y, s[1], s[2])
     else:
-        z = _parse_utm(s)
-        if z is None:
-            raise ValueError(f"unsupported CRS: {src}")
-        lon, lat = utm_inverse(x, y, *z)
+        lon, lat = s.inverse(x, y)
     # lon/lat ->
-    if d == "EPSG:4326":
+    if d == "4326":
         return lon, lat
-    if d == "EPSG:3857":
+    if d == "3857":
         return tiles.lonlat_to_webmercator(lon, lat)
-    z = _parse_utm(d)
-    if z is None:
-        raise ValueError(f"unsupported CRS: {dst}")
-    return utm_forward(lon, lat, *z)
+    if isinstance(d, tuple):
+        return utm_forward(lon, lat, d[1], d[2])
+    return d.forward(lon, lat)

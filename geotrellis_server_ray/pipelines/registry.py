@@ -3187,6 +3187,109 @@ SELECT CAST(gy AS BIGINT) AS row_id,
 FROM m GROUP BY gy"""
 
 
+def q_reproject_lcc_cells(sf_dir: str):
+    """M1 arbitrary-CRS CLOSED (VERDICT r2 missing #2): points synthesized in
+    the Lambert-93 zone are reprojected EPSG:4326 -> EPSG:2154 (Lambert
+    Conformal Conic 2SP on GRS80, functions/proj.py Snyder formulas) inside
+    map_batches and bucketed into 100 km projected-grid cells. The oracle
+    replays the closed-form LCC forward in SQL with the engine's own derived
+    constants (n, aF, rho0) embedded as full-precision literals."""
+    ds = read(sf_dir, "events", ["event_id"])
+
+    from ..functions.proj import Lcc
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = ((ids * 37) % 1300) / 100.0 - 4.0   # [-4, 9) — inside the zone
+        lat = ((ids * 53) % 900) / 100.0 + 41.5   # [41.5, 50.5)
+        crs = Lcc(lat_1=49.0, lat_2=44.0, lat_0=46.5, lon_0=3.0,
+                  x_0=700000.0, y_0=6600000.0, ellps="GRS80")
+        x, y = crs.forward(lon, lat)
+        return pa.table({
+            "cell_x": pa.array(np.floor(x / 100000.0).astype(np.int64)),
+            "cell_y": pa.array(np.floor(y / 100000.0).astype(np.int64)),
+        })
+
+    ds = ds.map_batches(assign, batch_format="pyarrow")
+    # projected-cell key space is zone-bounded (~10^2 cells): combiner tree
+    return grouped_sums(ds, ["cell_x", "cell_y"], [], count_as="n",
+                        small_key_space=True)
+
+
+def sql_reproject_lcc_cells() -> str:
+    from ..functions.proj import Lcc
+
+    crs = Lcc(lat_1=49.0, lat_2=44.0, lat_0=46.5, lon_0=3.0,
+              x_0=700000.0, y_0=6600000.0, ellps="GRS80")
+    e, n, aF, rho0 = (flit(crs.e), flit(float(crs.n)),
+                      flit(float(crs.a * crs.F)), flit(float(crs.rho0)))
+    return f"""
+WITH pts AS (
+  SELECT radians(((event_id * 37) % 1300) / 100.0 - 4.0 - 3.0) AS lam,
+         radians(((event_id * 53) % 900) / 100.0 + 41.5) AS phi
+  FROM events),
+fwd AS (
+  SELECT {n} * lam AS th,
+         {aF} * pow(tan(pi() / 4 - phi / 2)
+                    / pow((1 - {e} * sin(phi)) / (1 + {e} * sin(phi)), {e} / 2),
+                    {n}) AS rho
+  FROM pts),
+xy AS (
+  SELECT 700000.0 + rho * sin(th) AS x, 6600000.0 + {rho0} - rho * cos(th) AS y
+  FROM fwd)
+SELECT CAST(floor(x / 100000.0) AS BIGINT) AS cell_x,
+       CAST(floor(y / 100000.0) AS BIGINT) AS cell_y,
+       CAST(count(*) AS BIGINT) AS n
+FROM xy GROUP BY 1, 2"""
+
+
+def q_reproject_stereo_cells(sf_dir: str):
+    """M1 polar aspect: arctic points reprojected EPSG:4326 -> EPSG:3413
+    (polar stereographic north, lat_ts=70, lon_0=-45, WGS84) and bucketed
+    into 200 km projected cells; same closed-form-replay oracle contract as
+    the LCC query."""
+    ds = read(sf_dir, "events", ["event_id"])
+
+    from ..functions.proj import PolarStereo
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = ((ids * 97) % 3600) / 10.0 - 180.0  # [-180, 180)
+        lat = ((ids * 41) % 250) / 10.0 + 60.0    # [60, 85)
+        crs = PolarStereo(lat_ts=70.0, lon_0=-45.0, north=True)
+        x, y = crs.forward(lon, lat)
+        return pa.table({
+            "cell_x": pa.array(np.floor(x / 200000.0).astype(np.int64)),
+            "cell_y": pa.array(np.floor(y / 200000.0).astype(np.int64)),
+        })
+
+    ds = ds.map_batches(assign, batch_format="pyarrow")
+    # projected-cell key space is zone-bounded (~10^2 cells): combiner tree
+    return grouped_sums(ds, ["cell_x", "cell_y"], [], count_as="n",
+                        small_key_space=True)
+
+
+def sql_reproject_stereo_cells() -> str:
+    from ..functions.proj import PolarStereo
+
+    crs = PolarStereo(lat_ts=70.0, lon_0=-45.0, north=True)
+    e, k = flit(crs.e), flit(float(crs.k))
+    return f"""
+WITH pts AS (
+  SELECT radians(((event_id * 97) % 3600) / 10.0 - 180.0 - (-45.0)) AS lam,
+         radians(((event_id * 41) % 250) / 10.0 + 60.0) AS phi
+  FROM events),
+fwd AS (
+  SELECT lam,
+         {k} * tan(pi() / 4 - phi / 2)
+             / pow((1 - {e} * sin(phi)) / (1 + {e} * sin(phi)), {e} / 2) AS rho
+  FROM pts)
+SELECT CAST(floor(rho * sin(lam) / 200000.0) AS BIGINT) AS cell_x,
+       CAST(floor(-rho * cos(lam) / 200000.0) AS BIGINT) AS cell_y,
+       CAST(count(*) AS BIGINT) AS n
+FROM fwd GROUP BY 1, 2"""
+
+
 GC_N = 64  # synthetic GetCoverage request batch size
 
 
@@ -3461,6 +3564,8 @@ QUERIES: dict[str, tuple] = {
     # --- Block C: round-3 additions land here (inside the driver window)
     "stac_http_select": (q_stac_http_select, sql_stac_http_select),
     "stac_http_mosaic": (q_stac_http_mosaic, sql_stac_http_mosaic),
+    "reproject_lcc_cells": (q_reproject_lcc_cells, sql_reproject_lcc_cells),
+    "reproject_stereo_cells": (q_reproject_stereo_cells, sql_reproject_stereo_cells),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

@@ -66,3 +66,114 @@ def test_zone_codes():
     assert utm_zone_crs(17, north=False) == "EPSG:32717"
     with pytest.raises(ValueError):
         transform("EPSG:9999", "EPSG:4326", np.zeros(1), np.zeros(1))
+
+
+# ---------------------------------------------------------------- LCC / polar
+# stereographic (round-3 arbitrary-CRS surface). Oracles are independent of
+# the implementation: finite-difference scale factors vs the closed-form
+# radius of the ellipsoidal parallel, and exact geometric invariants.
+
+
+def _parallel_radius(lat_deg, ellps="GRS80"):
+    from geotrellis_server_ray.functions.proj import ELLIPSOIDS
+
+    a, f = ELLIPSOIDS[ellps]
+    e = np.sqrt(f * (2 - f))
+    phi = np.radians(lat_deg)
+    return a * np.cos(phi) / np.sqrt(1 - (e * np.sin(phi)) ** 2)
+
+
+def test_lcc_roundtrip_and_origin():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-4.5, 9.5, 2000)
+    lat = rng.uniform(41.5, 50.5, 2000)
+    x, y = transform("EPSG:4326", "EPSG:2154", lon, lat)
+    lon2, lat2 = transform("EPSG:2154", "EPSG:4326", x, y)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    # the grid origin (lat_0, lon_0) maps to the false origin exactly
+    x0, y0 = transform("EPSG:4326", "EPSG:2154", 3.0, 46.5)
+    assert abs(x0 - 700000.0) < 1e-6 and abs(y0 - 6600000.0) < 1e-6
+
+
+def test_lcc_scale_unity_at_standard_parallels():
+    """Secant-cone law (independent oracle): the point scale factor along a
+    parallel — finite-difference projected distance over the true distance
+    a*m(phi)*dlam — is exactly 1 on BOTH standard parallels, < 1 between
+    them, > 1 outside."""
+    def k(lat):
+        x0, y0 = transform("EPSG:4326", "EPSG:2154", 3.0, lat)
+        x1, y1 = transform("EPSG:4326", "EPSG:2154", 3.0001, lat)
+        return float(np.hypot(x1 - x0, y1 - y0)
+                     / (_parallel_radius(lat) * np.radians(0.0001)))
+
+    assert abs(k(49.0) - 1.0) < 1e-9
+    assert abs(k(44.0) - 1.0) < 1e-9
+    assert k(46.5) < 1.0 < k(51.5)
+    assert k(42.0) > 1.0
+
+
+def test_lcc_meridian_is_straight():
+    """lon = lon_0 maps onto the x = x_0 line for every latitude (conic
+    geometry: the central meridian is a straight generator)."""
+    lats = np.linspace(41.0, 51.0, 50)
+    x, _ = transform("EPSG:4326", "EPSG:2154", np.full_like(lats, 3.0), lats)
+    assert np.abs(x - 700000.0).max() < 1e-6
+
+
+def test_polar_stereo_roundtrip_and_pole():
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-180.0, 180.0, 2000)
+    lat = rng.uniform(55.0, 89.5, 2000)
+    x, y = transform("EPSG:4326", "EPSG:3413", lon, lat)
+    lon2, lat2 = transform("EPSG:3413", "EPSG:4326", x, y)
+    dl = np.abs((lon2 - lon + 180.0) % 360.0 - 180.0)
+    assert dl.max() < 1e-9 and np.abs(lat2 - lat).max() < 1e-9
+    # the pole maps to the false origin; rings of constant latitude are
+    # perfect circles about it
+    xp, yp = transform("EPSG:4326", "EPSG:3413", np.array([0.0]), np.array([90.0]))
+    assert abs(float(xp)) < 1e-6 and abs(float(yp)) < 1e-6
+    ring_lon = np.linspace(-180, 180, 73)
+    rx, ry = transform("EPSG:4326", "EPSG:3413", ring_lon, np.full_like(ring_lon, 75.0))
+    r = np.hypot(rx, ry)
+    assert np.ptp(r) < 1e-6
+
+
+def test_polar_stereo_scale_unity_at_lat_ts():
+    def k(lat):
+        x0, y0 = transform("EPSG:4326", "EPSG:3413", 10.0, lat)
+        x1, y1 = transform("EPSG:4326", "EPSG:3413", 10.0001, lat)
+        return float(np.hypot(x1 - x0, y1 - y0)
+                     / (_parallel_radius(lat, "WGS84") * np.radians(0.0001)))
+
+    assert abs(k(70.0) - 1.0) < 1e-9   # the standard parallel
+    assert k(80.0) < 1.0 < k(60.0)     # shrinks toward the pole
+
+
+def test_south_polar_aspect():
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180.0, 180.0, 500)
+    lat = rng.uniform(-89.5, -55.0, 500)
+    x, y = transform("EPSG:4326", "EPSG:3031", lon, lat)
+    lon2, lat2 = transform("EPSG:3031", "EPSG:4326", x, y)
+    dl = np.abs((lon2 - lon + 180.0) % 360.0 - 180.0)
+    assert dl.max() < 1e-9 and np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_proj4_string_parity_with_epsg():
+    """A proj4 string with the Lambert-93 / NSIDC parameters produces the
+    SAME coordinates as the named EPSG codes (grammar round-trip)."""
+    p4_lcc = ("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+              "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m +no_defs")
+    p4_ps = "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +datum=WGS84"
+    lon = np.array([2.35, 5.0])
+    lat = np.array([48.85, 44.0])
+    assert transform("EPSG:4326", p4_lcc, lon, lat)[0].tolist() == \
+        transform("EPSG:4326", "EPSG:2154", lon, lat)[0].tolist()
+    lat_n = np.array([75.0, 68.0])
+    assert transform("EPSG:4326", p4_ps, lon, lat_n)[1].tolist() == \
+        transform("EPSG:4326", "EPSG:3413", lon, lat_n)[1].tolist()
+    # utm + longlat through the grammar too
+    assert transform("+proj=longlat", "+proj=utm +zone=32", 9.0, 0.0)[0] == 500000.0
+    with pytest.raises(ValueError):
+        transform("EPSG:4326", "+proj=stere +lat_0=45", 0.0, 0.0)  # oblique
