@@ -2588,8 +2588,8 @@ def q_asof_click_view(sf_dir: str):
     ds = read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
     out = asof_join(
         ds, "user_id", "ts",
-        left_pred=lambda g: g["event_type"] == "click",
-        right_pred=lambda g: g["event_type"] == "view",
+        left_pred=lambda t: pc.equal(t.column("event_type"), "click"),
+        right_pred=lambda t: pc.equal(t.column("event_type"), "view"),
     )
     return _cast_cols(out, {"user_id": I64, "left_id": I64})
 

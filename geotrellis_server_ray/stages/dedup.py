@@ -196,7 +196,8 @@ class MinHashLsh:
         })
 
 
-def lsh_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
+def lsh_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        num_partitions: int | None = None):
     """docs -> candidate near-dup pairs via banded minhash LSH.
 
     Scale shape: ONE shuffle of the banded rows (docs x BANDS x 3 ints) —
@@ -215,8 +216,11 @@ def lsh_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
     # Pair generation: many buckets per Python call (hash-partition by bucket
     # key, vectorized i<j combination generation within the partition) — NOT
     # one map_groups call per bucket, which at 100 TB would be one Python
-    # invocation per near-dup group.
-    P = 32
+    # invocation per near-dup group. Width from the engine config (~1 per
+    # cluster CPU) unless given explicitly.
+    from ..config import shuffle_partitions
+
+    P = num_partitions or shuffle_partitions()
 
     def add_part(b: pa.Table) -> pa.Table:
         bh = b.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -331,7 +335,8 @@ def _pair_jaccard(blob_a, blob_b) -> np.ndarray:
 
 
 def verify_pairs(pairs_ds, docs_ds, id_col: str = "doc_id", text_col: str = "text",
-                 threshold: float = 0.8, shingle_k: int = 3, num_partitions: int = 8):
+                 threshold: float = 0.8, shingle_k: int = 3,
+                 num_partitions: int | None = None):
     """Distributed candidate-pair verification — no corpus broadcast, no
     driver materialization (fixes VERDICT round-1 What's-wrong #1). Word-
     shingle sketches are computed per doc in map_batches, hash-shuffle-joined
@@ -339,6 +344,11 @@ def verify_pairs(pairs_ds, docs_ds, id_col: str = "doc_id", text_col: str = "tex
     vectorized per batch. The only wide data movement is the doc-sketch join
     shuffle; texts never leave their blocks."""
     from functools import partial as _p
+
+    from ..config import shuffle_partitions
+
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
 
     # materialize: BOTH joins consume the sketch stream; without this the
     # token-hash + shingle computation re-executes once per join side.
@@ -417,7 +427,7 @@ def char3gram_sketch_batch(batch: pa.Table, id_col: str = "doc_id",
 
 
 def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
-                         max_iters: int = 64, num_partitions: int = 8,
+                         max_iters: int = 64, num_partitions: int | None = None,
                          small_edge_threshold: int = 5_000_000):
     """Cluster assignment over a near-dup edge list. Deterministic: the
     final label of every member is the component's minimum doc id.
@@ -437,6 +447,11 @@ def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
     import ray
     import ray.data as rd
     from ray.data.aggregate import Min
+
+    from ..config import shuffle_partitions
+
+    if num_partitions is None:
+        num_partitions = shuffle_partitions()
 
 
     # symmetric edges once (a->b and b->a)

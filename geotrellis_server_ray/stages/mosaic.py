@@ -95,8 +95,12 @@ def merge_many(t: pa.Table, nodata: float = np.nan) -> pa.Table:
     })
 
 
-def mosaic(ds, nodata: float = np.nan, num_partitions: int = 32):
+def mosaic(ds, nodata: float = np.nan, num_partitions: int | None = None):
     """ds rows (x, y, rank, cells) -> merged (x, y, cells, mask)."""
+    if num_partitions is None:
+        from ..config import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
     ds = ds.map_batches(
         partial(add_key_partition, key_cols=["x", "y"], num_partitions=num_partitions),
         batch_format="pyarrow",
@@ -107,7 +111,7 @@ def mosaic(ds, nodata: float = np.nan, num_partitions: int = 32):
 
 
 def first_match_wins(ds, key_cols: list[str], rank_col: str = "rank",
-                     num_partitions: int = 32):
+                     num_partitions: int | None = None):
     """O4 headOption: keep the lowest-rank row per key (deterministic).
     Vectorized: one call per hash partition, group heads via lexsort."""
 
@@ -128,6 +132,10 @@ def first_match_wins(ds, key_cols: list[str], rank_col: str = "rank",
         take = pa.array(order[np.nonzero(nb)[0]], type=pa.int64())
         return t.take(take).drop_columns(["part"])
 
+    if num_partitions is None:
+        from ..config import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
     ds = ds.map_batches(
         partial(add_key_partition, key_cols=key_cols, num_partitions=num_partitions),
         batch_format="pyarrow",

@@ -40,9 +40,11 @@ def test_asof_partition_backward_match():
                                 "view", "view", "click"]),
         "ts": pa.array(ts),
     })
+    import pyarrow.compute as pc
+
     out = _asof_partition(t, "user_id", "ts",
-                          lambda d: d["event_type"] == "click",
-                          lambda d: d["event_type"] == "view").to_pandas()
+                          lambda d: pc.equal(d.column("event_type"), "click"),
+                          lambda d: pc.equal(d.column("event_type"), "view")).to_pandas()
     got = dict(zip(out["left_id"], out["right_id"]))
     assert got[200] == 100          # click at 10:05 -> view at 10:00
     assert pd.isna(got[400])        # click at 09:00 has no earlier view
