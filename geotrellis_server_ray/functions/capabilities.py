@@ -116,3 +116,39 @@ def wcs_capabilities(layers: list[dict]) -> str:
         _sub(bb, "ows:LowerCorner", f'{lyr["xmin"]!r} {lyr["ymin"]!r}')
         _sub(bb, "ows:UpperCorner", f'{lyr["xmax"]!r} {lyr["ymax"]!r}')
     return ET.tostring(root, encoding="unicode")
+
+
+_GML_NS = "http://www.opengis.net/gml"
+_WFS_NS = "http://www.opengis.net/wfs"
+
+
+def wfs_feature_collection_gml(features: list[dict], epsg: int = 3857,
+                               feature_name: str = "PixelPerBandFeature") -> str:
+    """S9 GML serialization (WfsFeatureCollection.scala:45-152): each feature
+    becomes gml:featureMember > {feature_name} > Geometry > gml:MultiPolygon
+    (srsName = the EPSG URN) of one cell polygon — the bbox ring, closed,
+    coordinates encoded 'x,y x,y ...' with the reference's decimal/cs/ts
+    attributes — followed by the scalar properties as <key>value</key>
+    elements (the jsonXML flattening). Feature rows are the S9 struct dicts:
+    id, span, xmin, ymin, xmax, ymax."""
+    root = ET.Element("wfs:FeatureCollection",
+                      {"xmlns:wfs": _WFS_NS, "xmlns:gml": _GML_NS})
+    urn = f"urn:ogc:def:crs:EPSG::{epsg}"
+    for f in features:
+        member = _sub(root, "gml:featureMember")
+        feat = _sub(member, feature_name)
+        geom = _sub(feat, "Geometry")
+        mp = _sub(geom, "gml:MultiPolygon", srsName=urn)
+        pm = _sub(mp, "gml:polygonMember")
+        poly = _sub(pm, "gml:Polygon")
+        ext = _sub(poly, "gml:exterior")
+        ring = _sub(ext, "gml:LinearRing")
+        x0, y0, x1, y1 = (float(f["xmin"]), float(f["ymin"]),
+                          float(f["xmax"]), float(f["ymax"]))
+        coords = " ".join(f"{x!r},{y!r}" for x, y in
+                          ((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)))
+        _sub(ring, "gml:coordinates", coords, decimal=".", cs=",", ts=" ")
+        for k, v in f.items():
+            if k not in ("xmin", "ymin", "xmax", "ymax"):
+                _sub(feat, str(k), v)
+    return ET.tostring(root, encoding="unicode")

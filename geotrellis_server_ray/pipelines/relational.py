@@ -24,9 +24,11 @@ import pyarrow.compute as pc
 
 
 def read(sf_dir: str, table: str, columns: list[str] | None = None):
-    import ray.data as rd
+    # every tabular read goes through the format seam (sources/io.py): Lance
+    # when a {table}.lance dataset exists and the lib is present, parquet here
+    from ..sources.io import read_corpus_table
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_corpus_table(sf_dir, table, columns=columns)
 
 
 def add_cents(batch: pa.Table, cols: dict[str, str], scale: int = 100) -> pa.Table:

@@ -57,3 +57,55 @@ def test_wcs_capabilities_coverage_summaries():
     assert ids == ["ndvi", "dem"]
     lc = root.find(".//c:CoverageSummary/ows:WGS84BoundingBox/ows:LowerCorner", ns)
     assert lc.text == "-180.0 -85.0"
+
+
+def test_wfs_gml_feature_collection():
+    """S9 GML writer (WfsFeatureCollection.scala:45-152 shape): featureMember
+    > PixelPerBandFeature > Geometry > MultiPolygon(srsName URN) > ... >
+    coordinates with the reference's decimal/cs/ts attributes and the closed
+    cell-bbox ring; scalar properties flattened to child elements."""
+    from geotrellis_server_ray.functions.capabilities import wfs_feature_collection_gml
+
+    feats = [
+        {"id": "doc-7", "span": 3, "xmin": -20.0, "ymin": 10.0, "xmax": -10.0, "ymax": 20.0},
+        {"id": "doc-9", "span": 0, "xmin": 0.5, "ymin": 0.5, "xmax": 1.5, "ymax": 1.5},
+    ]
+    root = ET.fromstring(wfs_feature_collection_gml(feats, epsg=3857))
+    ns = {"gml": "http://www.opengis.net/gml", "wfs": "http://www.opengis.net/wfs"}
+    assert root.tag == "{http://www.opengis.net/wfs}FeatureCollection"
+    members = root.findall("gml:featureMember", ns)
+    assert len(members) == 2
+    f0 = members[0].find("PixelPerBandFeature")
+    mp = f0.find("Geometry/gml:MultiPolygon", ns)
+    assert mp.get("srsName") == "urn:ogc:def:crs:EPSG::3857"
+    coords = mp.find(".//gml:LinearRing/gml:coordinates", ns)
+    assert (coords.get("decimal"), coords.get("cs"), coords.get("ts")) == (".", ",", " ")
+    pts = [tuple(float(v) for v in p.split(",")) for p in coords.text.split(" ")]
+    assert pts[0] == pts[-1] == (-20.0, 10.0)      # closed ring at (xmin, ymin)
+    assert pts[2] == (-10.0, 20.0)                 # opposite corner
+    assert len(pts) == 5
+    assert f0.find("id").text == "doc-7"
+    assert f0.find("span").text == "3"
+    # geometry fields are not duplicated as property elements
+    assert f0.find("xmin") is None
+
+
+def test_wfs_gml_from_span_features(ray_session, sf_correct):
+    """End-to-end: S9 wfs_features_batch struct rows -> GML document."""
+    import pyarrow as pa
+
+    from geotrellis_server_ray.functions.capabilities import wfs_feature_collection_gml
+    from geotrellis_server_ray.sources.corpus import corpus_dataset
+    from geotrellis_server_ray.stages.spans import (
+        assign_tiles, explode_spans, parse_geo, wfs_features_batch)
+
+    ds = corpus_dataset(sf_correct).limit(20)
+    ds = ds.map_batches(explode_spans, batch_format="pyarrow")
+    ds = ds.map_batches(parse_geo, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: assign_tiles(b, zoom=8), batch_format="pyarrow")
+    ds = ds.map_batches(wfs_features_batch, batch_format="pyarrow")
+    rows = ds.limit(5).to_pandas()["feature"].tolist()
+    doc = wfs_feature_collection_gml(rows)
+    root = ET.fromstring(doc)
+    ns = {"gml": "http://www.opengis.net/gml"}
+    assert len(root.findall("gml:featureMember", ns)) == len(rows)
