@@ -428,7 +428,8 @@ def char3gram_sketch_batch(batch: pa.Table, id_col: str = "doc_id",
 
 def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
                          max_iters: int = 64, num_partitions: int | None = None,
-                         small_edge_threshold: int = 5_000_000):
+                         small_edge_threshold: int = 5_000_000,
+                         stats_out: dict | None = None):
     """Cluster assignment over a near-dup edge list. Deterministic: the
     final label of every member is the component's minimum doc id.
 
@@ -450,9 +451,6 @@ def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
 
     from ..config import shuffle_partitions
 
-    if num_partitions is None:
-        num_partitions = shuffle_partitions()
-
 
     # symmetric edges once (a->b and b->a)
     def sym(b: pa.Table) -> pa.Table:
@@ -462,8 +460,18 @@ def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
                          "dst": pa.array(np.concatenate([c, a]))})
 
     edges = edges_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if num_partitions is None:
+        # data-proportional width, capped by the cluster knob: every round
+        # pays O(num_partitions) fixed shuffle-task cost TIMES the number of
+        # label-propagation rounds, so oversplitting a small edge list
+        # multiplies pure overhead (~250k symmetric edges per partition keeps
+        # partitions block-sized at scale and rounds cheap below it)
+        num_partitions = max(1, min(shuffle_partitions(), n_edges // 250_000 + 1))
 
-    if edges.count() <= small_edge_threshold:
+    if n_edges <= small_edge_threshold:
+        if stats_out is not None:
+            stats_out.update(plan="driver_union_find", rounds=0)
         ep = edges.to_pandas()
         parent: dict[int, int] = {}
 
@@ -504,7 +512,9 @@ def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
 
     labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow").materialize()
 
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # neighbor labels: edge dst receives src's current label
         j = edges.join(labels, join_type="inner", num_partitions=num_partitions,
                        on=("src",), right_on=(id_col,))
@@ -527,18 +537,19 @@ def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
             return pa.table({id_col: b.column(id_col), "label": new, "chg": chg})
 
         merged = merged.map_batches(take_min, batch_format="pyarrow").materialize()
-        n_changed = merged.sum("chg")
+        n_changed = merged.sum("chg")  # over already-materialized blocks
         labels = merged.drop_columns(["chg"])
-        # pointer doubling: label <- label(label). Halves the remaining path
-        # length every round, so long chains converge in O(log diameter)
-        # rounds instead of O(diameter) (the SCALING.md long-chain limit).
+        # pointer doubling: label <- label(label), applied TWICE per round
+        # from the same post-propagation lut, both joins chained into ONE
+        # execution — composing l(l(v)) then l(l(l(v))) shrinks remaining
+        # path length ~4x per round, and at toy scale each extra chained
+        # join is nearly free next to the per-execution fixed cost that
+        # dominates round wall time (measured: rounds 13 -> ~7 on the
+        # 4096-diameter chain bench, bench.py --cc).
         lut = labels.map_batches(
             lambda b: pa.table({"pj_id": b.column(id_col), "pj_label": b.column("label")}),
             batch_format="pyarrow",
-        )
-        jumped = labels.join(lut, join_type="left_outer",
-                             num_partitions=num_partitions,
-                             on=("label",), right_on=("pj_id",))
+        ).materialize()
 
         def jump(b: pa.Table) -> pa.Table:
             lab = pc.cast(b.column("label"), pa.int64())
@@ -547,9 +558,17 @@ def connected_components(edges_ds, nodes_ds, id_col: str = "doc_id",
             return pa.table({id_col: b.column(id_col),
                              "label": pc.min_element_wise(lab, pj)})
 
-        labels = jumped.map_batches(jump, batch_format="pyarrow").materialize()
+        jumped = labels
+        for _jump_pass in range(2):
+            jumped = jumped.join(lut, join_type="left_outer",
+                                 num_partitions=num_partitions,
+                                 on=("label",), right_on=("pj_id",))
+            jumped = jumped.map_batches(jump, batch_format="pyarrow")
+        labels = jumped.materialize()
         if not n_changed:
             break
+    if stats_out is not None:
+        stats_out.update(plan="distributed_min_label", rounds=rounds)
     return labels.map_batches(
         lambda b: b.rename_columns([id_col, "cluster_rep"]), batch_format="pyarrow"
     )
