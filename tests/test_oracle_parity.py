@@ -98,6 +98,26 @@ def test_tile_assign_bit_exact_at_sf01(ray_session):
         assert (ray_df[c].values == ora_df[c].values).all(), c
 
 
+@pytest.mark.parametrize("name", ["reproject_lcc_cells", "reproject_stereo_cells",
+                                  "stac_http_select", "ngram_jaccard_pairs"])
+def test_round3_ops_exact_at_sf01(name, ray_session):
+    """Scale-confidence for round-3 operators at the 10x tier: the LCC /
+    polar-stereo closed-form replays, the paged HTTP STAC walk (10x item
+    catalog, more pages), and the distributed consecutive-pair generation
+    (10x ids -> real multi-block boundary exchange) all stay value-exact."""
+    from geotrellis_server_ray.pipelines.registry import QUERIES
+
+    fn, sql = QUERIES[name]
+    sf = "/root/testdata/sf0.1"
+    ray_df = _canon(_to_pandas(fn(sf)))
+    con = _oracle_con(sf)
+    ora_df = _canon(con.execute(sql()).fetch_df())
+    assert list(ray_df.columns) == list(ora_df.columns)
+    assert len(ray_df) == len(ora_df) and len(ray_df) > 0
+    for c in ray_df.columns:
+        assert (ray_df[c].values == ora_df[c].values).all(), f"{name}.{c}"
+
+
 @pytest.mark.parametrize("name", ["hilbert_partitions", "exact_dedup", "simhash_fingerprints"])
 def test_round2_ops_bit_exact_at_sf01(name, ray_session):
     """Scale-confidence for round-2 operators: the hash/curve contracts hold
