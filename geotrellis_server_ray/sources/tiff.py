@@ -167,9 +167,167 @@ def _info_from_tags(endian: str, tags: dict) -> TiffInfo:
     )
 
 
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW (compression 5): MSB-first variable-width codes 9->12
+    bits, ClearCode 256 / EOI 257, with the spec's EARLY-CHANGE rule (the
+    code width grows one code earlier than strictly necessary — TIFF 6.0
+    §13 'LZW Compression', the documented deviation every reader honors)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        code_size = 9
+        prev = None
+
+    reset()
+    buf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                return bytes(out)
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (buf >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << code_size) - 1 and code_size < 12:
+            code_size += 1  # early change
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Matching TIFF 6.0 LZW encoder (fixture writer): greedy longest-match,
+    early-change width growth, table reset at the 12-bit ceiling."""
+    CLEAR, EOI = 256, 257
+    bits: list[tuple[int, int]] = []  # (code, width)
+
+    table: dict[bytes, int] = {}
+    next_code = 258
+    width = 9
+
+    def reset():
+        nonlocal table, next_code, width
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+
+    reset()
+    bits.append((CLEAR, width))
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        # the decoder's table lags the encoder's by ONE entry (it cannot add
+        # for the first code after a clear), so its early-change point
+        # len >= 2^w - 1 corresponds to next_code == 2^w here
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        w = c
+        if next_code >= 4094:  # 12-bit ceiling: clear and restart
+            bits.append((table[w], width))
+            bits.append((CLEAR, width))
+            reset()
+            w = b""
+    if w:
+        bits.append((table[w], width))
+    bits.append((EOI, width))
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, wd in bits:
+        buf = (buf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """PackBits (compression 32773): Apple RLE per TIFF 6.0 §9."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder: replicate runs >= 3, literals otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal: collect until a >=3 run starts (or 128 bytes)
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
 def _decode_block(info: TiffInfo, data: bytes, bw: int, bh: int) -> np.ndarray:
     if info.compression in (8, 32946):
         data = zlib.decompress(data)
+    elif info.compression == 5:
+        data = lzw_decode(data)
+    elif info.compression == 32773:
+        data = packbits_decode(data)
     elif info.compression != 1:
         raise ValueError(f"unsupported TIFF compression {info.compression}")
     arr = np.frombuffer(data, dtype=info.dtype)
@@ -270,14 +428,16 @@ def write_tiff(array: np.ndarray, compression: str = "none",
     bits = dt.itemsize * 8
     rps = rows_per_strip or h
     arr = np.ascontiguousarray(array, dtype=dt.newbyteorder("<"))
+    enc = {"deflate": zlib.compress, "lzw": lzw_encode,
+           "packbits": packbits_encode, "none": lambda b: b}[compression]
     strips = []
     for r0 in range(0, h, rps):
-        raw = arr[r0 : r0 + rps].tobytes()
-        strips.append(zlib.compress(raw) if compression == "deflate" else raw)
+        strips.append(enc(arr[r0 : r0 + rps].tobytes()))
 
+    comp_tag = {"deflate": 8, "lzw": 5, "packbits": 32773, "none": 1}[compression]
     entries: list[tuple[int, int, list]] = [
         (_W, 4, [w]), (_H, 4, [h]), (_BITS, 3, [bits] * s),
-        (_COMP, 3, [8 if compression == "deflate" else 1]),
+        (_COMP, 3, [comp_tag]),
         (_PHOTO, 3, [1]), (_SPP, 3, [s]), (_RPS, 3, [min(rps, h)]),
         (_SFORMAT, 3, [sfmt] * s),
     ]

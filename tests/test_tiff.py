@@ -133,3 +133,106 @@ def test_range_readers_feed_tiff_and_cache(tmp_path):
     hr = HttpRangeReader("http://203.0.113.1/none.tif", timeout=0.5)
     with _pytest.raises((RuntimeError, OSError)):
         hr(0, 16)
+
+
+# --------------------------------------------------- round-3: LZW + PackBits
+
+
+def _pack_msb(codes):
+    """Tiny independent MSB-first bit packer for hand-built LZW vectors."""
+    buf = nbits = 0
+    out = bytearray()
+    for code, width in codes:
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_hand_built_spec_vector():
+    """Decode a stream hand-encoded per TIFF 6.0 §13 (codes derived on
+    paper, packed by an independent bit packer): validates the decoder
+    against the SPEC, not against our own encoder."""
+    from geotrellis_server_ray.sources.tiff import lzw_decode
+
+    # input [7,7,7,8,8,7,7,6]: greedy LZW emits
+    # CLEAR, 7, 258("77"), 8, 8, 258, 6, EOI — all 9-bit
+    stream = _pack_msb([(256, 9), (7, 9), (258, 9), (8, 9), (8, 9),
+                        (258, 9), (6, 9), (257, 9)])
+    assert lzw_decode(stream) == bytes([7, 7, 7, 8, 8, 7, 7, 6])
+
+
+def test_lzw_kwkwk_case():
+    """The KwKwK corner: code == next table slot (input 'aaaa...')."""
+    from geotrellis_server_ray.sources.tiff import lzw_decode
+
+    # stream CLEAR, 97, 258, EOI: at the 258 the decoder's table has 258
+    # entries (0..257), so code 258 == next slot -> entry = prev + prev[0]
+    stream = _pack_msb([(256, 9), (97, 9), (258, 9), (257, 9)])
+    assert lzw_decode(stream) == b"a" + b"aa"
+    # and the canonical encode of 'aaaaa' (emits 97, 258, 258) decodes back
+    stream = _pack_msb([(256, 9), (97, 9), (258, 9), (258, 9), (257, 9)])
+    assert lzw_decode(stream) == b"aaaaa"
+
+
+def test_lzw_roundtrip_through_width_growth():
+    from geotrellis_server_ray.sources.tiff import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(11)
+    # ~40 KiB of structured-random bytes: crosses the 9->10->11->12 early-
+    # change boundaries AND the 12-bit table reset
+    data = bytes(rng.integers(0, 256, 40_000, dtype=np.uint8))
+    assert lzw_decode(lzw_encode(data)) == data
+    runs = b"".join(bytes([i % 251]) * (i % 17 + 1) for i in range(3000))
+    assert lzw_decode(lzw_encode(runs)) == runs
+    assert lzw_decode(lzw_encode(b"")) == b""
+
+
+def test_packbits_roundtrip_and_spec_cases():
+    from geotrellis_server_ray.sources.tiff import packbits_decode, packbits_encode
+
+    # spec literal + run forms
+    assert packbits_decode(bytes([2, 1, 2, 3])) == bytes([1, 2, 3])
+    assert packbits_decode(bytes([254, 9])) == bytes([9, 9, 9])
+    assert packbits_decode(bytes([128, 0, 5])) == bytes([5])  # 128 = no-op
+    rng = np.random.default_rng(12)
+    for blob in (bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),
+                 bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+                 bytes(300), b"", b"\x07"):
+        assert packbits_decode(packbits_encode(blob)) == blob
+
+
+@pytest.mark.parametrize("compression", ["lzw", "packbits"])
+def test_tiff_windowed_reads_new_compressions(compression):
+    """Full-path: write a striped TIFF with the new codec, parse its IFD via
+    range reads, and window-read through the ordinary reader."""
+    from geotrellis_server_ray.sources.rangereader import MemoryRangeReader
+    from geotrellis_server_ray.sources.tiff import parse_ifds, read_window, write_tiff
+
+    gy, gx = np.mgrid[0:48, 0:48]
+    vals = ((gx * 11 + gy * 3) % 120).astype(np.uint8)
+    raw = write_tiff(vals, compression=compression, rows_per_strip=16,
+                     pixel_scale=(1.0, 1.0), tiepoint=(0.0, 0.0, 0.0, 48.0),
+                     epsg=3857)
+    rr = MemoryRangeReader(raw)
+    info = parse_ifds(rr)[0]
+    assert info.compression == {"lzw": 5, "packbits": 32773}[compression]
+    win = read_window(rr, info, 5, 10, 20, 25)[:, :, 0]
+    assert np.array_equal(win, vals[10:35, 5:25])
+    full = read_window(rr, info, 0, 0, 48, 48)[:, :, 0]
+    assert np.array_equal(full, vals)
+
+
+def test_raster_source_reads_lzw_over_scheme_dispatch():
+    from geotrellis_server_ray.sources.rastersource import raster_source, register_memory_source
+    from geotrellis_server_ray.sources.tiff import write_tiff
+
+    gy, gx = np.mgrid[0:16, 0:16]
+    vals = ((gx + gy * 2) % 30).astype(np.int32)
+    uri = register_memory_source("lzw16.tif", write_tiff(vals, compression="lzw"))
+    h = raster_source(f"gdal+{uri}")
+    assert np.array_equal(h.read_window(0, 0, 16, 16)[:, :, 0], vals)
