@@ -3313,6 +3313,96 @@ SELECT CAST(floor(rho * sin(lam) / 200000.0) AS BIGINT) AS cell_x,
 FROM fwd GROUP BY 1, 2"""
 
 
+def q_decontaminate(sf_dir: str):
+    """Test-set decontamination (training-data suite): docs with
+    doc_id % 17 == 0 stand in for a benchmark/eval set; every OTHER doc
+    sharing >= 1 word-3-shingle with any benchmark doc is flagged with its
+    distinct-shingle hit count. Plan: one sketch pass (materialized, shared),
+    benchmark gram set built from per-batch distinct partials and broadcast
+    via ray.put, then a searchsorted probe per batch — no shuffle touches
+    the corpus (the 100-TB decontamination shape). Oracle: literal shingle
+    self-join in SQL (hash-equality == string-equality modulo 64-bit
+    collisions, the same contract as the minhash_dedup oracle)."""
+    from ..stages.dedup import decontaminate
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def is_bench(b: pa.Table):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return (ids % 17) == 0
+
+    out = decontaminate(ds, is_bench)
+    return _cast_cols(out.map_batches(
+        lambda b: b.select(["doc_id", "n_hits"]), batch_format="pyarrow"),
+        {"doc_id": I64, "n_hits": I64})
+
+
+def sql_decontaminate() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || chr(1) || ts[i+1] || chr(1) || ts[i+2] AS s
+  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 2)) AS u(i)),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh d JOIN bench b ON d.s = b.s
+WHERE d.doc_id % 17 <> 0
+GROUP BY d.doc_id"""
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (curation-suite op): deterministic synthetic PII is
+    appended to every third doc, then emails and phone numbers are redacted
+    with typed placeholders by vectorized RE2 kernels. Output includes the
+    SCRUBBED TEXT itself, so the oracle (DuckDB regexp_replace, also RE2)
+    value-checks the full redaction byte for byte."""
+    from ..stages.text import pii_scrub_batch
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pii = pa.array(ids % 3 == 0)
+        suffix = pc.if_else(
+            pii,
+            pc.binary_join_element_wise(
+                pa.array([" contact user"] * len(b)),
+                pa.array(ids.astype(str), pa.string()),
+                pa.array(["@example.com or 555-867-5309 now"] * len(b)), ""),
+            pa.array([""] * len(b)))
+        return b.set_column(b.schema.get_field_index("text"), "text",
+                            pc.binary_join_element_wise(b.column("text"), suffix, ""))
+
+    out = ds.map_batches(synth, batch_format="pyarrow") \
+            .map_batches(pii_scrub_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_email", "n_phone", "scrubbed"]),
+        batch_format="pyarrow")
+
+
+def sql_pii_scrub() -> str:
+    from ..stages.text import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || doc_id || '@example.com or 555-867-5309 now'
+                      ELSE '' END AS text
+  FROM documents),
+scrub1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM synth)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+       regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM scrub1"""
+
+
 GC_N = 64  # synthetic GetCoverage request batch size
 
 
@@ -3589,6 +3679,8 @@ QUERIES: dict[str, tuple] = {
     "stac_http_mosaic": (q_stac_http_mosaic, sql_stac_http_mosaic),
     "reproject_lcc_cells": (q_reproject_lcc_cells, sql_reproject_lcc_cells),
     "reproject_stereo_cells": (q_reproject_stereo_cells, sql_reproject_stereo_cells),
+    "decontaminate": (q_decontaminate, sql_decontaminate),
+    "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

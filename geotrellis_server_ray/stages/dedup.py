@@ -298,6 +298,19 @@ def shingle_sketch_batch(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
+def _decode_blobs(arr):
+    """large_binary sketch column -> (flat uint64 values, per-row counts),
+    zero-copy off the Arrow buffers."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.cast(arr, pa.large_binary()) if not pa.types.is_large_binary(arr.type) else arr
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    vals = data[offs[0] : offs[-1]].view(np.uint64)
+    counts = (np.diff(offs) // 8).astype(np.int64)
+    return vals, counts
+
+
 def _pair_jaccard(blob_a, blob_b) -> np.ndarray:
     """Vectorized Jaccard over pair rows: decode both binary sketch columns,
     tag every hash with its pair index, one lexsort; a (pair, hash) value
@@ -305,20 +318,9 @@ def _pair_jaccard(blob_a, blob_b) -> np.ndarray:
     is unique by construction)."""
     if isinstance(blob_a, pa.ChunkedArray):
         blob_a = blob_a.combine_chunks()
-    if isinstance(blob_b, pa.ChunkedArray):
-        blob_b = blob_b.combine_chunks()
     n = len(blob_a)
-
-    def decode(arr):
-        arr = pc.cast(arr, pa.large_binary()) if not pa.types.is_large_binary(arr.type) else arr
-        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-        vals = data[offs[0] : offs[-1]].view(np.uint64)
-        counts = (np.diff(offs) // 8).astype(np.int64)
-        return vals, counts
-
-    va, ca = decode(blob_a)
-    vb, cb = decode(blob_b)
+    va, ca = _decode_blobs(blob_a)
+    vb, cb = _decode_blobs(blob_b)
     pid = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), ca),
                           np.repeat(np.arange(n, dtype=np.int64), cb)])
     hv = np.concatenate([va, vb])
@@ -635,3 +637,81 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         cnt += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
     return cnt
+
+
+def benchmark_gram_set(sketch_ds, pred) -> np.ndarray:
+    """Distinct shingle hashes of the BENCHMARK docs (pred: pa.Table -> bool
+    mask). Built distributed — per-batch unique partials, merged on the
+    driver — and returned as one sorted uint64 array. The benchmark side is
+    eval-set-sized (thousands of docs), so the merged set is broadcast
+    state, the canonical small side of a decontamination join."""
+
+    def part(b: pa.Table) -> pa.Table:
+        m = np.asarray(pred(b), dtype=bool)
+        vals, counts = _decode_blobs(b.column("shingles"))
+        sel = np.repeat(m, counts)
+        u = np.unique(vals[sel])
+        return pa.table({"grams": _blob_array(u, np.array([len(u)], dtype=np.int64))})
+
+    rows = sketch_ds.map_batches(part, batch_format="pyarrow").take_all()
+    arrays = [np.frombuffer(r["grams"], dtype=np.uint64) for r in rows if len(r["grams"])]
+    if not arrays:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrays))
+
+
+class ContaminationCounter:
+    """Actor-pool stage: counts, per doc, how many of its DISTINCT shingles
+    appear in the broadcast benchmark gram set (searchsorted probe — the
+    100-TB decontamination plan: no shuffle, benchmark set shipped once per
+    worker via ray.put)."""
+
+    def __init__(self, bench_ref):
+        import ray
+
+        self.bench = ray.get(bench_ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        vals, counts = _decode_blobs(b.column("shingles"))
+        n = len(b)
+        if len(self.bench) and len(vals):
+            idx = np.clip(np.searchsorted(self.bench, vals), 0, len(self.bench) - 1)
+            hit = self.bench[idx] == vals
+        else:
+            hit = np.zeros(len(vals), dtype=bool)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        n_hits = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_sh": b.column("n_sh"),
+            "n_hits": pa.array(n_hits),
+        })
+
+
+def decontaminate(docs_ds, pred, id_col: str = "doc_id", text_col: str = "text",
+                  shingle_k: int = 3):
+    """Test-set decontamination: flag every NON-benchmark doc sharing at
+    least one k-token shingle with any benchmark doc (pred marks benchmark
+    rows). Returns (doc_id, n_sh, n_hits) for contaminated docs. Sketches
+    are computed once and materialized — both the benchmark-set build and
+    the counting pass consume them."""
+    import ray
+
+    from functools import partial as _p
+
+    sk = docs_ds.map_batches(
+        _p(shingle_sketch_batch, id_col=id_col, text_col=text_col, shingle_k=shingle_k),
+        batch_format="pyarrow",
+    ).materialize()
+    bench = benchmark_gram_set(sk, pred)
+    ref = ray.put(bench)
+    counted = sk.map_batches(ContaminationCounter, batch_format="pyarrow",
+                             concurrency=(1, 4), num_cpus=1,
+                             fn_constructor_args=(ref,))
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.invert(pa.array(np.asarray(pred(b), dtype=bool))),
+                    pc.greater(b.column("n_hits"), 0))
+        return b.filter(m)
+
+    return counted.map_batches(keep, batch_format="pyarrow")

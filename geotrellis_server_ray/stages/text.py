@@ -133,3 +133,24 @@ def rolling_fingerprint_batch(batch: pa.Table, text_col: str = "text", window: i
                 h = h * B + x
             out[d] = h & MOD
     return batch.append_column("fingerprint", pa.array(out.astype(np.int64) & 0x7FFFFFFFFFFFFFFF, type=pa.int64()))
+
+
+# PII patterns (RE2 syntax — pyarrow and DuckDB both run RE2, so the engine
+# and the oracle share exact match semantics)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII scrubbing (curation-suite op): redact emails then phone numbers
+    with typed placeholders, vectorized pyarrow RE2 kernels — count first,
+    then replace, email pass before phone so phone-like digits inside an
+    email are not double-counted. Adds (n_email, n_phone, scrubbed)."""
+    t = batch.column(text_col)
+    n_email = pc.count_substring_regex(t, EMAIL_RE)
+    scrub = pc.replace_substring_regex(t, EMAIL_RE, "<EMAIL>")
+    n_phone = pc.count_substring_regex(scrub, PHONE_RE)
+    scrub = pc.replace_substring_regex(scrub, PHONE_RE, "<PHONE>")
+    return (batch.append_column("n_email", pc.cast(n_email, pa.int64()))
+                 .append_column("n_phone", pc.cast(n_phone, pa.int64()))
+                 .append_column("scrubbed", scrub))
