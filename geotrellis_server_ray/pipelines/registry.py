@@ -3403,6 +3403,58 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM scrub1"""
 
 
+def q_hopping_windows(sf_dir: str):
+    """Hopping (sliding) window aggregate — the streaming-window shape the
+    custom-operator brief names: 2-hour windows hopping every 1 hour, so
+    each event lands in exactly TWO windows. Vectorized fan-out inside
+    map_batches (each batch emits its doubled rows; no per-row Python),
+    then the standard combiner groupby. Window count grows with the time
+    span, not the corpus, but is not dimension-bounded — so this pays the
+    real (combiner-reduced) shuffle rather than the coalesce path."""
+    ds = read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    US_PER_H = 3_600_000_000
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        hour = us // US_PER_H
+        cents = np.round(b.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        ws = np.concatenate([hour, hour - 1]) * US_PER_H
+        return pa.table({
+            "window_start": pa.array(ws).cast(pa.timestamp("us")),
+            "event_type": pa.concat_arrays([et, et]),
+            "cents": pa.array(np.concatenate([cents, cents])),
+        })
+
+    ds = ds.map_batches(fan_out, batch_format="pyarrow")
+    out = grouped_sums(ds, ["window_start", "event_type"], ["cents"], count_as="n")
+    return _cast_cols(out.map_batches(
+        lambda b: b.select(["window_start", "event_type", "n", "cents"]),
+        batch_format="pyarrow"), {"n": I64, "cents": I64})
+
+
+def sql_hopping_windows() -> str:
+    return """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT h AS window_start, event_type, cents FROM e
+  UNION ALL
+  SELECT h - INTERVAL 1 HOUR, event_type, cents FROM e)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM w GROUP BY 1, 2"""
+
+
 GC_N = 64  # synthetic GetCoverage request batch size
 
 
@@ -3681,6 +3733,7 @@ QUERIES: dict[str, tuple] = {
     "reproject_stereo_cells": (q_reproject_stereo_cells, sql_reproject_stereo_cells),
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
+    "hopping_windows": (q_hopping_windows, sql_hopping_windows),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

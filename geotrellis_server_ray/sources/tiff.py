@@ -420,6 +420,48 @@ def write_tiff(array: np.ndarray, compression: str = "none",
                nodata: float | None = None) -> bytes:
     """Encode a (h, w) or (h, w, samples) array as a striped little-endian
     TIFF; with geo args it is a baseline GeoTIFF. Returns the bytes."""
+    return b"II" + struct.pack("<HI", 42, 8) + _encode_ifd(
+        array, compression=compression, pixel_scale=pixel_scale,
+        tiepoint=tiepoint, epsg=epsg, rows_per_strip=rows_per_strip,
+        nodata=nodata, base=8, next_ifd=0)
+
+
+def write_tiff_pyramid(arrays: list[np.ndarray], compression: str = "none",
+                       pixel_scale: tuple | None = None,
+                       tiepoint: tuple | None = None, epsg: int | None = None,
+                       rows_per_strip: int | None = None,
+                       nodata: float | None = None) -> bytes:
+    """Multi-IFD GeoTIFF: arrays[0] is full resolution, the rest are
+    overview levels covering the SAME extent at coarser grids (a COG-style
+    internal pyramid; the reader's parse_ifds walks the chain and
+    rastersource.select_overview picks a level). Each level's pixel_scale is
+    derived from the base scale by the width ratio."""
+    buf = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    cursor = 8
+    for i, a in enumerate(arrays):
+        ps = None
+        if pixel_scale is not None:
+            ratio = arrays[0].shape[1] / a.shape[1]
+            ps = (pixel_scale[0] * ratio, pixel_scale[1] * ratio)
+        kw = dict(compression=compression, pixel_scale=ps, tiepoint=tiepoint,
+                  epsg=epsg, rows_per_strip=rows_per_strip, nodata=nodata)
+        # two-pass: chunk length is independent of the next_ifd VALUE, so
+        # encode once to size it, then re-encode with the real link
+        probe = _encode_ifd(a, base=cursor, next_ifd=0, **kw)
+        nxt = 0 if i == len(arrays) - 1 else cursor + len(probe)
+        chunk = probe if nxt == 0 else _encode_ifd(a, base=cursor, next_ifd=nxt, **kw)
+        buf += chunk
+        cursor += len(chunk)
+    return bytes(buf)
+
+
+def _encode_ifd(array: np.ndarray, compression: str = "none",
+                pixel_scale: tuple | None = None, tiepoint: tuple | None = None,
+                epsg: int | None = None, rows_per_strip: int | None = None,
+                nodata: float | None = None, base: int = 8,
+                next_ifd: int = 0) -> bytes:
+    """One IFD + its out-of-line values + strip data, laid out to live at
+    absolute file offset ``base``."""
     if array.ndim == 2:
         array = array[:, :, None]
     h, w, s = array.shape
@@ -456,10 +498,10 @@ def write_tiff(array: np.ndarray, compression: str = "none",
         txt = (repr(float(nodata)) + "\x00").encode()
         entries.append((_GDAL_NODATA, 2, list(txt)))
 
-    # layout: header(8) | IFD | out-of-line values | strip data
+    # layout at ``base``: IFD | out-of-line values | strip data
     n_with_strips = len(entries) + 2
     ifd_size = 2 + n_with_strips * 12 + 4
-    cursor = 8 + ifd_size
+    cursor = base + ifd_size
 
     def pack_values(typ, vals):
         if typ == 2:
@@ -506,12 +548,11 @@ def write_tiff(array: np.ndarray, compression: str = "none",
 
     packed.sort(key=lambda e: e[0])
     buf = bytearray()
-    buf += b"II" + struct.pack("<HI", 42, 8)
     buf += struct.pack("<H", n_with_strips)
     for tag, typ, count, inline, off in packed:
         buf += struct.pack("<HHI", tag, typ, count)
         buf += inline if inline is not None else struct.pack("<I", off)
-    buf += struct.pack("<I", 0)  # no next IFD
+    buf += struct.pack("<I", next_ifd)
     buf += out_of_line
     for bts in strips:
         buf += bts

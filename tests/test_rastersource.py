@@ -90,3 +90,29 @@ def test_select_overview_strategies():
     assert select_overview(h, ("auto", 9), 2.0).width == 32
     # level-n: explicit IFD index
     assert select_overview(h, ("level", 2), 5.0).width == 64
+
+
+def test_pyramid_real_bytes_overview_selection():
+    """M3 over REAL bytes: a 3-level internal pyramid (write_tiff_pyramid ->
+    multi-IFD chain), selected by target cell size and window-read."""
+    from geotrellis_server_ray.sources.tiff import read_window, write_tiff_pyramid
+
+    gy, gx = np.mgrid[0:64, 0:64]
+    base = ((gx * 7 + gy * 13) % 100).astype(np.uint8)
+    levels = [base, base[::2, ::2].copy(), base[::4, ::4].copy()]
+    raw = write_tiff_pyramid(levels, compression="deflate", rows_per_strip=16,
+                             pixel_scale=(2.0, 2.0),
+                             tiepoint=(0.0, 0.0, 0.0, 128.0), epsg=3857)
+    h = raster_source(register_memory_source("pyr3.tif", raw))
+    assert [i.width for i in h._infos] == [64, 32, 16]
+    assert len(h.overviews) == 2
+    # base 2 m, overviews 4 m / 8 m: a 4.5 m target picks the 4 m level
+    sel = select_overview(h, "auto-higher-resolution", 4.5)
+    assert sel.width == 32
+    win = read_window(h._read, sel, 0, 0, 32, 32)[:, :, 0]
+    assert np.array_equal(win, levels[1])
+    assert select_overview(h, "base", 4.5).width == 64
+    assert select_overview(h, ("level", 2), 4.5).width == 16
+    # every level keeps the shared extent through its derived pixel scale
+    exts = {i.geo_extent() for i in h._infos}
+    assert len(exts) == 1
