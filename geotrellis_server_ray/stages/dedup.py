@@ -660,32 +660,29 @@ def benchmark_gram_set(sketch_ds, pred) -> np.ndarray:
     return np.unique(np.concatenate(arrays))
 
 
-class ContaminationCounter:
-    """Actor-pool stage: counts, per doc, how many of its DISTINCT shingles
-    appear in the broadcast benchmark gram set (searchsorted probe — the
-    100-TB decontamination plan: no shuffle, benchmark set shipped once per
-    worker via ray.put)."""
+def count_contamination(b: pa.Table, bench_ref) -> pa.Table:
+    """Stateless probe stage: counts, per doc, how many of its DISTINCT
+    shingles appear in the broadcast benchmark gram set (searchsorted — the
+    100-TB decontamination plan: no shuffle; the set ships once per node via
+    ray.put and ray.get resolves from the LOCAL object store, so plain tasks
+    beat an actor pool whose startup would dominate small inputs)."""
+    import ray
 
-    def __init__(self, bench_ref):
-        import ray
-
-        self.bench = ray.get(bench_ref)
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        vals, counts = _decode_blobs(b.column("shingles"))
-        n = len(b)
-        if len(self.bench) and len(vals):
-            idx = np.clip(np.searchsorted(self.bench, vals), 0, len(self.bench) - 1)
-            hit = self.bench[idx] == vals
-        else:
-            hit = np.zeros(len(vals), dtype=bool)
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
-        n_hits = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
-        return pa.table({
-            "doc_id": b.column("doc_id"),
-            "n_sh": b.column("n_sh"),
-            "n_hits": pa.array(n_hits),
-        })
+    bench = ray.get(bench_ref)
+    vals, counts = _decode_blobs(b.column("shingles"))
+    n = len(b)
+    if len(bench) and len(vals):
+        idx = np.clip(np.searchsorted(bench, vals), 0, len(bench) - 1)
+        hit = bench[idx] == vals
+    else:
+        hit = np.zeros(len(vals), dtype=bool)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    n_hits = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "n_sh": b.column("n_sh"),
+        "n_hits": pa.array(n_hits),
+    })
 
 
 def decontaminate(docs_ds, pred, id_col: str = "doc_id", text_col: str = "text",
@@ -705,9 +702,8 @@ def decontaminate(docs_ds, pred, id_col: str = "doc_id", text_col: str = "text",
     ).materialize()
     bench = benchmark_gram_set(sk, pred)
     ref = ray.put(bench)
-    counted = sk.map_batches(ContaminationCounter, batch_format="pyarrow",
-                             concurrency=(1, 4), num_cpus=1,
-                             fn_constructor_args=(ref,))
+    counted = sk.map_batches(_p(count_contamination, bench_ref=ref),
+                             batch_format="pyarrow")
 
     def keep(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.invert(pa.array(np.asarray(pred(b), dtype=bool))),
