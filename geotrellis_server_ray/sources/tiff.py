@@ -1,9 +1,11 @@
 """Pure-Python baseline TIFF/GeoTIFF reader + writer (SURVEY.md §2.3 S1/S6/S7).
 
 Reader: classic TIFF (II and MM byte orders), striped or tiled layouts,
-uncompressed or Deflate (zlib) compression with the horizontal-differencing
-predictor, uint/int 8/16/32 and float 32/64 samples, chunky planar config,
-multiple IFDs (overviews). Windowed reads fetch ONLY the strips/tiles that
+uncompressed / Deflate / LZW (TIFF 6.0 early-change) / PackBits / new-style
+JPEG (compression 7 via the repo's own baseline codec, incl. shared
+JPEGTables splicing) with the horizontal-differencing predictor, uint/int
+8/16/32 and float 32/64 samples, chunky planar config, multiple IFDs
+(overviews; write_tiff_pyramid produces them). Windowed reads fetch ONLY the strips/tiles that
 intersect the requested window through a ``read(offset, length)`` callable,
 so the header-byte cache (state/caches.HeaderByteCache) serves IFD walks and
 small windows from its cached prefix — the engine analog of the reference's
@@ -35,6 +37,7 @@ _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _SFORMAT = 339
 _MODEL_SCALE, _MODEL_TIE, _GEOKEYS = 33550, 33922, 34735
 _GDAL_NODATA = 42113
+_JPEG_TABLES = 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
@@ -60,6 +63,7 @@ class TiffInfo:
     tiepoint: tuple | None = None      # (px, py, gx, gy) raster px -> geo
     geokeys: tuple | None = None
     nodata: float | None = None
+    jpeg_tables: bytes | None = None
 
     @property
     def dtype(self) -> np.dtype:
@@ -121,6 +125,8 @@ def _tag_values(endian: str, entry: tuple):
     typ, count, vb = entry
     if typ == 2:  # ASCII
         return vb.rstrip(b"\x00").decode("ascii", "replace")
+    if typ == 7:  # UNDEFINED: raw bytes (JPEGTables etc.)
+        return vb
     if typ in (5, 10):  # RATIONAL
         fmt = "II" if typ == 5 else "ii"
         out = []
@@ -164,6 +170,7 @@ def _info_from_tags(endian: str, tags: dict) -> TiffInfo:
         tiepoint=(tie[0], tie[1], tie[3], tie[4]) if tie and len(tie) >= 5 else None,
         geokeys=tuple(get(_GEOKEYS) or ()) or None,
         nodata=float(nod) if nod not in (None, "") else None,
+        jpeg_tables=get(_JPEG_TABLES) or None,
     )
 
 
@@ -322,6 +329,21 @@ def packbits_encode(data: bytes) -> bytes:
 
 
 def _decode_block(info: TiffInfo, data: bytes, bw: int, bh: int) -> np.ndarray:
+    if info.compression == 7:  # new-style JPEG-in-TIFF (our baseline codec)
+        from ..functions.jpeg import decode_jpeg
+
+        stream = data
+        if info.jpeg_tables:
+            # abbreviated strip stream + shared JPEGTables blob (tag 347:
+            # SOI..DQT/DHT..EOI): splice tables after the strip's SOI
+            stream = b"\xff\xd8" + bytes(info.jpeg_tables)[2:-2] + data[2:]
+        img = decode_jpeg(stream)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        out = np.zeros((bh, bw, info.samples), dtype=info.dtype.newbyteorder("="))
+        h2, w2 = min(bh, img.shape[0]), min(bw, img.shape[1])
+        out[:h2, :w2] = img[:h2, :w2, : info.samples]
+        return out
     if info.compression in (8, 32946):
         data = zlib.decompress(data)
     elif info.compression == 5:
@@ -470,13 +492,23 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
     bits = dt.itemsize * 8
     rps = rows_per_strip or h
     arr = np.ascontiguousarray(array, dtype=dt.newbyteorder("<"))
-    enc = {"deflate": zlib.compress, "lzw": lzw_encode,
-           "packbits": packbits_encode, "none": lambda b: b}[compression]
     strips = []
-    for r0 in range(0, h, rps):
-        strips.append(enc(arr[r0 : r0 + rps].tobytes()))
+    if compression == "jpeg":
+        from ..functions.jpeg import encode_jpeg
 
-    comp_tag = {"deflate": 8, "lzw": 5, "packbits": 32773, "none": 1}[compression]
+        if dt != np.uint8 or s not in (1, 3):
+            raise ValueError("jpeg compression needs uint8 with 1 or 3 samples")
+        for r0 in range(0, h, rps):
+            chunk = arr[r0 : r0 + rps]
+            strips.append(encode_jpeg(chunk[:, :, 0] if s == 1 else chunk, quality=95))
+    else:
+        enc = {"deflate": zlib.compress, "lzw": lzw_encode,
+               "packbits": packbits_encode, "none": lambda b: b}[compression]
+        for r0 in range(0, h, rps):
+            strips.append(enc(arr[r0 : r0 + rps].tobytes()))
+
+    comp_tag = {"deflate": 8, "lzw": 5, "packbits": 32773, "none": 1,
+                "jpeg": 7}[compression]
     entries: list[tuple[int, int, list]] = [
         (_W, 4, [w]), (_H, 4, [h]), (_BITS, 3, [bits] * s),
         (_COMP, 3, [comp_tag]),

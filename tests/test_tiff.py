@@ -236,3 +236,79 @@ def test_raster_source_reads_lzw_over_scheme_dispatch():
     uri = register_memory_source("lzw16.tif", write_tiff(vals, compression="lzw"))
     h = raster_source(f"gdal+{uri}")
     assert np.array_equal(h.read_window(0, 0, 16, 16)[:, :, 0], vals)
+
+
+def test_jpeg_in_tiff_roundtrip_grayscale():
+    """Compression 7 (new-style JPEG-in-TIFF) through our own baseline
+    codec: blocky-constant content survives the lossy round-trip within
+    quantization tolerance; strip layout windows correctly."""
+    from geotrellis_server_ray.sources.rangereader import MemoryRangeReader
+    from geotrellis_server_ray.sources.tiff import parse_ifds, read_window, write_tiff
+
+    gy, gx = np.mgrid[0:64, 0:64]
+    vals = (((gx // 8) * 16 + (gy // 8) * 4) % 200).astype(np.uint8)  # 8x8-constant
+    raw = write_tiff(vals, compression="jpeg", rows_per_strip=16,
+                     pixel_scale=(1.0, 1.0), tiepoint=(0.0, 0.0, 0.0, 64.0),
+                     epsg=3857)
+    rr = MemoryRangeReader(raw)
+    info = parse_ifds(rr)[0]
+    assert info.compression == 7
+    full = read_window(rr, info, 0, 0, 64, 64)[:, :, 0]
+    assert int(np.abs(full.astype(int) - vals.astype(int)).max()) <= 2
+    win = read_window(rr, info, 8, 24, 16, 16)[:, :, 0]
+    assert int(np.abs(win.astype(int) - vals[24:40, 8:24].astype(int)).max()) <= 2
+
+
+def test_jpeg_in_tiff_rgb():
+    from geotrellis_server_ray.sources.rangereader import MemoryRangeReader
+    from geotrellis_server_ray.sources.tiff import parse_ifds, read_window, write_tiff
+
+    gy, gx = np.mgrid[0:32, 0:32]
+    rgb = np.stack([((gx // 8) * 30) % 250, ((gy // 8) * 40) % 250,
+                    np.full_like(gx, 90)], axis=-1).astype(np.uint8)
+    raw = write_tiff(rgb, compression="jpeg", rows_per_strip=16)
+    rr = MemoryRangeReader(raw)
+    info = parse_ifds(rr)[0]
+    out = read_window(rr, info, 0, 0, 32, 32)
+    assert out.shape == (32, 32, 3)
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 6  # YCbCr loss
+
+
+def test_jpeg_in_tiff_shared_jpegtables_splice():
+    """The abbreviated-stream + JPEGTables (tag 347) form: tables stripped
+    from the strip stream and spliced back from the shared blob at decode
+    (_decode_block) — byte-identical output to the self-contained stream."""
+    from geotrellis_server_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from geotrellis_server_ray.sources.tiff import TiffInfo, _decode_block
+
+    gy, gx = np.mgrid[0:16, 0:16]
+    vals = (((gx // 8) * 50 + (gy // 8) * 20) % 200).astype(np.uint8)
+    stream = encode_jpeg(vals, quality=95)
+    # split: DQT (0xDB) / DHT (0xC4) segments -> tables blob; rest -> strip
+    pos, tables, rest = 2, bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    while pos < len(stream):
+        marker = stream[pos + 1]
+        if marker == 0xD9:
+            rest += stream[pos:]
+            break
+        ln = int.from_bytes(stream[pos + 2 : pos + 4], "big")
+        seg = stream[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        elif marker == 0xDA:
+            rest += stream[pos:]
+            break
+        else:
+            rest += seg
+        pos += 2 + ln
+    tables += b"\xff\xd9"
+
+    def mkinfo(jt):
+        return TiffInfo(endian="<", width=16, height=16, bits=8, sample_format=1,
+                        samples=1, compression=7, predictor=1, tiled=False,
+                        tile_w=16, tile_h=16, jpeg_tables=jt)
+
+    via_tables = _decode_block(mkinfo(bytes(tables)), bytes(rest), 16, 16)
+    plain = _decode_block(mkinfo(None), stream, 16, 16)
+    assert np.array_equal(via_tables, plain)
+    assert np.array_equal(plain[:, :, 0], decode_jpeg(stream))
