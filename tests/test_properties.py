@@ -198,3 +198,40 @@ def test_jpeg_decodes_own_output_property(seed, q):
     back = decode_jpeg(encode_jpeg(img, quality=q))
     assert back.shape == (h, w)
     assert np.abs(back.astype(int) - img.astype(int)).mean() < 12
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.binary(min_size=0, max_size=8000))
+def test_lzw_roundtrip_property(data):
+    from geotrellis_server_ray.sources.tiff import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4000))
+def test_packbits_roundtrip_property(data):
+    from geotrellis_server_ray.sources.tiff import packbits_decode, packbits_encode
+
+    assert packbits_decode(packbits_encode(data)) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(lon=st.floats(-4.9, 9.9), lat=st.floats(41.1, 50.9))
+def test_lcc_roundtrip_property(lon, lat):
+    from geotrellis_server_ray.functions.proj import transform
+
+    x, y = transform("EPSG:4326", "EPSG:2154", np.array([lon]), np.array([lat]))
+    lon2, lat2 = transform("EPSG:2154", "EPSG:4326", x, y)
+    assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(lon=st.floats(-180.0, 180.0), lat=st.floats(55.0, 89.9))
+def test_polar_stereo_roundtrip_property(lon, lat):
+    from geotrellis_server_ray.functions.proj import transform
+
+    x, y = transform("EPSG:4326", "EPSG:3413", np.array([lon]), np.array([lat]))
+    lon2, lat2 = transform("EPSG:3413", "EPSG:4326", x, y)
+    dl = abs((lon2[0] - lon + 180.0) % 360.0 - 180.0)
+    assert dl < 1e-9 and abs(lat2[0] - lat) < 1e-9
