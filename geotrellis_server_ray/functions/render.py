@@ -33,6 +33,31 @@ def _channels(c: np.ndarray):
     return (c >> 24) & 0xFF, (c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF
 
 
+def parse_color_map(s: str) -> tuple[np.ndarray, np.ndarray]:
+    """Parse the reference's color-map config string — ``{break: 0xRRGGBBAA,
+    ...}`` with quoted OR unquoted keys (the two HOCON spellings
+    ColorMapConfigurationSpec.scala:31-41 requires to load identically) —
+    into break-sorted (breaks float64, colors uint32) ready for
+    color_map_render."""
+    body = s.strip()
+    if body.startswith("{"):
+        body = body[1:]
+    if body.endswith("}"):
+        body = body[:-1]
+    breaks: list[float] = []
+    colors: list[int] = []
+    for part in body.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        k, v = part.split(":", 1)
+        breaks.append(float(k.strip().strip('"')))
+        colors.append(int(v.strip().strip('"'), 16))
+    order = np.argsort(np.asarray(breaks, dtype=np.float64), kind="stable")
+    return (np.asarray(breaks, dtype=np.float64)[order],
+            np.asarray(colors, dtype=np.uint32)[order])
+
+
 def color_map_render(values: np.ndarray, breaks: np.ndarray, colors: np.ndarray,
                      nodata_mask: np.ndarray | None = None,
                      fallback: int = 0) -> np.ndarray:

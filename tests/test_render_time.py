@@ -292,3 +292,25 @@ def test_batched_kernel_resample_matches_single():
         batched = fn(stack, 4, 12)
         singles = np.stack([fn(stack[i], 4, 12) for i in range(3)])
         assert np.allclose(batched, singles), fn.__name__
+
+
+def test_color_map_config_parsing_key_spellings():
+    """ColorMapConfigurationSpec.scala:31-41: quoted and unquoted break keys
+    load to the SAME color map; parsed maps drive color_map_render."""
+    import numpy as np
+
+    from geotrellis_server_ray.functions.render import color_map_render, parse_color_map
+
+    quoted = ('{"-1.0": 0x1947B0FF,"-0.5": 0x5A7BBFFF,"0": 0xFFFFE5FF,'
+              '"0.5": 0x487A5EFF,"1.0": 0x004529FF}')
+    unquoted = ('{-1.0: 0x1947B0FF,-0.5: 0x5A7BBFFF, 0.0: 0xFFFFE5FF,'
+                '0.5: 0x487A5EFF,1.0: 0x004529FF}')
+    bq, cq = parse_color_map(quoted)
+    bu, cu = parse_color_map(unquoted)
+    assert np.array_equal(bq, bu) and np.array_equal(cq, cu)
+    assert bq.tolist() == [-1.0, -0.5, 0.0, 0.5, 1.0]  # sorted
+    assert cq[0] == 0x1947B0FF and cq[-1] == 0x004529FF
+    out = color_map_render(np.array([-0.9, 0.2, 2.0]), bq, cq)
+    assert out[0] == 0x5A7BBFFF  # first break >= v rule
+    assert out[1] == 0x487A5EFF
+    assert out[2] == 0  # above all breaks -> transparent fallback
