@@ -5,7 +5,11 @@ uncompressed / Deflate / LZW (TIFF 6.0 early-change) / PackBits / new-style
 JPEG (compression 7 via the repo's own baseline codec, incl. shared
 JPEGTables splicing) with the horizontal-differencing predictor, uint/int
 8/16/32 and float 32/64 samples, chunky planar config, multiple IFDs
-(overviews; write_tiff_pyramid produces them). Windowed reads fetch ONLY the strips/tiles that
+(overviews; write_tiff_pyramid produces them), classic AND BigTIFF (magic
+43, 8-byte offsets — the >4 GiB form 100-TB-scale outputs need).
+
+Writer: striped or tiled (``tile=(tw, th)``, padded edge tiles), classic or
+BigTIFF, any of the codecs above. Windowed reads fetch ONLY the strips/tiles that
 intersect the requested window through a ``read(offset, length)`` callable,
 so the header-byte cache (state/caches.HeaderByteCache) serves IFD walks and
 small windows from its cached prefix — the engine analog of the reference's
@@ -39,8 +43,10 @@ _MODEL_SCALE, _MODEL_TIE, _GEOKEYS = 33550, 33922, 34735
 _GDAL_NODATA = 42113
 _JPEG_TABLES = 347
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4,
+              12: 8, 16: 8, 17: 8, 18: 8}  # 16-18: BigTIFF LONG8/SLONG8/IFD8
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 
 @dataclass
@@ -97,26 +103,39 @@ def parse_ifds(read) -> list[TiffInfo]:
     else:
         raise ValueError("not a TIFF: bad byte-order mark")
     magic, = _unpack(endian, "H", head[2:4])
-    if magic != 42:
-        raise ValueError(f"not a classic TIFF (magic {magic}); BigTIFF unsupported")
-    next_ifd, = _unpack(endian, "I", head[4:8])
+    if magic == 42:  # classic
+        big = False
+        next_ifd, = _unpack(endian, "I", head[4:8])
+    elif magic == 43:  # BigTIFF: 8-byte offsets, 20-byte IFD entries
+        big = True
+        offsize, zero = _unpack(endian, "HH", head[4:8])
+        if offsize != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header (offsize {offsize})")
+        next_ifd, = _unpack(endian, "Q", read(8, 8))
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
+    esz, inline_cap = (20, 8) if big else (12, 4)
     infos = []
     while next_ifd:
-        n_entries, = _unpack(endian, "H", read(next_ifd, 2))
-        raw = read(next_ifd + 2, n_entries * 12 + 4)
+        if big:
+            n_entries, = _unpack(endian, "Q", read(next_ifd, 8))
+            raw = read(next_ifd + 8, n_entries * esz + 8)
+        else:
+            n_entries, = _unpack(endian, "H", read(next_ifd, 2))
+            raw = read(next_ifd + 2, n_entries * esz + 4)
         tags: dict[int, tuple] = {}
         for i in range(n_entries):
-            ent = raw[i * 12 : i * 12 + 12]
+            ent = raw[i * esz : (i + 1) * esz]
             tag, typ = _unpack(endian, "HH", ent[0:4])
-            count, = _unpack(endian, "I", ent[4:8])
+            count, = _unpack(endian, "Q" if big else "I", ent[4 : esz - inline_cap])
             size = _TYPE_SIZE.get(typ, 1) * count
-            if size <= 4:
-                val_bytes = ent[8 : 8 + size]
+            if size <= inline_cap:
+                val_bytes = ent[esz - inline_cap : esz - inline_cap + size]
             else:
-                off, = _unpack(endian, "I", ent[8:12])
+                off, = _unpack(endian, "Q" if big else "I", ent[esz - inline_cap : esz])
                 val_bytes = read(off, size)
             tags[tag] = (typ, count, val_bytes)
-        next_ifd, = _unpack(endian, "I", raw[n_entries * 12 :])
+        next_ifd, = _unpack(endian, "Q" if big else "I", raw[n_entries * esz :])
         infos.append(_info_from_tags(endian, tags))
     return infos
 
@@ -436,16 +455,26 @@ def file_range_reader(path: str):
 _SFMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
 
 
+def _header(bigtiff: bool) -> bytes:
+    if bigtiff:  # magic 43, 8-byte offsets, first IFD at 16
+        return b"II" + struct.pack("<HHHQ", 43, 8, 0, 16)
+    return b"II" + struct.pack("<HI", 42, 8)
+
+
 def write_tiff(array: np.ndarray, compression: str = "none",
                pixel_scale: tuple | None = None, tiepoint: tuple | None = None,
                epsg: int | None = None, rows_per_strip: int | None = None,
-               nodata: float | None = None) -> bytes:
-    """Encode a (h, w) or (h, w, samples) array as a striped little-endian
-    TIFF; with geo args it is a baseline GeoTIFF. Returns the bytes."""
-    return b"II" + struct.pack("<HI", 42, 8) + _encode_ifd(
+               nodata: float | None = None, tile: tuple | None = None,
+               bigtiff: bool = False) -> bytes:
+    """Encode a (h, w) or (h, w, samples) array as a little-endian TIFF;
+    with geo args it is a baseline GeoTIFF. ``tile=(tw, th)`` writes a tiled
+    layout instead of strips; ``bigtiff=True`` writes BigTIFF (magic 43,
+    8-byte offsets — the >4 GiB form large-scale outputs need)."""
+    hdr = _header(bigtiff)
+    return hdr + _encode_ifd(
         array, compression=compression, pixel_scale=pixel_scale,
         tiepoint=tiepoint, epsg=epsg, rows_per_strip=rows_per_strip,
-        nodata=nodata, base=8, next_ifd=0)
+        nodata=nodata, base=len(hdr), next_ifd=0, tile=tile, bigtiff=bigtiff)
 
 
 def write_tiff_pyramid(arrays: list[np.ndarray], compression: str = "none",
@@ -458,7 +487,7 @@ def write_tiff_pyramid(arrays: list[np.ndarray], compression: str = "none",
     internal pyramid; the reader's parse_ifds walks the chain and
     rastersource.select_overview picks a level). Each level's pixel_scale is
     derived from the base scale by the width ratio."""
-    buf = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    buf = bytearray(_header(False))
     cursor = 8
     for i, a in enumerate(arrays):
         ps = None
@@ -481,40 +510,58 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
                 pixel_scale: tuple | None = None, tiepoint: tuple | None = None,
                 epsg: int | None = None, rows_per_strip: int | None = None,
                 nodata: float | None = None, base: int = 8,
-                next_ifd: int = 0) -> bytes:
-    """One IFD + its out-of-line values + strip data, laid out to live at
-    absolute file offset ``base``."""
+                next_ifd: int = 0, tile: tuple | None = None,
+                bigtiff: bool = False) -> bytes:
+    """One IFD + its out-of-line values + block data (strips or tiles),
+    laid out to live at absolute file offset ``base``."""
     if array.ndim == 2:
         array = array[:, :, None]
     h, w, s = array.shape
     dt = array.dtype
     sfmt = _SFMT_OF_KIND[dt.kind]
     bits = dt.itemsize * 8
-    rps = rows_per_strip or h
     arr = np.ascontiguousarray(array, dtype=dt.newbyteorder("<"))
-    strips = []
-    if compression == "jpeg":
-        from ..functions.jpeg import encode_jpeg
 
-        if dt != np.uint8 or s not in (1, 3):
-            raise ValueError("jpeg compression needs uint8 with 1 or 3 samples")
-        for r0 in range(0, h, rps):
-            chunk = arr[r0 : r0 + rps]
-            strips.append(encode_jpeg(chunk[:, :, 0] if s == 1 else chunk, quality=95))
-    else:
+    def encode_chunk(chunk: np.ndarray) -> bytes:
+        if compression == "jpeg":
+            from ..functions.jpeg import encode_jpeg
+
+            if dt != np.uint8 or s not in (1, 3):
+                raise ValueError("jpeg compression needs uint8 with 1 or 3 samples")
+            return encode_jpeg(chunk[:, :, 0] if s == 1 else chunk, quality=95)
         enc = {"deflate": zlib.compress, "lzw": lzw_encode,
                "packbits": packbits_encode, "none": lambda b: b}[compression]
+        return enc(np.ascontiguousarray(chunk).tobytes())
+
+    blocks = []
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        for ty in range(0, h, th):  # row-major tile order, edge tiles padded
+            for tx in range(0, w, tw):
+                t = np.zeros((th, tw, s), dtype=arr.dtype)
+                src_block = arr[ty : ty + th, tx : tx + tw]
+                t[: src_block.shape[0], : src_block.shape[1]] = src_block
+                blocks.append(encode_chunk(t))
+    else:
+        rps = rows_per_strip or h
         for r0 in range(0, h, rps):
-            strips.append(enc(arr[r0 : r0 + rps].tobytes()))
+            blocks.append(encode_chunk(arr[r0 : r0 + rps]))
 
     comp_tag = {"deflate": 8, "lzw": 5, "packbits": 32773, "none": 1,
                 "jpeg": 7}[compression]
     entries: list[tuple[int, int, list]] = [
         (_W, 4, [w]), (_H, 4, [h]), (_BITS, 3, [bits] * s),
         (_COMP, 3, [comp_tag]),
-        (_PHOTO, 3, [1]), (_SPP, 3, [s]), (_RPS, 3, [min(rps, h)]),
+        (_PHOTO, 3, [1]), (_SPP, 3, [s]),
         (_SFORMAT, 3, [sfmt] * s),
     ]
+    if tile is not None:
+        entries.append((_TILE_W, 4, [tile[0]]))
+        entries.append((_TILE_H, 4, [tile[1]]))
+    else:
+        entries.append((_RPS, 3, [min(rows_per_strip or h, h)]))
     if pixel_scale is not None:
         entries.append((_MODEL_SCALE, 12, [pixel_scale[0], pixel_scale[1], 0.0]))
     if tiepoint is not None:
@@ -530,9 +577,11 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
         txt = (repr(float(nodata)) + "\x00").encode()
         entries.append((_GDAL_NODATA, 2, list(txt)))
 
-    # layout at ``base``: IFD | out-of-line values | strip data
-    n_with_strips = len(entries) + 2
-    ifd_size = 2 + n_with_strips * 12 + 4
+    # layout at ``base``: IFD | out-of-line values | block data
+    esz, inline_cap = (20, 8) if bigtiff else (12, 4)
+    off_fmt = "Q" if bigtiff else "I"
+    n_with_blocks = len(entries) + 2
+    ifd_size = (8 + n_with_blocks * esz + 8) if bigtiff else (2 + n_with_blocks * esz + 4)
     cursor = base + ifd_size
 
     def pack_values(typ, vals):
@@ -548,44 +597,48 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
     for tag, typ, vals in entries:
         vb = pack_values(typ, vals)
         count = len(vals)
-        if len(vb) <= 4:
-            packed.append((tag, typ, count, vb.ljust(4, b"\x00"), None))
+        if len(vb) <= inline_cap:
+            packed.append((tag, typ, count, vb.ljust(inline_cap, b"\x00"), None))
         else:
             packed.append((tag, typ, count, None, cursor + len(out_of_line)))
             out_of_line += vb
 
-    # strip offsets/counts (LONG each)
-    n_strips = len(strips)
-    counts_vals = [len(b) for b in strips]
-    strip_data_start = cursor + len(out_of_line)
-    if n_strips == 1:
-        off_field = struct.pack("<I", strip_data_start)
-        cnt_field = struct.pack("<I", counts_vals[0])
-        packed.append((_STRIP_OFF, 4, 1, off_field, None))
-        packed.append((_STRIP_CNT, 4, 1, cnt_field, None))
+    # block offsets/counts: LONG on classic, LONG8 on BigTIFF
+    off_tag, cnt_tag = (_TILE_OFF, _TILE_CNT) if tile is not None else (_STRIP_OFF, _STRIP_CNT)
+    arr_typ = 16 if bigtiff else 4
+    osz = 8 if bigtiff else 4
+    n_blocks = len(blocks)
+    counts_vals = [len(b) for b in blocks]
+    block_data_start = cursor + len(out_of_line)
+    if n_blocks * osz <= inline_cap:
+        offs_field = struct.pack("<" + off_fmt * n_blocks, block_data_start).ljust(inline_cap, b"\x00")
+        cnt_field = struct.pack("<" + off_fmt * n_blocks, *counts_vals).ljust(inline_cap, b"\x00")
+        packed.append((off_tag, arr_typ, n_blocks, offs_field, None))
+        packed.append((cnt_tag, arr_typ, n_blocks, cnt_field, None))
     else:
-        off_pos = strip_data_start
-        # out-of-line arrays come before strip data; recompute layout
-        arrays_size = n_strips * 4 * 2
-        data_start = strip_data_start + arrays_size
+        off_pos = block_data_start
+        # out-of-line arrays come before block data; recompute layout
+        arrays_size = n_blocks * osz * 2
+        data_start = block_data_start + arrays_size
         offs = []
         p = data_start
         for c in counts_vals:
             offs.append(p)
             p += c
-        packed.append((_STRIP_OFF, 4, n_strips, None, off_pos))
-        packed.append((_STRIP_CNT, 4, n_strips, None, off_pos + n_strips * 4))
-        out_of_line += struct.pack("<" + "I" * n_strips, *offs)
-        out_of_line += struct.pack("<" + "I" * n_strips, *counts_vals)
+        packed.append((off_tag, arr_typ, n_blocks, None, off_pos))
+        packed.append((cnt_tag, arr_typ, n_blocks, None, off_pos + n_blocks * osz))
+        out_of_line += struct.pack("<" + off_fmt * n_blocks, *offs)
+        out_of_line += struct.pack("<" + off_fmt * n_blocks, *counts_vals)
 
     packed.sort(key=lambda e: e[0])
     buf = bytearray()
-    buf += struct.pack("<H", n_with_strips)
+    buf += struct.pack("<Q" if bigtiff else "<H", n_with_blocks)
     for tag, typ, count, inline, off in packed:
-        buf += struct.pack("<HHI", tag, typ, count)
-        buf += inline if inline is not None else struct.pack("<I", off)
-    buf += struct.pack("<I", next_ifd)
+        buf += struct.pack("<HH", tag, typ)
+        buf += struct.pack("<" + off_fmt, count)
+        buf += inline if inline is not None else struct.pack("<" + off_fmt, off)
+    buf += struct.pack("<" + off_fmt, next_ifd)
     buf += out_of_line
-    for bts in strips:
+    for bts in blocks:
         buf += bts
     return bytes(buf)

@@ -312,3 +312,53 @@ def test_jpeg_in_tiff_shared_jpegtables_splice():
     plain = _decode_block(mkinfo(None), stream, 16, 16)
     assert np.array_equal(via_tables, plain)
     assert np.array_equal(plain[:, :, 0], decode_jpeg(stream))
+
+
+# ----------------------------------------------- round-3: BigTIFF + tiled IO
+
+
+@pytest.mark.parametrize("kw", [
+    dict(bigtiff=True),
+    dict(tile=(16, 16)),
+    dict(tile=(32, 16), bigtiff=True),
+    dict(tile=(16, 16), compression="deflate"),
+    dict(bigtiff=True, compression="lzw", rows_per_strip=11),
+    dict(tile=(16, 16), compression="packbits"),
+])
+def test_bigtiff_and_tiled_roundtrip(kw):
+    """BigTIFF (magic 43, 8-byte offsets, 20-byte entries — the >4 GiB form
+    scale outputs need) and tiled layouts (padded edge tiles, row-major)
+    both window-read exactly through the one reader."""
+    from geotrellis_server_ray.sources.rangereader import MemoryRangeReader
+
+    gy, gx = np.mgrid[0:70, 0:53]
+    arr = ((gx * 7 + gy * 13) % 211).astype(np.uint16)
+    raw = write_tiff(arr, **kw)
+    rr = MemoryRangeReader(raw)
+    info = parse_ifds(rr)[0]
+    assert info.tiled == ("tile" in kw)
+    assert np.array_equal(read_window(rr, info, 0, 0, 53, 70)[:, :, 0], arr)
+    assert np.array_equal(read_window(rr, info, 5, 9, 20, 30)[:, :, 0], arr[9:39, 5:25])
+    # edge window crossing the padded boundary tiles
+    assert np.array_equal(read_window(rr, info, 40, 60, 13, 10)[:, :, 0], arr[60:70, 40:53])
+
+
+def test_bigtiff_header_form():
+    raw = write_tiff(np.zeros((4, 4), dtype=np.uint8), bigtiff=True)
+    assert raw[:4] == b"II+\x00"       # magic 43
+    assert raw[4:6] == b"\x08\x00"     # 8-byte offsets
+    with pytest.raises(ValueError, match="tile dimensions"):
+        write_tiff(np.zeros((4, 4), dtype=np.uint8), tile=(10, 16))
+
+
+def test_tiled_geotiff_extent_read(tmp_path):
+    arr = np.arange(48 * 48, dtype=np.int32).reshape(48, 48)
+    raw = write_tiff(arr, tile=(16, 16), compression="deflate",
+                     pixel_scale=(1.0, 1.0), tiepoint=(0.0, 0.0, 0.0, 48.0),
+                     epsg=3857)
+    p = tmp_path / "t.tif"
+    p.write_bytes(raw)
+    rd = file_range_reader(str(p))
+    info, = parse_ifds(rd)
+    got = read_extent_window(rd, info, 8.0, 8.0, 40.0, 40.0)[:, :, 0]
+    assert np.array_equal(got, arr[8:40, 8:40])
