@@ -465,16 +465,19 @@ def write_tiff(array: np.ndarray, compression: str = "none",
                pixel_scale: tuple | None = None, tiepoint: tuple | None = None,
                epsg: int | None = None, rows_per_strip: int | None = None,
                nodata: float | None = None, tile: tuple | None = None,
-               bigtiff: bool = False) -> bytes:
+               bigtiff: bool = False, predictor: int = 1) -> bytes:
     """Encode a (h, w) or (h, w, samples) array as a little-endian TIFF;
     with geo args it is a baseline GeoTIFF. ``tile=(tw, th)`` writes a tiled
     layout instead of strips; ``bigtiff=True`` writes BigTIFF (magic 43,
-    8-byte offsets — the >4 GiB form large-scale outputs need)."""
+    8-byte offsets — the >4 GiB form large-scale outputs need);
+    ``predictor=2`` applies horizontal differencing before compression
+    (integer samples; the usual companion of LZW/deflate)."""
     hdr = _header(bigtiff)
     return hdr + _encode_ifd(
         array, compression=compression, pixel_scale=pixel_scale,
         tiepoint=tiepoint, epsg=epsg, rows_per_strip=rows_per_strip,
-        nodata=nodata, base=len(hdr), next_ifd=0, tile=tile, bigtiff=bigtiff)
+        nodata=nodata, base=len(hdr), next_ifd=0, tile=tile, bigtiff=bigtiff,
+        predictor=predictor)
 
 
 def write_tiff_pyramid(arrays: list[np.ndarray], compression: str = "none",
@@ -511,7 +514,7 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
                 epsg: int | None = None, rows_per_strip: int | None = None,
                 nodata: float | None = None, base: int = 8,
                 next_ifd: int = 0, tile: tuple | None = None,
-                bigtiff: bool = False) -> bytes:
+                bigtiff: bool = False, predictor: int = 1) -> bytes:
     """One IFD + its out-of-line values + block data (strips or tiles),
     laid out to live at absolute file offset ``base``."""
     if array.ndim == 2:
@@ -522,7 +525,17 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
     bits = dt.itemsize * 8
     arr = np.ascontiguousarray(array, dtype=dt.newbyteorder("<"))
 
+    if predictor == 2 and dt.kind not in ("u", "i"):
+        raise ValueError("predictor 2 needs integer samples")
+
     def encode_chunk(chunk: np.ndarray) -> bytes:
+        if predictor == 2:
+            # horizontal differencing per sample, wraparound via the dtype
+            with np.errstate(over="ignore"):
+                chunk = np.concatenate(
+                    [chunk[:, :1], (chunk[:, 1:].astype(np.int64)
+                                    - chunk[:, :-1].astype(np.int64)).astype(chunk.dtype)],
+                    axis=1)
         if compression == "jpeg":
             from ..functions.jpeg import encode_jpeg
 
@@ -557,6 +570,8 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
         (_PHOTO, 3, [1]), (_SPP, 3, [s]),
         (_SFORMAT, 3, [sfmt] * s),
     ]
+    if predictor == 2:
+        entries.append((_PREDICTOR, 3, [2]))
     if tile is not None:
         entries.append((_TILE_W, 4, [tile[0]]))
         entries.append((_TILE_H, 4, [tile[1]]))

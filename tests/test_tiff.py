@@ -362,3 +362,28 @@ def test_tiled_geotiff_extent_read(tmp_path):
     info, = parse_ifds(rd)
     got = read_extent_window(rd, info, 8.0, 8.0, 40.0, 40.0)[:, :, 0]
     assert np.array_equal(got, arr[8:40, 8:40])
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int32])
+def test_predictor2_write_read(dtype):
+    """Write-side horizontal differencing (predictor 2) round-trips under
+    LZW strips and deflate tiles, including multi-sample chunky data."""
+    from geotrellis_server_ray.sources.rangereader import MemoryRangeReader
+
+    gy, gx = np.mgrid[0:40, 0:33]
+    arr = ((gx * 7 + gy * 13) % 200).astype(dtype)
+    for kw in (dict(compression="lzw", predictor=2, rows_per_strip=9),
+               dict(compression="deflate", predictor=2, tile=(16, 16))):
+        raw = write_tiff(arr, **kw)
+        rr = MemoryRangeReader(raw)
+        info = parse_ifds(rr)[0]
+        assert info.predictor == 2
+        assert np.array_equal(read_window(rr, info, 3, 5, 20, 25)[:, :, 0],
+                              arr[5:30, 3:23])
+    rgb = np.stack([arr % 250, (arr * 3) % 250, (arr * 7) % 250], axis=-1).astype(np.uint8)
+    raw = write_tiff(rgb, compression="lzw", predictor=2, rows_per_strip=8)
+    rr = MemoryRangeReader(raw)
+    info = parse_ifds(rr)[0]
+    assert np.array_equal(read_window(rr, info, 0, 0, 33, 40), rgb)
+    with pytest.raises(ValueError, match="integer"):
+        write_tiff(arr.astype(np.float32), compression="lzw", predictor=2)
