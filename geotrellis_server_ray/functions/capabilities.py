@@ -152,3 +152,51 @@ def wfs_feature_collection_gml(features: list[dict], epsg: int = 3857,
             if k not in ("xmin", "ymin", "xmax", "ymax"):
                 _sub(feat, str(k), v)
     return ET.tostring(root, encoding="unicode")
+
+
+def wcs_describe_coverage(layers: list[dict],
+                          supported_crs: tuple = ("EPSG:4326", "EPSG:3857")) -> str:
+    """WCS 1.1.1 DescribeCoverage (CoverageView.scala:91-190 shape):
+    one CoverageDescription per layer with (1) the pixel-space imageCRS
+    bounding box (0,0)-(w,h), (2) one BoundingBox per supported CRS — the
+    reference's load-bearing axis rule: GEOGRAPHIC CRSs list latitude first
+    (LowerCorner = ymin xmin), projected CRSs easting first — (3) an extra
+    ows:WGS84BoundingBox duplicating the EPSG:4326 box, and (4) a
+    TemporalDomain of gml:timePosition records. Layer dicts: name, title?,
+    xmin/ymin/xmax/ymax (EPSG:4326 lon/lat), width?/height? (grid dims),
+    time_positions?."""
+    from .proj import transform
+
+    root = ET.Element("CoverageDescriptions", {"xmlns": _WCS_NS,
+                                               "xmlns:ows": _OWS_NS,
+                                               "xmlns:gml": "http://www.opengis.net/gml"})
+    for lyr in layers:
+        cd = _sub(root, "CoverageDescription")
+        _sub(cd, "ows:Title", lyr.get("title", lyr["name"]))
+        _sub(cd, "Identifier", lyr["name"])
+        dom = _sub(cd, "Domain")
+        sp = _sub(dom, "SpatialDomain")
+        w, h = lyr.get("width", 256), lyr.get("height", 256)
+        img = _sub(sp, "ows:BoundingBox", crs="urn:ogc:def:crs:OGC::imageCRS",
+                   dimensions=2)
+        _sub(img, "ows:LowerCorner", "0.0 0.0")
+        _sub(img, "ows:UpperCorner", f"{float(w)!r} {float(h)!r}")
+        x0, y0, x1, y1 = (lyr["xmin"], lyr["ymin"], lyr["xmax"], lyr["ymax"])
+        for crs in supported_crs:
+            urn = "urn:ogc:def:crs:EPSG::" + crs.split(":")[1]
+            bb = _sub(sp, "ows:BoundingBox", crs=urn, dimensions=2)
+            if crs == "EPSG:4326":  # geographic: latitude axis first
+                _sub(bb, "ows:LowerCorner", f"{y0!r} {x0!r}")
+                _sub(bb, "ows:UpperCorner", f"{y1!r} {x1!r}")
+                wgs = _sub(sp, "ows:WGS84BoundingBox", dimensions=2)
+                _sub(wgs, "ows:LowerCorner", f"{y0!r} {x0!r}")
+                _sub(wgs, "ows:UpperCorner", f"{y1!r} {x1!r}")
+            else:  # projected: easting first
+                px, py = transform("EPSG:4326", crs, [x0, x1], [max(y0, -85.05), min(y1, 85.05)])
+                _sub(bb, "ows:LowerCorner", f"{float(px[0])!r} {float(py[0])!r}")
+                _sub(bb, "ows:UpperCorner", f"{float(px[1])!r} {float(py[1])!r}")
+        if lyr.get("time_positions"):
+            td = _sub(dom, "TemporalDomain")
+            for p in lyr["time_positions"]:
+                _sub(td, "gml:timePosition", p)
+    return ET.tostring(root, encoding="unicode")

@@ -109,3 +109,33 @@ def test_wfs_gml_from_span_features(ray_session, sf_correct):
     root = ET.fromstring(doc)
     ns = {"gml": "http://www.opengis.net/gml"}
     assert len(root.findall("gml:featureMember", ns)) == len(rows)
+
+
+def test_wcs_describe_coverage_axis_rules():
+    """CoverageView.scala:134-190: imageCRS pixel bbox; geographic CRS boxes
+    list latitude first (plus a duplicated WGS84BoundingBox); projected CRS
+    boxes list easting first; temporal domain carries gml timePositions."""
+    from geotrellis_server_ray.functions.capabilities import wcs_describe_coverage
+
+    doc = wcs_describe_coverage(LAYERS)
+    root = ET.fromstring(doc)
+    ns = {"c": "http://www.opengis.net/wcs/1.1.1",
+          "ows": "http://www.opengis.net/ows/1.1",
+          "gml": "http://www.opengis.net/gml"}
+    cds = root.findall("c:CoverageDescription", ns)
+    assert [c.find("c:Identifier", ns).text for c in cds] == ["ndvi", "dem"]
+    dem = cds[1]
+    boxes = dem.findall(".//ows:BoundingBox", ns)
+    img = [b for b in boxes if b.get("crs") == "urn:ogc:def:crs:OGC::imageCRS"][0]
+    assert img.find("ows:LowerCorner", ns).text == "0.0 0.0"
+    geo = [b for b in boxes if b.get("crs") == "urn:ogc:def:crs:EPSG::4326"][0]
+    assert geo.find("ows:LowerCorner", ns).text == "44.0 5.0"   # lat first
+    merc = [b for b in boxes if b.get("crs") == "urn:ogc:def:crs:EPSG::3857"][0]
+    lc = merc.find("ows:LowerCorner", ns).text.split()
+    assert float(lc[0]) > 400000.0  # easting first (lon 5 deg ~ 556 km)
+    wgs = dem.find(".//ows:WGS84BoundingBox", ns)
+    assert wgs is not None and wgs.find("ows:LowerCorner", ns).text == "44.0 5.0"
+    ndvi = cds[0]
+    times = [e.text for e in ndvi.findall(".//gml:timePosition", ns)]
+    assert times == ["2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z"]
+    assert dem.find(".//c:TemporalDomain", ns) is None
