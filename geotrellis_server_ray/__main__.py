@@ -26,8 +26,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", default=None, help="parquet output directory (default: print row count only)")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--list", action="store_true", help="list query names and exit")
-    ap.add_argument("--capabilities", choices=["wms", "wmts", "wcs"], default=None,
-                    help="print a GetCapabilities XML document for the demo catalog and exit")
+    ap.add_argument("--capabilities", choices=["wms", "wmts", "wcs", "wcs-describe"],
+                    default=None,
+                    help="print a GetCapabilities / DescribeCoverage XML document "
+                         "for the demo catalog and exit")
     args = ap.parse_args(argv)
 
     from .pipelines.registry import QUERIES
@@ -44,7 +46,8 @@ def main(argv: list[str] | None = None) -> int:
                    "xmax": r["xmax"], "ymax": r["ymax"]}
                   for r in _CATALOG.to_dict("records")]
         fn = {"wms": caps.wms_capabilities, "wmts": caps.wmts_capabilities,
-              "wcs": caps.wcs_capabilities}[args.capabilities]
+              "wcs": caps.wcs_capabilities,
+              "wcs-describe": caps.wcs_describe_coverage}[args.capabilities]
         print(fn(layers))
         return 0
     if args.query is None:
