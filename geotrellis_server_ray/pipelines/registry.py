@@ -31,6 +31,13 @@ from .relational import BroadcastLookup, add_cents, grouped_sums, make_broadcast
 
 # --------------------------------------------------------------- SQL helpers
 
+def _nparts() -> int:
+    """Cluster-derived shuffle width (config.shuffle_partitions)."""
+    from ..config import shuffle_partitions
+
+    return shuffle_partitions()
+
+
 def flit(x: float) -> str:
     """Float literal that DuckDB parses as DOUBLE (bare decimals parse as
     DECIMAL and shift arithmetic off the IEEE path)."""
@@ -483,7 +490,7 @@ def q_fact_fact_join(sf_dir: str):
     li = li.map_batches(partial(add_cents, cols={"qty_c": "l_quantity"}), batch_format="pyarrow")
     li = li.map_batches(lambda b: b.select(["l_orderkey", "qty_c"]), batch_format="pyarrow")
     orders = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    j = li.join(orders, join_type="inner", num_partitions=8,
+    j = li.join(orders, join_type="inner", num_partitions=_nparts(),
                 on=("l_orderkey",), right_on=("o_orderkey",))
     out = grouped_sums(
         j.map_batches(lambda b: b.select(["o_orderstatus", "qty_c"]), batch_format="pyarrow")
@@ -1286,9 +1293,9 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     pairs = pairs_within.union(rd.from_arrow(boundary))
     sk = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         char3gram_sketch_batch, batch_format="pyarrow")
-    j1 = pairs.join(sk, join_type="inner", num_partitions=4,
+    j1 = pairs.join(sk, join_type="inner", num_partitions=_nparts(),
                     on=("id_a",), right_on=("doc_id",))
-    j2 = j1.join(sk, join_type="inner", num_partitions=4,
+    j2 = j1.join(sk, join_type="inner", num_partitions=_nparts(),
                  on=("id_b",), right_on=("doc_id",),
                  left_suffix="_a", right_suffix="_b")
 
@@ -1733,7 +1740,7 @@ def q_simhash_neardup(sf_dir: str):
 
     rows = sigs.map_batches(chunk_rows, batch_format="pyarrow")
     rows = rows.map_batches(
-        partial(add_key_partition, key_cols=["chunk", "cval"], num_partitions=32),
+        partial(add_key_partition, key_cols=["chunk", "cval"], num_partitions=_nparts()),
         batch_format="pyarrow",
     )
 
@@ -1827,7 +1834,7 @@ def q_embedding_neardup(sf_dir: str):
     from ..stages.focal import add_key_partition, flat_cells
 
     ds = ds.map_batches(
-        partial(add_key_partition, key_cols=["bucket"], num_partitions=16),
+        partial(add_key_partition, key_cols=["bucket"], num_partitions=_nparts()),
         batch_format="pyarrow",
     )
 
@@ -2108,7 +2115,7 @@ def q_maml_tms_eval(sf_dir: str):
         })
 
     union = red.union(nir).map_batches(
-        partial(add_key_partition, key_cols=["x", "y"], num_partitions=16),
+        partial(add_key_partition, key_cols=["x", "y"], num_partitions=_nparts()),
         batch_format="pyarrow",
     )
     out = union.groupby("part").map_groups(eval_part, batch_format="pyarrow")
@@ -2530,7 +2537,7 @@ def q_rolling_value(sf_dir: str):
             "rolling_value_c": pa.array(rolled.astype(np.int64)),
         })
 
-    out = ds.map_batches(partial(add_key_partition, key_cols=["user_id"], num_partitions=32),
+    out = ds.map_batches(partial(add_key_partition, key_cols=["user_id"], num_partitions=_nparts()),
                          batch_format="pyarrow") \
         .groupby("part").map_groups(roll_partition, batch_format="pyarrow")
     return _cast_cols(out, {"user_id": I64, "event_id": I64, "rolling_value_c": I64})
