@@ -2003,6 +2003,36 @@ SELECT {_cell_sql('x', 'y')} AS cell_id, CAST(count(*) AS BIGINT) AS n
 FROM t GROUP BY 1"""
 
 
+def q_heavy_hitter_cells(sf_dir: str):
+    """Support-based heavy hitters over the skewed cell stream (the corpus
+    plants 5 hot cells holding 20% of docs): cells with > 0.5% of all
+    anchored spans, found by the PROVABLY-EXACT two-pass Misra-Gries plan
+    (stages/salting.heavy_hitters — bounded per-block state, candidates
+    broadcast, exact recount). Because pass 2 re-counts candidates exactly
+    and the MG guarantee forbids false negatives at the support level, the
+    output EQUALS the oracle's plain GROUP BY ... HAVING at any scale."""
+    from ..stages.salting import heavy_hitters
+
+    ds = geo.anchored_spans(sf_dir, zoom=8, cell_level=SALT_CELL_LEVEL)
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({"cell_id": pc.cast(b.column("cell_id"), I64)})
+
+    ds = ds.map_batches(shape, batch_format="pyarrow")
+    out = heavy_hitters(ds, "cell_id", support=0.005)
+    return _cast_cols(out, {"cell_id": I64, "n": I64})
+
+
+def sql_heavy_hitter_cells() -> str:
+    xe, ye = _tile_xy_sql(SALT_CELL_LEVEL)
+    return f"""{SPANS}
+, t AS (SELECT {xe} AS x, {ye} AS y FROM spans_flat WHERE is_media),
+cells AS (SELECT {_cell_sql('x', 'y')} AS cell_id FROM t)
+SELECT CAST(cell_id AS BIGINT) AS cell_id, CAST(count(*) AS BIGINT) AS n
+FROM cells GROUP BY 1
+HAVING count(*) > 0.005e0 * (SELECT count(*) FROM cells)"""
+
+
 def q_checkpointed_write(sf_dir: str):
     """Resumable partitioned sink: flagship join rows -> Hilbert range
     partitions -> atomic per-partition parquet + lineage manifest; returns
@@ -3741,6 +3771,7 @@ QUERIES: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "hopping_windows": (q_hopping_windows, sql_hopping_windows),
+    "heavy_hitter_cells": (q_heavy_hitter_cells, sql_heavy_hitter_cells),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

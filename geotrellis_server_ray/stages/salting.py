@@ -47,3 +47,88 @@ def salted_counts(ds, key_cols: list[str], id_col: str, num_salts: int = 8,
     per_salt = grouped_sums(staged, key_cols + ["salt"], [count_as], small_key_space=True)
     final = grouped_sums(per_salt, key_cols, [count_as], small_key_space=True)
     return final
+
+
+def mg_compress(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries summary compression: keep at most k (key, count) pairs by
+    subtracting the (k+1)-th largest count from all and dropping <= 0.
+    Preserves the MG guarantee count_true - count_mg <= n/k."""
+    if len(keys) <= k:
+        return keys, counts
+    order = np.argsort(counts)[::-1]
+    thresh = counts[order[k]]
+    keep = counts > thresh
+    # ties at the threshold may leave > k survivors only when equal counts
+    # straddle the cut; subtracting thresh zeroes them anyway
+    return keys[keep], counts[keep] - thresh
+
+
+def heavy_hitters(ds, key_col: str, support: float, count_as: str = "n"):
+    """PROVABLY-EXACT support-based heavy hitters in two passes (the classic
+    distributed Misra-Gries + rescan plan — bounded memory at any scale):
+
+      pass 1: per-batch exact unique counts, MG-compressed to k = 2/support
+              entries (bounded state per block); partials merged and
+              MG-compressed on the driver (blocks x k rows, tiny). MG
+              guarantee: every key with true frequency > support * n is in
+              the candidate set.
+      pass 2: candidates broadcast (ray.put + searchsorted probe); EXACT
+              counts for candidates only via combiner partials; keys with
+              exact count > support * n emitted.
+
+    False negatives are impossible (the guarantee), false positives are
+    filtered by the exact recount — so the output equals the exact
+    ``GROUP BY ... HAVING count > support * n`` at any data size, while no
+    stage ever holds more than k counters per block. Returns a Dataset of
+    (key_col, count_as) and consumes a MATERIALIZED keyed projection so the
+    two passes share one read."""
+    import ray
+    import ray.data as rd
+
+    k = max(8, int(np.ceil(2.0 / support)))
+
+    keyed = ds.map_batches(lambda b: b.select([key_col]), batch_format="pyarrow") \
+              .materialize()
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(vals, return_counts=True)
+        u, c = mg_compress(u, c.astype(np.int64), k)
+        return pa.table({key_col: pa.array(u), "mg": pa.array(c)})
+
+    rows = keyed.map_batches(partial, batch_format="pyarrow").take_all()
+    total = keyed.count()  # over materialized blocks: metadata-cheap
+    if rows:
+        ku = np.array([r[key_col] for r in rows], dtype=np.int64)
+        cu = np.array([r["mg"] for r in rows], dtype=np.int64)
+        mk, inv = np.unique(ku, return_inverse=True)
+        mc = np.zeros(len(mk), dtype=np.int64)
+        np.add.at(mc, inv, cu)
+        cand, _ = mg_compress(mk, mc, k)
+    else:
+        cand = np.empty(0, dtype=np.int64)
+    cand = np.sort(cand)
+    ref = ray.put(cand)
+
+    def recount(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vals = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) == 0 or len(vals) == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             count_as: pa.array([], pa.int64())})
+        idx = np.clip(np.searchsorted(c, vals), 0, len(c) - 1)
+        hit = c[idx] == vals
+        cnt = np.bincount(idx[hit], minlength=len(c)).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({key_col: pa.array(c[nz]), count_as: pa.array(cnt[nz])})
+
+    exact = grouped_sums(keyed.map_batches(recount, batch_format="pyarrow"),
+                         [key_col], [count_as], small_key_space=True)
+    floor = support * total
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b.column(count_as), pa.scalar(float(floor))))
+
+    return exact.map_batches(keep, batch_format="pyarrow")

@@ -117,3 +117,38 @@ def test_assign_partitions_covers_large_counts():
     pid = out.column("partition_id").to_numpy(zero_copy_only=False)
     assert pid.max() > 65_536  # full 64-bit hash reaches every partition range
     assert pid.min() >= 0 and pid.max() < 200_000
+
+
+def test_heavy_hitters_exact_vs_bruteforce(ray_session):
+    """Two-pass MG heavy hitters == exact GROUP BY/HAVING, on an adversarial
+    layout: one truly-heavy key spread THIN across every block (so a naive
+    per-block top-k would drop it everywhere) among per-block-dominant
+    noise keys."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.salting import heavy_hitters, mg_compress
+
+    rng = np.random.default_rng(9)
+    blocks = []
+    HEAVY = 777
+    for bi in range(16):
+        # per-block: a local dominator (unique per block) + noise + a thin
+        # slice of the global heavy key
+        local = np.full(400, 10_000 + bi, dtype=np.int64)
+        noise = rng.integers(0, 5000, 500, dtype=np.int64)
+        heavy = np.full(60, HEAVY, dtype=np.int64)  # 60/960 per block
+        blocks.append(np.concatenate([local, noise, heavy]))
+    allv = np.concatenate(blocks)
+    ds = rd.from_arrow(pa.table({"k": pa.array(allv)})).repartition(16)
+
+    support = 0.02
+    out = heavy_hitters(ds, "k", support=support).to_pandas()
+    vals, cnts = np.unique(allv, return_counts=True)
+    want = {int(v): int(c) for v, c in zip(vals, cnts) if c > support * len(allv)}
+    got = dict(zip(out["k"].astype(int), out["n"].astype(int)))
+    assert got == want
+    assert HEAVY in got  # the thin-spread global heavy key survives
+    # and the summary really is bounded: compression keeps <= k entries
+    ku, cu = mg_compress(vals, cnts.astype(np.int64), 10)
+    assert len(ku) <= 10
