@@ -3136,45 +3136,38 @@ def q_stac_http_mosaic(sf_dir: str):
 
     n_bands = 4  # split each 32x32 raster into 4 row-band tiles of 8x32
 
-    class FetchTiles:
-        """Actor: ranged HTTP GETs -> parsed IFD -> full-raster window read;
-        header bytes cached per url (S6 over the network path)."""
+    def fetch_tiles(b: pa.Table) -> pa.Table:
+        """Stateless task: ranged HTTP GETs -> parsed IFD -> full-raster
+        window read. Header bytes cache in a WORKER-GLOBAL HeaderByteCache
+        (sources/stac.ranged_read) — S6 semantics shared across batches and
+        stages without paying actor-pool startup per query."""
+        from ..sources.stac import ranged_read
+        from ..sources.tiff import parse_ifds, read_window
 
-        def __init__(self):
-            from ..sources.rangereader import HttpRangeReader
-            from ..state.caches import HeaderByteCache
+        xs, ys, rks, cells = [], [], [], []
+        for rank, url in zip(b.column("rank").to_pylist(),
+                             b.column("url").to_pylist()):
+            def read(off, ln, u=url):
+                return ranged_read(u, off, ln)
 
-            self.cache = HeaderByteCache(
-                lambda uri, off, ln: HttpRangeReader(uri)(off, ln), prefix=1024)
+            info = parse_ifds(read)[0]
+            arr = read_window(read, info, 0, 0, info.width,
+                              info.height)[:, :, 0].astype(np.float64)
+            if info.nodata is not None:
+                arr[arr == info.nodata] = np.nan
+            bands = arr.reshape(n_bands, TIF_N // n_bands, TIF_N)
+            for yb in range(n_bands):
+                xs.append(0)
+                ys.append(yb)
+                rks.append(int(rank))
+                cells.append(bands[yb].ravel())
+        return pa.table({
+            "x": pa.array(xs, I64), "y": pa.array(ys, I64),
+            "rank": pa.array(rks, I64),
+            "cells": pa.array([list(c) for c in cells], pa.list_(pa.float64())),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            from ..sources.tiff import parse_ifds, read_window
-
-            xs, ys, rks, cells = [], [], [], []
-            for rank, url in zip(b.column("rank").to_pylist(),
-                                 b.column("url").to_pylist()):
-                def read(off, ln, u=url):
-                    return self.cache.read(u, off, ln)
-
-                info = parse_ifds(read)[0]
-                arr = read_window(read, info, 0, 0, info.width,
-                                  info.height)[:, :, 0].astype(np.float64)
-                if info.nodata is not None:
-                    arr[arr == info.nodata] = np.nan
-                bands = arr.reshape(n_bands, TIF_N // n_bands, TIF_N)
-                for yb in range(n_bands):
-                    xs.append(0)
-                    ys.append(yb)
-                    rks.append(int(rank))
-                    cells.append(bands[yb].ravel())
-            return pa.table({
-                "x": pa.array(xs, I64), "y": pa.array(ys, I64),
-                "rank": pa.array(rks, I64),
-                "cells": pa.array([list(c) for c in cells], pa.list_(pa.float64())),
-            })
-
-    tiles = rd.from_items(sel).map_batches(
-        FetchTiles, batch_format="pyarrow", concurrency=(1, 2), num_cpus=1)
+    tiles = rd.from_items(sel).map_batches(fetch_tiles, batch_format="pyarrow")
     merged = mosaic(tiles, num_partitions=2)
 
     rows_per_band = TIF_N // n_bands

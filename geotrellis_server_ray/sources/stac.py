@@ -234,3 +234,20 @@ def first_matching_asset(item: dict, pattern: str):
         if rx.search(k):
             return k, v["href"]
     return None
+
+
+# worker-global ranged-read cache (S6 semantics without per-stage actor
+# startup: one HeaderByteCache per worker PROCESS, shared across batches
+# and stages — the same worker-global pattern as stages/pip.py's index cache)
+_WORKER_CACHE = None
+
+
+def ranged_read(url: str, offset: int, length: int) -> bytes:
+    global _WORKER_CACHE
+    if _WORKER_CACHE is None:
+        from .rangereader import HttpRangeReader
+        from ..state.caches import HeaderByteCache
+
+        _WORKER_CACHE = HeaderByteCache(
+            lambda uri, off, ln: HttpRangeReader(uri)(off, ln), prefix=1024)
+    return _WORKER_CACHE.read(url, offset, length)
