@@ -2003,6 +2003,87 @@ SELECT {_cell_sql('x', 'y')} AS cell_id, CAST(count(*) AS BIGINT) AS n
 FROM t GROUP BY 1"""
 
 
+PYR_N = 128          # base pyramid raster is PYR_N x PYR_N at 1 m cells
+PYR_TARGETS = (1.0, 2.5, 4.5, 9.0)  # request target cell sizes
+
+
+def q_overview_select_windows(sf_dir: str):
+    """M3 driver-witnessed over REAL bytes: a 3-level internal-pyramid
+    GeoTIFF (write_tiff_pyramid, 1/2/4 m cells) served through
+    RasterSource(uri); each request selects its overview with the
+    auto-higher-resolution strategy (coarsest level still finer-or-equal to
+    the request's target cell size — RasterSourceUtils/OverviewStrategy) and
+    window-reads one extent quadrant AT THAT LEVEL. Output: (request_id,
+    level_width, win_sum). The oracle replays decimation in SQL: overview-L
+    pixel (x, y) equals base pixel (x<<L, y<<L) of the closed-form grid."""
+    import os
+
+    import ray.data as rd
+
+    from ..sources.rastersource import raster_source, select_overview
+    from ..sources.tiff import read_extent_window, write_tiff_pyramid
+
+    path = "/tmp/graft_tiff/pyr128.tif"
+    if not os.path.exists(path):
+        os.makedirs("/tmp/graft_tiff", exist_ok=True)
+        gy, gx = np.mgrid[0:PYR_N, 0:PYR_N]
+        base = ((gx * 7 + gy * 13) % 100).astype(np.int32)
+        raw = write_tiff_pyramid([base, base[::2, ::2].copy(), base[::4, ::4].copy()],
+                                 compression="deflate", rows_per_strip=16,
+                                 pixel_scale=(1.0, 1.0),
+                                 tiepoint=(0.0, 0.0, 0.0, float(PYR_N)), epsg=3857)
+        tmp = path + ".part"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, path)
+
+    def run(b: pa.Table) -> pa.Table:
+        h = raster_source(path)  # header-cached parse per task
+        ids = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lw = np.empty(len(ids), dtype=np.int64)
+        ws = np.empty(len(ids), dtype=np.int64)
+        half = PYR_N / 2.0
+        for i, rid in enumerate(ids):  # <=16 requests
+            target = PYR_TARGETS[int(rid) % len(PYR_TARGETS)]
+            info = select_overview(h, "auto-higher-resolution", target)
+            qx, qy = int(rid) % 2, (int(rid) // 2) % 2  # extent quadrant
+            ext = (qx * half, PYR_N - (qy + 1) * half,
+                   (qx + 1) * half, PYR_N - qy * half)
+            win = read_extent_window(h._read, info, *ext)[:, :, 0]
+            lw[i] = info.width
+            ws[i] = int(win.sum())
+        return pa.table({"request_id": pa.array(ids), "level_width": pa.array(lw),
+                         "win_sum": pa.array(ws)})
+
+    ds = rd.range(16, override_num_blocks=2)
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def sql_overview_select_windows() -> str:
+    # level by target: 1.0 -> L0 (1 m), 2.5 -> L1 (2 m), 4.5/9.0 -> L2 (4 m)
+    lvl = {0: 0, 1: 1, 2: 2, 3: 2}
+    cases_l = " ".join(f"WHEN {i} THEN {lvl[i]}" for i in range(4))
+    return f"""
+WITH req AS (
+  SELECT unnest(generate_series(0, 15)) AS rid),
+r AS (
+  SELECT rid, CASE rid % 4 {cases_l} END AS L,
+         rid % 2 AS qx, (rid // 2) % 2 AS qy
+  FROM req),
+px AS (
+  SELECT r.rid, r.L, cx.i AS x, cy.j AS y, r.qx, r.qy
+  FROM r,
+       (SELECT unnest(generate_series(0, {PYR_N - 1})) AS i) cx,
+       (SELECT unnest(generate_series(0, {PYR_N - 1})) AS j) cy
+  WHERE cx.i < {PYR_N} // (1 << r.L) AND cy.j < {PYR_N} // (1 << r.L)
+    AND cx.i // ({PYR_N} // (1 << r.L) // 2) = r.qx
+    AND cy.j // ({PYR_N} // (1 << r.L) // 2) = r.qy)
+SELECT CAST(rid AS BIGINT) AS request_id,
+       CAST({PYR_N} // (1 << L) AS BIGINT) AS level_width,
+       CAST(sum(((x * (1 << L)) * 7 + (y * (1 << L)) * 13) % 100) AS BIGINT) AS win_sum
+FROM px GROUP BY rid, L"""
+
+
 def q_heavy_hitter_cells(sf_dir: str):
     """Support-based heavy hitters over the skewed cell stream (the corpus
     plants 5 hot cells holding 20% of docs): cells with > 0.5% of all
@@ -3765,6 +3846,7 @@ QUERIES: dict[str, tuple] = {
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "hopping_windows": (q_hopping_windows, sql_hopping_windows),
     "heavy_hitter_cells": (q_heavy_hitter_cells, sql_heavy_hitter_cells),
+    "overview_select_windows": (q_overview_select_windows, sql_overview_select_windows),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),
