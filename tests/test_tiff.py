@@ -387,3 +387,10 @@ def test_predictor2_write_read(dtype):
     assert np.array_equal(read_window(rr, info, 0, 0, 33, 40), rgb)
     with pytest.raises(ValueError, match="integer"):
         write_tiff(arr.astype(np.float32), compression="lzw", predictor=2)
+
+
+def test_jpeg_rejects_predictor():
+    """Review r3: differencing before a lossy codec decodes as garbage; the
+    combination must be rejected at write time."""
+    with pytest.raises(ValueError, match="predictor 2 cannot"):
+        write_tiff(np.zeros((8, 8), dtype=np.uint8), compression="jpeg", predictor=2)
