@@ -16,6 +16,23 @@ from __future__ import annotations
 import os
 
 
+def shuffle_partitions_for_rows(n_rows: int, rows_per_partition: int = 250_000) -> int:
+    """Data-proportional exchange width, capped by the cluster knob: each
+    shuffle partition carries ~rows_per_partition rows, so toy inputs do not
+    pay the fixed per-partition task cost of a cluster-wide exchange, and
+    large inputs still fan out to every CPU. Call sites get n_rows from
+    parquet metadata or an already-materialized Dataset's count() — both
+    metadata-cheap at any scale."""
+    return max(1, min(shuffle_partitions(), n_rows // rows_per_partition + 1))
+
+
+def parquet_rows(path: str) -> int:
+    """Row count from parquet file metadata (no data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
 def shuffle_partitions(per_cpu: float = 1.0, floor: int = 8, cap: int = 4096) -> int:
     env = os.environ.get("GSR_SHUFFLE_PARTITIONS")
     if env:

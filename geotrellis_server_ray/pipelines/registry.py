@@ -38,6 +38,23 @@ def _nparts() -> int:
     return shuffle_partitions()
 
 
+def _nparts_for(sf_dir: str, table: str) -> int:
+    """Data-proportional shuffle width from the table's parquet METADATA row
+    count (no data read), capped by the cluster knob — toy inputs skip the
+    fixed per-partition cost of a cluster-wide exchange, corpus-scale inputs
+    still fan out to every CPU."""
+    import os
+
+    from ..config import parquet_rows, shuffle_partitions_for_rows
+
+    path = f"{sf_dir}/{table}.parquet"
+    if not os.path.exists(path):  # lance dir or exotic layout: cluster width
+        from ..config import shuffle_partitions
+
+        return shuffle_partitions()
+    return shuffle_partitions_for_rows(parquet_rows(path))
+
+
 def flit(x: float) -> str:
     """Float literal that DuckDB parses as DOUBLE (bare decimals parse as
     DECIMAL and shift arithmetic off the IEEE path)."""
@@ -490,7 +507,8 @@ def q_fact_fact_join(sf_dir: str):
     li = li.map_batches(partial(add_cents, cols={"qty_c": "l_quantity"}), batch_format="pyarrow")
     li = li.map_batches(lambda b: b.select(["l_orderkey", "qty_c"]), batch_format="pyarrow")
     orders = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    j = li.join(orders, join_type="inner", num_partitions=_nparts(),
+    j = li.join(orders, join_type="inner",
+                num_partitions=_nparts_for(sf_dir, "lineitem"),
                 on=("l_orderkey",), right_on=("o_orderkey",))
     out = grouped_sums(
         j.map_batches(lambda b: b.select(["o_orderstatus", "qty_c"]), batch_format="pyarrow")
@@ -1293,9 +1311,12 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     pairs = pairs_within.union(rd.from_arrow(boundary))
     sk = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         char3gram_sketch_batch, batch_format="pyarrow")
-    j1 = pairs.join(sk, join_type="inner", num_partitions=_nparts(),
+    from ..config import shuffle_partitions_for_rows
+
+    jp = shuffle_partitions_for_rows(sorted_ids.count())  # metadata-cheap
+    j1 = pairs.join(sk, join_type="inner", num_partitions=jp,
                     on=("id_a",), right_on=("doc_id",))
-    j2 = j1.join(sk, join_type="inner", num_partitions=_nparts(),
+    j2 = j1.join(sk, join_type="inner", num_partitions=jp,
                  on=("id_b",), right_on=("doc_id",),
                  left_suffix="_a", right_suffix="_b")
 
@@ -1740,7 +1761,8 @@ def q_simhash_neardup(sf_dir: str):
 
     rows = sigs.map_batches(chunk_rows, batch_format="pyarrow")
     rows = rows.map_batches(
-        partial(add_key_partition, key_cols=["chunk", "cval"], num_partitions=_nparts()),
+        partial(add_key_partition, key_cols=["chunk", "cval"],
+                num_partitions=_nparts_for(sf_dir, "documents")),
         batch_format="pyarrow",
     )
 
@@ -1834,7 +1856,8 @@ def q_embedding_neardup(sf_dir: str):
     from ..stages.focal import add_key_partition, flat_cells
 
     ds = ds.map_batches(
-        partial(add_key_partition, key_cols=["bucket"], num_partitions=_nparts()),
+        partial(add_key_partition, key_cols=["bucket"],
+                num_partitions=_nparts_for(sf_dir, "embeddings")),
         batch_format="pyarrow",
     )
 
@@ -2226,7 +2249,8 @@ def q_maml_tms_eval(sf_dir: str):
         })
 
     union = red.union(nir).map_batches(
-        partial(add_key_partition, key_cols=["x", "y"], num_partitions=_nparts()),
+        partial(add_key_partition, key_cols=["x", "y"],
+                num_partitions=_nparts_for(sf_dir, "part")),
         batch_format="pyarrow",
     )
     out = union.groupby("part").map_groups(eval_part, batch_format="pyarrow")
@@ -2648,7 +2672,8 @@ def q_rolling_value(sf_dir: str):
             "rolling_value_c": pa.array(rolled.astype(np.int64)),
         })
 
-    out = ds.map_batches(partial(add_key_partition, key_cols=["user_id"], num_partitions=_nparts()),
+    out = ds.map_batches(partial(add_key_partition, key_cols=["user_id"],
+                                 num_partitions=_nparts_for(sf_dir, "events")),
                          batch_format="pyarrow") \
         .groupby("part").map_groups(roll_partition, batch_format="pyarrow")
     return _cast_cols(out, {"user_id": I64, "event_id": I64, "rolling_value_c": I64})
