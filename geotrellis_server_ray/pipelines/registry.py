@@ -1761,8 +1761,9 @@ def q_simhash_neardup(sf_dir: str):
 
     rows = sigs.map_batches(chunk_rows, batch_format="pyarrow")
     rows = rows.map_batches(
-        partial(add_key_partition, key_cols=["chunk", "cval"],
-                num_partitions=_nparts_for(sf_dir, "documents")),
+        # group-COMPUTE stage: width parallelizes the per-partition verify
+        # kernel, so it tracks the cluster, not the (tiny) row count
+        partial(add_key_partition, key_cols=["chunk", "cval"], num_partitions=_nparts()),
         batch_format="pyarrow",
     )
 
@@ -1856,8 +1857,7 @@ def q_embedding_neardup(sf_dir: str):
     from ..stages.focal import add_key_partition, flat_cells
 
     ds = ds.map_batches(
-        partial(add_key_partition, key_cols=["bucket"],
-                num_partitions=_nparts_for(sf_dir, "embeddings")),
+        partial(add_key_partition, key_cols=["bucket"], num_partitions=_nparts()),
         batch_format="pyarrow",
     )
 
@@ -2249,8 +2249,7 @@ def q_maml_tms_eval(sf_dir: str):
         })
 
     union = red.union(nir).map_batches(
-        partial(add_key_partition, key_cols=["x", "y"],
-                num_partitions=_nparts_for(sf_dir, "part")),
+        partial(add_key_partition, key_cols=["x", "y"], num_partitions=_nparts()),
         batch_format="pyarrow",
     )
     out = union.groupby("part").map_groups(eval_part, batch_format="pyarrow")
@@ -2672,8 +2671,7 @@ def q_rolling_value(sf_dir: str):
             "rolling_value_c": pa.array(rolled.astype(np.int64)),
         })
 
-    out = ds.map_batches(partial(add_key_partition, key_cols=["user_id"],
-                                 num_partitions=_nparts_for(sf_dir, "events")),
+    out = ds.map_batches(partial(add_key_partition, key_cols=["user_id"], num_partitions=_nparts()),
                          batch_format="pyarrow") \
         .groupby("part").map_groups(roll_partition, batch_format="pyarrow")
     return _cast_cols(out, {"user_id": I64, "event_id": I64, "rolling_value_c": I64})
