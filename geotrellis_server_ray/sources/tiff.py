@@ -4,7 +4,8 @@ Reader: classic TIFF (II and MM byte orders), striped or tiled layouts,
 uncompressed / Deflate / LZW (TIFF 6.0 early-change) / PackBits / new-style
 JPEG (compression 7 via the repo's own baseline codec, incl. shared
 JPEGTables splicing) with the horizontal-differencing predictor, uint/int
-8/16/32 and float 32/64 samples, chunky planar config, multiple IFDs
+8/16/32 and float 32/64 samples, chunky AND planar (band-interleaved)
+configurations, multiple IFDs
 (overviews; write_tiff_pyramid produces them), classic AND BigTIFF (magic
 43, 8-byte offsets — the >4 GiB form 100-TB-scale outputs need).
 
@@ -37,6 +38,7 @@ _W, _H = 256, 257
 _BITS, _COMP, _PHOTO = 258, 259, 262
 _STRIP_OFF, _SPP, _RPS, _STRIP_CNT = 273, 277, 278, 279
 _PREDICTOR = 317
+_PLANAR = 284
 _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _SFORMAT = 339
 _MODEL_SCALE, _MODEL_TIE, _GEOKEYS = 33550, 33922, 34735
@@ -70,6 +72,7 @@ class TiffInfo:
     geokeys: tuple | None = None
     nodata: float | None = None
     jpeg_tables: bytes | None = None
+    planar: int = 1  # 1 chunky, 2 planar (one sample per block run)
 
     @property
     def dtype(self) -> np.dtype:
@@ -170,6 +173,7 @@ def _info_from_tags(endian: str, tags: dict) -> TiffInfo:
     sfmt = (get(_SFORMAT) or [1])[0]
     comp = (get(_COMP) or [1])[0]
     pred = (get(_PREDICTOR) or [1])[0]
+    planar = (get(_PLANAR) or [1])[0]
     tiled = _TILE_OFF in tags
     if tiled:
         tw, th = get(_TILE_W)[0], get(_TILE_H)[0]
@@ -190,6 +194,7 @@ def _info_from_tags(endian: str, tags: dict) -> TiffInfo:
         geokeys=tuple(get(_GEOKEYS) or ()) or None,
         nodata=float(nod) if nod not in (None, "") else None,
         jpeg_tables=get(_JPEG_TABLES) or None,
+        planar=planar,
     )
 
 
@@ -372,10 +377,11 @@ def _decode_block(info: TiffInfo, data: bytes, bw: int, bh: int) -> np.ndarray:
     elif info.compression != 1:
         raise ValueError(f"unsupported TIFF compression {info.compression}")
     arr = np.frombuffer(data, dtype=info.dtype)
-    want = bw * bh * info.samples
+    s_in_block = 1 if info.planar == 2 else info.samples
+    want = bw * bh * s_in_block
     if len(arr) < want:  # short final strip: pad (writers may truncate)
         arr = np.concatenate([arr, np.zeros(want - len(arr), dtype=arr.dtype)])
-    arr = arr[:want].reshape(bh, bw, info.samples)
+    arr = arr[:want].reshape(bh, bw, s_in_block)
     if info.predictor == 2:
         arr = np.cumsum(arr.astype(np.int64), axis=1).astype(info.dtype)
     return arr
@@ -387,6 +393,31 @@ def read_window(read, info: TiffInfo, col0: int, row0: int, w: int, h: int) -> n
     w = min(w, info.width - col0)
     h = min(h, info.height - row0)
     out = np.zeros((h, w, info.samples), dtype=info.dtype.newbyteorder("="))
+    if info.planar == 2:
+        # planar config 2 (GDAL INTERLEAVE=BAND): the block run repeats once
+        # per sample, sample-major; read each sample's plane independently
+        per_plane = len(info.offsets) // info.samples
+        for sp in range(info.samples):
+            if info.tiled:
+                across = (info.width + info.tile_w - 1) // info.tile_w
+                b0x, b1x = col0 // info.tile_w, (col0 + w - 1) // info.tile_w
+                b0y, b1y = row0 // info.tile_h, (row0 + h - 1) // info.tile_h
+                for by in range(b0y, b1y + 1):
+                    for bx in range(b0x, b1x + 1):
+                        bi = sp * per_plane + by * across + bx
+                        block = _decode_block(info, read(info.offsets[bi], info.counts[bi]),
+                                              info.tile_w, info.tile_h)
+                        _paste(out[:, :, sp : sp + 1], block,
+                               bx * info.tile_w, by * info.tile_h, col0, row0)
+            else:
+                b0, b1 = row0 // info.tile_h, (row0 + h - 1) // info.tile_h
+                for bi in range(b0, b1 + 1):
+                    bh = min(info.tile_h, info.height - bi * info.tile_h)
+                    block = _decode_block(info, read(info.offsets[sp * per_plane + bi],
+                                                     info.counts[sp * per_plane + bi]),
+                                          info.width, bh)
+                    _paste(out[:, :, sp : sp + 1], block, 0, bi * info.tile_h, col0, row0)
+        return out
     if info.tiled:
         across = (info.width + info.tile_w - 1) // info.tile_w
         b0x, b1x = col0 // info.tile_w, (col0 + w - 1) // info.tile_w
@@ -465,7 +496,8 @@ def write_tiff(array: np.ndarray, compression: str = "none",
                pixel_scale: tuple | None = None, tiepoint: tuple | None = None,
                epsg: int | None = None, rows_per_strip: int | None = None,
                nodata: float | None = None, tile: tuple | None = None,
-               bigtiff: bool = False, predictor: int = 1) -> bytes:
+               bigtiff: bool = False, predictor: int = 1,
+               planar: int = 1) -> bytes:
     """Encode a (h, w) or (h, w, samples) array as a little-endian TIFF;
     with geo args it is a baseline GeoTIFF. ``tile=(tw, th)`` writes a tiled
     layout instead of strips; ``bigtiff=True`` writes BigTIFF (magic 43,
@@ -477,7 +509,7 @@ def write_tiff(array: np.ndarray, compression: str = "none",
         array, compression=compression, pixel_scale=pixel_scale,
         tiepoint=tiepoint, epsg=epsg, rows_per_strip=rows_per_strip,
         nodata=nodata, base=len(hdr), next_ifd=0, tile=tile, bigtiff=bigtiff,
-        predictor=predictor)
+        predictor=predictor, planar=planar)
 
 
 def write_tiff_pyramid(arrays: list[np.ndarray], compression: str = "none",
@@ -514,7 +546,8 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
                 epsg: int | None = None, rows_per_strip: int | None = None,
                 nodata: float | None = None, base: int = 8,
                 next_ifd: int = 0, tile: tuple | None = None,
-                bigtiff: bool = False, predictor: int = 1) -> bytes:
+                bigtiff: bool = False, predictor: int = 1,
+                planar: int = 1) -> bytes:
     """One IFD + its out-of-line values + block data (strips or tiles),
     laid out to live at absolute file offset ``base``."""
     if array.ndim == 2:
@@ -550,21 +583,27 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
                "packbits": packbits_encode, "none": lambda b: b}[compression]
         return enc(np.ascontiguousarray(chunk).tobytes())
 
+    if planar == 2 and compression == "jpeg":
+        raise ValueError("planar=2 with jpeg is not supported")
+    planes = ([arr[:, :, i : i + 1] for i in range(s)] if planar == 2 else [arr])
     blocks = []
     if tile is not None:
         tw, th = tile
         if tw % 16 or th % 16:
             raise ValueError("TIFF tile dimensions must be multiples of 16")
-        for ty in range(0, h, th):  # row-major tile order, edge tiles padded
-            for tx in range(0, w, tw):
-                t = np.zeros((th, tw, s), dtype=arr.dtype)
-                src_block = arr[ty : ty + th, tx : tx + tw]
-                t[: src_block.shape[0], : src_block.shape[1]] = src_block
-                blocks.append(encode_chunk(t))
+        for plane in planes:  # planar=2: full tile run per sample, sample-major
+            ps = plane.shape[2]
+            for ty in range(0, h, th):  # row-major tile order, edge tiles padded
+                for tx in range(0, w, tw):
+                    t = np.zeros((th, tw, ps), dtype=arr.dtype)
+                    src_block = plane[ty : ty + th, tx : tx + tw]
+                    t[: src_block.shape[0], : src_block.shape[1]] = src_block
+                    blocks.append(encode_chunk(t))
     else:
         rps = rows_per_strip or h
-        for r0 in range(0, h, rps):
-            blocks.append(encode_chunk(arr[r0 : r0 + rps]))
+        for plane in planes:
+            for r0 in range(0, h, rps):
+                blocks.append(encode_chunk(plane[r0 : r0 + rps]))
 
     comp_tag = {"deflate": 8, "lzw": 5, "packbits": 32773, "none": 1,
                 "jpeg": 7}[compression]
@@ -576,6 +615,8 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
     ]
     if predictor == 2:
         entries.append((_PREDICTOR, 3, [2]))
+    if planar == 2:
+        entries.append((_PLANAR, 3, [2]))
     if tile is not None:
         entries.append((_TILE_W, 4, [tile[0]]))
         entries.append((_TILE_H, 4, [tile[1]]))

@@ -394,3 +394,27 @@ def test_jpeg_rejects_predictor():
     combination must be rejected at write time."""
     with pytest.raises(ValueError, match="predictor 2 cannot"):
         write_tiff(np.zeros((8, 8), dtype=np.uint8), compression="jpeg", predictor=2)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(planar=2, rows_per_strip=8),
+    dict(planar=2, compression="lzw", predictor=2, rows_per_strip=16),
+    dict(planar=2, tile=(16, 16), compression="deflate"),
+    dict(planar=2, bigtiff=True),
+])
+def test_planar_configuration_2(kw):
+    """PlanarConfiguration 2 (GDAL INTERLEAVE=BAND): the block run repeats
+    per sample, sample-major; windowed reads merge the planes back into
+    chunky output across strips/tiles/codecs/predictor/BigTIFF."""
+    from geotrellis_server_ray.sources.rangereader import MemoryRangeReader
+
+    gy, gx = np.mgrid[0:40, 0:33]
+    rgb = np.stack([(gx * 3 + gy) % 200, (gx + gy * 5) % 200,
+                    (gx * 7) % 200], axis=-1).astype(np.uint8)
+    raw = write_tiff(rgb, **kw)
+    rr = MemoryRangeReader(raw)
+    info = parse_ifds(rr)[0]
+    assert info.planar == 2 and info.samples == 3
+    assert np.array_equal(read_window(rr, info, 0, 0, 33, 40), rgb)
+    assert np.array_equal(read_window(rr, info, 5, 9, 12, 17), rgb[9:26, 5:17])
+    assert np.array_equal(read_window(rr, info, 20, 30, 13, 10), rgb[30:40, 20:33])
