@@ -376,13 +376,28 @@ def _decode_block(info: TiffInfo, data: bytes, bw: int, bh: int) -> np.ndarray:
         data = packbits_decode(data)
     elif info.compression != 1:
         raise ValueError(f"unsupported TIFF compression {info.compression}")
-    arr = np.frombuffer(data, dtype=info.dtype)
     s_in_block = 1 if info.planar == 2 else info.samples
+    if info.predictor == 3:
+        # floating-point predictor (TIFF TechNote 3): per row, the value
+        # bytes are split into byte planes MSB-first, then horizontally
+        # byte-differenced. Undo: cumsum the row bytes, regroup planes,
+        # reassemble big-endian values.
+        isz = info.dtype.itemsize
+        rowb = bw * s_in_block * isz
+        nrows = len(data) // rowb
+        raw = np.frombuffer(data[: nrows * rowb], dtype=np.uint8).reshape(nrows, rowb)
+        undiff = np.cumsum(raw.astype(np.uint16), axis=1).astype(np.uint8)
+        planes = undiff.reshape(nrows, isz, bw * s_in_block)
+        be = np.ascontiguousarray(planes.transpose(0, 2, 1)).reshape(nrows, -1)
+        vals = np.frombuffer(be.tobytes(), dtype=info.dtype.newbyteorder(">"))
+        arr = vals.astype(info.dtype.newbyteorder("="))
+    else:
+        arr = np.frombuffer(data, dtype=info.dtype)
     want = bw * bh * s_in_block
     if len(arr) < want:  # short final strip: pad (writers may truncate)
         arr = np.concatenate([arr, np.zeros(want - len(arr), dtype=arr.dtype)])
     arr = arr[:want].reshape(bh, bw, s_in_block)
-    if info.predictor == 2:
+    if info.predictor == 2 and info.compression != 7:
         arr = np.cumsum(arr.astype(np.int64), axis=1).astype(info.dtype)
     return arr
 
@@ -560,12 +575,26 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
 
     if predictor == 2 and dt.kind not in ("u", "i"):
         raise ValueError("predictor 2 needs integer samples")
+    if predictor == 3 and dt.kind != "f":
+        raise ValueError("predictor 3 (floating point) needs float samples")
+    if predictor == 3 and compression == "jpeg":
+        raise ValueError("predictor 3 cannot be combined with jpeg compression")
     if predictor == 2 and compression == "jpeg":
         # the JPEG decode branch returns before the predictor undo (and
         # differencing pixels before a LOSSY codec is meaningless anyway)
         raise ValueError("predictor 2 cannot be combined with jpeg compression")
 
     def encode_chunk(chunk: np.ndarray) -> bytes:
+        if predictor == 3:
+            ch, cw, cs = chunk.shape
+            be = np.ascontiguousarray(chunk.astype(dt.newbyteorder(">")))
+            rows = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(ch, cw * cs, dt.itemsize)
+            planes = np.ascontiguousarray(rows.transpose(0, 2, 1)).reshape(ch, -1)
+            diffed = planes.copy()
+            diffed[:, 1:] = planes[:, 1:] - planes[:, :-1]  # uint8 wraps
+            enc = {"deflate": zlib.compress, "lzw": lzw_encode,
+                   "packbits": packbits_encode, "none": lambda b: b}[compression]
+            return enc(diffed.tobytes())
         if predictor == 2:
             # horizontal differencing per sample, wraparound via the dtype
             with np.errstate(over="ignore"):
@@ -613,8 +642,8 @@ def _encode_ifd(array: np.ndarray, compression: str = "none",
         (_PHOTO, 3, [1]), (_SPP, 3, [s]),
         (_SFORMAT, 3, [sfmt] * s),
     ]
-    if predictor == 2:
-        entries.append((_PREDICTOR, 3, [2]))
+    if predictor in (2, 3):
+        entries.append((_PREDICTOR, 3, [predictor]))
     if planar == 2:
         entries.append((_PLANAR, 3, [2]))
     if tile is not None:

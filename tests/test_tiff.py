@@ -418,3 +418,29 @@ def test_planar_configuration_2(kw):
     assert np.array_equal(read_window(rr, info, 0, 0, 33, 40), rgb)
     assert np.array_equal(read_window(rr, info, 5, 9, 12, 17), rgb[9:26, 5:17])
     assert np.array_equal(read_window(rr, info, 20, 30, 13, 10), rgb[30:40, 20:33])
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_predictor3_floating_point(dtype):
+    """TIFF TechNote 3 floating-point predictor: MSB-first byte-plane split
+    + horizontal byte differencing, bit-exact round trip for float rasters
+    (the DEM storage idiom) across strips, tiles, and planar config."""
+    from geotrellis_server_ray.sources.rangereader import MemoryRangeReader
+
+    gy, gx = np.mgrid[0:40, 0:33]
+    dem = (np.sin(gx / 5.0) * 100 + gy * 1.5 + 0.125).astype(dtype)
+    for kw in (dict(compression="deflate", predictor=3, rows_per_strip=8),
+               dict(compression="lzw", predictor=3, tile=(16, 16))):
+        raw = write_tiff(dem, **kw)
+        rr = MemoryRangeReader(raw)
+        info = parse_ifds(rr)[0]
+        assert info.predictor == 3
+        assert np.array_equal(read_window(rr, info, 0, 0, 33, 40)[:, :, 0], dem)
+        assert np.array_equal(read_window(rr, info, 5, 9, 12, 17)[:, :, 0],
+                              dem[9:26, 5:17])
+    # differencing should actually help deflate on smooth data
+    plain = len(write_tiff(dem, compression="deflate"))
+    pred = len(write_tiff(dem, compression="deflate", predictor=3))
+    assert pred < plain
+    with pytest.raises(ValueError, match="float"):
+        write_tiff(np.zeros((4, 4), dtype=np.int32), compression="deflate", predictor=3)
