@@ -402,54 +402,72 @@ def _decode_block(info: TiffInfo, data: bytes, bw: int, bh: int) -> np.ndarray:
     return arr
 
 
+def _fetch_blocks(read, info: TiffInfo, indices: list[int], max_gap: int = 4096) -> dict[int, bytes]:
+    """Fetch the given block indices with RANGE COALESCING: consecutive
+    blocks whose byte ranges are adjacent (or separated by <= max_gap waste
+    bytes) merge into one ranged read — over HTTP this turns one request per
+    strip into one request per contiguous run, the standard COG-reader
+    optimization."""
+    order = sorted(set(indices), key=lambda i: info.offsets[i])
+    out: dict[int, bytes] = {}
+    run: list[int] = []
+    for bi in order:
+        if run and info.offsets[bi] - (info.offsets[run[-1]] + info.counts[run[-1]]) > max_gap:
+            _fetch_run(read, info, run, out)
+            run = []
+        run.append(bi)
+    if run:
+        _fetch_run(read, info, run, out)
+    return out
+
+
+def _fetch_run(read, info: TiffInfo, run: list[int], out: dict[int, bytes]):
+    start = info.offsets[run[0]]
+    end = info.offsets[run[-1]] + info.counts[run[-1]]
+    blob = read(start, end - start)
+    for bi in run:
+        o = info.offsets[bi] - start
+        out[bi] = blob[o : o + info.counts[bi]]
+
+
 def read_window(read, info: TiffInfo, col0: int, row0: int, w: int, h: int) -> np.ndarray:
-    """Read a (h, w, samples) window; fetches ONLY intersecting blocks."""
+    """Read a (h, w, samples) window; fetches ONLY intersecting blocks,
+    with adjacent byte ranges coalesced into single reads."""
     col0, row0 = max(0, col0), max(0, row0)
     w = min(w, info.width - col0)
     h = min(h, info.height - row0)
     out = np.zeros((h, w, info.samples), dtype=info.dtype.newbyteorder("="))
-    if info.planar == 2:
-        # planar config 2 (GDAL INTERLEAVE=BAND): the block run repeats once
-        # per sample, sample-major; read each sample's plane independently
-        per_plane = len(info.offsets) // info.samples
-        for sp in range(info.samples):
-            if info.tiled:
-                across = (info.width + info.tile_w - 1) // info.tile_w
-                b0x, b1x = col0 // info.tile_w, (col0 + w - 1) // info.tile_w
-                b0y, b1y = row0 // info.tile_h, (row0 + h - 1) // info.tile_h
-                for by in range(b0y, b1y + 1):
-                    for bx in range(b0x, b1x + 1):
-                        bi = sp * per_plane + by * across + bx
-                        block = _decode_block(info, read(info.offsets[bi], info.counts[bi]),
-                                              info.tile_w, info.tile_h)
-                        _paste(out[:, :, sp : sp + 1], block,
-                               bx * info.tile_w, by * info.tile_h, col0, row0)
-            else:
-                b0, b1 = row0 // info.tile_h, (row0 + h - 1) // info.tile_h
-                for bi in range(b0, b1 + 1):
-                    bh = min(info.tile_h, info.height - bi * info.tile_h)
-                    block = _decode_block(info, read(info.offsets[sp * per_plane + bi],
-                                                     info.counts[sp * per_plane + bi]),
-                                          info.width, bh)
-                    _paste(out[:, :, sp : sp + 1], block, 0, bi * info.tile_h, col0, row0)
-        return out
+    planes = range(info.samples) if info.planar == 2 else (None,)
+    per_plane = (len(info.offsets) // info.samples) if info.planar == 2 else 0
+    # collect every needed (block index, paste target) first, then fetch
+    # with range coalescing, then decode + paste
+    wanted: list[tuple[int, int | None, int, int]] = []  # (bi, sp, px, py)
     if info.tiled:
         across = (info.width + info.tile_w - 1) // info.tile_w
         b0x, b1x = col0 // info.tile_w, (col0 + w - 1) // info.tile_w
         b0y, b1y = row0 // info.tile_h, (row0 + h - 1) // info.tile_h
-        for by in range(b0y, b1y + 1):
-            for bx in range(b0x, b1x + 1):
-                bi = by * across + bx
-                block = _decode_block(info, read(info.offsets[bi], info.counts[bi]),
-                                      info.tile_w, info.tile_h)
-                _paste(out, block, bx * info.tile_w, by * info.tile_h, col0, row0)
+        for sp in planes:
+            base = (sp or 0) * per_plane
+            for by in range(b0y, b1y + 1):
+                for bx in range(b0x, b1x + 1):
+                    wanted.append((base + by * across + bx, sp,
+                                   bx * info.tile_w, by * info.tile_h))
     else:
         b0, b1 = row0 // info.tile_h, (row0 + h - 1) // info.tile_h
-        for bi in range(b0, b1 + 1):
-            bh = min(info.tile_h, info.height - bi * info.tile_h)
-            block = _decode_block(info, read(info.offsets[bi], info.counts[bi]),
-                                  info.width, bh)
-            _paste(out, block, 0, bi * info.tile_h, col0, row0)
+        for sp in planes:
+            base = (sp or 0) * per_plane
+            for bi in range(b0, b1 + 1):
+                wanted.append((base + bi, sp, 0, bi * info.tile_h))
+    blobs = _fetch_blocks(read, info, [t[0] for t in wanted])
+    for bi, sp, px, py in wanted:
+        if info.tiled:
+            bw_, bh_ = info.tile_w, info.tile_h
+        else:
+            bw_ = info.width
+            bh_ = min(info.tile_h, info.height - py)
+        block = _decode_block(info, blobs[bi], bw_, bh_)
+        target = out if sp is None else out[:, :, sp : sp + 1]
+        _paste(target, block, px, py, col0, row0)
     return out
 
 

@@ -444,3 +444,28 @@ def test_predictor3_floating_point(dtype):
     assert pred < plain
     with pytest.raises(ValueError, match="float"):
         write_tiff(np.zeros((4, 4), dtype=np.int32), compression="deflate", predictor=3)
+
+
+def test_range_coalescing_reduces_read_calls():
+    """Adjacent strip ranges merge into single ranged reads (the COG
+    optimization): a full-raster read over 8 contiguous strips issues ONE
+    data read, not 8 — and byte-identical output."""
+    from geotrellis_server_ray.sources.tiff import _fetch_blocks
+
+    gy, gx = np.mgrid[0:64, 0:48]
+    arr = ((gx * 5 + gy * 3) % 210).astype(np.uint8)
+    raw = write_tiff(arr, rows_per_strip=8)  # uncompressed: strips adjacent
+    calls = []
+
+    def counting_read(off, ln):
+        calls.append((off, ln))
+        return raw[off : off + ln]
+
+    info, = parse_ifds(counting_read)
+    n_meta = len(calls)
+    got = read_window(counting_read, info, 0, 0, 48, 64)[:, :, 0]
+    assert np.array_equal(got, arr)
+    assert len(calls) - n_meta == 1  # 8 strips, one coalesced data read
+    # a sparse selection (every other strip beyond the gap) still splits
+    blobs = _fetch_blocks(counting_read, info, [0, 7], max_gap=0)
+    assert len(blobs) == 2
