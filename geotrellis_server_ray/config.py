@@ -26,6 +26,19 @@ def shuffle_partitions_for_rows(n_rows: int, rows_per_partition: int = 250_000) 
     return max(1, min(shuffle_partitions(), n_rows // rows_per_partition + 1))
 
 
+def read_blocks_for_rows(n_rows: int, rows_per_block: int = 25_000) -> int | None:
+    """Data-proportional READ width (the read-side twin of
+    :func:`shuffle_partitions_for_rows`): Ray's default parquet split targets
+    ~2 blocks per CPU regardless of table size, so a 5k-row dimension table
+    becomes 64 micro-blocks and every downstream operator pays 64 task
+    schedules + 64 object fetches of ~100 rows each. Cheap-kernel pipelines
+    opt in via ``read(..., proportional_blocks=True)``: small tables collapse
+    to ceil(rows / rows_per_block) blocks; at corpus scale this returns None
+    (= keep Ray's default splitting) so wide tables still fan out."""
+    blocks = max(1, (n_rows + rows_per_block - 1) // rows_per_block)
+    return None if blocks >= shuffle_partitions() else blocks
+
+
 def parquet_rows(path: str) -> int:
     """Row count from parquet file metadata (no data read)."""
     import pyarrow.parquet as pq

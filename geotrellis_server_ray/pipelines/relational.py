@@ -23,12 +23,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def read(sf_dir: str, table: str, columns: list[str] | None = None):
+def read(sf_dir: str, table: str, columns: list[str] | None = None,
+         proportional_blocks: bool = False):
     # every tabular read goes through the format seam (sources/io.py): Lance
     # when a {table}.lance dataset exists and the lib is present, parquet here
     from ..sources.io import read_corpus_table
 
-    return read_corpus_table(sf_dir, table, columns=columns)
+    return read_corpus_table(sf_dir, table, columns=columns,
+                             proportional_blocks=proportional_blocks)
 
 
 def add_cents(batch: pa.Table, cols: dict[str, str], scale: int = 100) -> pa.Table:

@@ -18,10 +18,15 @@ def is_lance_path(path: str) -> bool:
     return path.rstrip("/").endswith(".lance")
 
 
-def read_table(path: str, columns: list[str] | None = None):
+def read_table(path: str, columns: list[str] | None = None,
+               proportional_blocks: bool = False):
     """Format-dispatching Dataset reader: Lance when the path is a Lance
     dataset AND the lib is importable, parquet otherwise. Column pruning is
-    pushed into both readers."""
+    pushed into both readers. ``proportional_blocks=True`` sizes the block
+    count to the table's metadata row count (config.read_blocks_for_rows) —
+    opt-in for cheap-kernel pipelines where Ray's default 2-blocks-per-CPU
+    split of a small table costs more in task scheduling than the compute;
+    a no-op at corpus scale (the rule returns None = Ray default)."""
     import ray.data as rd
 
     if is_lance_path(path):
@@ -34,13 +39,22 @@ def read_table(path: str, columns: list[str] | None = None):
                 "pipeline at the parquet mirror of the corpus"
             ) from e
         return rd.read_lance(path, columns=columns)
+    blocks = None
+    if proportional_blocks:
+        from ..config import parquet_rows, read_blocks_for_rows
+
+        blocks = read_blocks_for_rows(parquet_rows(path))
+    if blocks is not None:
+        return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
     return rd.read_parquet(path, columns=columns)
 
 
-def read_corpus_table(sf_dir: str, table: str, columns: list[str] | None = None):
+def read_corpus_table(sf_dir: str, table: str, columns: list[str] | None = None,
+                      proportional_blocks: bool = False):
     """Named-table convenience over :func:`read_table`: prefers
     ``{table}.lance`` when present (and readable), else ``{table}.parquet``."""
     lance_path = f"{sf_dir}/{table}.lance"
     if os.path.isdir(lance_path):
         return read_table(lance_path, columns=columns)
-    return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_table(f"{sf_dir}/{table}.parquet", columns=columns,
+                      proportional_blocks=proportional_blocks)
