@@ -3855,6 +3855,172 @@ def q_getmap_requests(sf_dir: str):
     return getmap_requests(sf_dir)
 
 
+def q_vocab_df(sf_dir: str):
+    """Distributed vocabulary statistics (curation-suite op): per-token
+    document frequency + term frequency. Per-block partials (stages/text
+    vocab_df_partial_batch) make df/tf additive, so the global exchange
+    carries O(vocab x blocks) rows — Zipf-bounded, not corpus-scaled; the
+    groupby stays a real hash shuffle because vocab DOES grow (slowly) with
+    the corpus, unlike the dimension-bounded lang/zone keys."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(T.vocab_df_partial_batch, batch_format="pyarrow")
+    return grouped_sums(ds, ["token"], ["df", "tf"])
+
+
+def sql_vocab_df() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+per AS (
+  SELECT doc_id, token, count(*) AS c FROM tok WHERE token <> '' GROUP BY 1, 2)
+SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS tf
+FROM per GROUP BY token"""
+
+
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition filter: top-token fraction per document in
+    exact ppm, keep flag under REPETITION_MAX_PPM. Doc-local — ONE fused map
+    chain, zero shuffles at any corpus size."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(T.repetition_batch, batch_format="pyarrow")
+
+
+def sql_repetition_filter() -> str:
+    from ..stages.text import REPETITION_MAX_PPM
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+per AS (
+  SELECT doc_id, token, count(*) AS c FROM tok WHERE token <> '' GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(c) AS m, sum(c) AS n FROM per GROUP BY 1)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(floor(1000000.0 * m / n) AS BIGINT) AS top_ppm,
+       CAST(CASE WHEN floor(1000000.0 * m / n) < {REPETITION_MAX_PPM}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM agg"""
+
+
+STRAT_CAP = 100  # per-language survivor cap
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified (per-language) deterministic sampling: pass 1 counts each
+    stratum (dimension-bounded key space -> combiner tree), the driver turns
+    counts into EXACT integer hash thresholds thr = (cap << 31) // count
+    (Python bigint, overflow-free at any corpus size), pass 2 keeps rows with
+    h(doc_id) < thr[lang] — the same multiplicative hash as quality_filter,
+    so survivorship is stable across block layouts. Strata at or under the
+    cap keep every row (thr >= 2^31 > h)."""
+    counts = grouped_sums(read(sf_dir, "documents", ["lang"]), ["lang"], [],
+                          count_as="n", small_key_space=True).take_all()
+    thr = {r["lang"]: (STRAT_CAP << 31) // r["n"] for r in counts}
+
+    C = np.uint64(0x9E3779B97F4A7C15)
+
+    def filt(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        langs = b.column("lang").to_pylist()
+        with np.errstate(over="ignore"):
+            h = ((ids * C) >> np.uint64(33)).astype(np.int64)
+        t = np.fromiter((thr.get(g, 0) for g in langs), np.int64, len(langs))
+        keep = b.filter(pa.array(h < t))
+        return pa.table({"doc_id": pc.cast(keep.column("doc_id"), I64),
+                         "lang": keep.column("lang")})
+
+    return read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        filt, batch_format="pyarrow")
+
+
+def sql_stratified_sample() -> str:
+    C = 0x9E3779B97F4A7C15
+    return f"""
+WITH n AS (SELECT doc_id, lang,
+                  count(*) OVER (PARTITION BY lang) AS cnt FROM documents)
+SELECT doc_id, lang FROM n
+WHERE (CAST(doc_id AS HUGEINT) * {C} % {_M64}) // {1 << 33}
+      < (CAST({STRAT_CAP} AS HUGEINT) * {1 << 31}) // cnt"""
+
+
+KM_K, KM_ITERS = 8, 3
+
+
+def q_kmeans_embed(sf_dir: str):
+    """Distributed Lloyd's k-means (k=8, 3 update rounds) over the quantized
+    embedding lattice (stages/cluster.py): init = the k lowest vec_ids, each
+    iteration one streaming pass emitting k x d per-block partials reduced by
+    a combiner tree; the driver holds only the k x d centroid matrix. Every
+    compare is exact int64 and the centroid division is a single replayable
+    double op, so the final assignment is bit-stable vs the oracle's
+    iterated-CTE replay. Output (vec_id, cluster)."""
+    from functools import partial as _p
+
+    from ..stages import cluster as CL
+
+    def seed(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("vec_id"), KM_K))
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], I64),
+                             "v": pa.array([], pa.list_(I64))})
+        ids, V = CL.quantize_batch(t)
+        return pa.table({"vec_id": pa.array(ids),
+                         "v": pa.array(list(V), pa.list_(I64))})
+
+    seeds = sorted(read(sf_dir, "embeddings", ["vec_id", "embedding"])
+                   .map_batches(seed, batch_format="pyarrow").take_all(),
+                   key=lambda r: r["vec_id"])
+    cent = np.array([r["v"] for r in seeds[:KM_K]], np.int64)
+
+    for _ in range(KM_ITERS):
+        partials = read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+            .map_batches(_p(CL.partial_sums_batch, cent=cent),
+                         batch_format="pyarrow")
+        rows = grouped_sums(partials, ["cluster", "dim"], ["s", "n"],
+                            small_key_space=True).take_all()
+        cent = CL.update_centroids(rows, cent)
+
+    return read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        _p(CL.assign_batch, cent=cent), batch_format="pyarrow")
+
+
+def sql_kmeans_embed() -> str:
+    from ..stages.cluster import QUANT
+
+    cte = [f"""q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(unnest(embedding) * {QUANT}.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cluster, dim, v AS val FROM q WHERE vec_id < {KM_K})"""]
+    # each iteration: exact-int distances -> first-min assignment -> floored
+    # double-division centroid update, empty clusters keep the old centroid
+    for i in range(KM_ITERS):
+        p, a, c = f"c{i}", f"a{i + 1}", f"c{i + 1}"
+        cte.append(f"""d{i + 1} AS (
+  SELECT q.vec_id, {p}.cluster, sum((q.v - {p}.val) * (q.v - {p}.val)) AS d2
+  FROM q JOIN {p} ON q.dim = {p}.dim GROUP BY 1, 2),
+{a} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d{i + 1}) WHERE rn = 1),
+{c} AS (
+  SELECT p.cluster, p.dim, coalesce(u.val, p.val) AS val
+  FROM {p} p LEFT JOIN (
+    SELECT a.cluster, q.dim,
+           CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS val
+    FROM q JOIN {a} a ON q.vec_id = a.vec_id GROUP BY 1, 2) u
+  ON u.cluster = p.cluster AND u.dim = p.dim)""")
+    final = f"""df AS (
+  SELECT q.vec_id, c.cluster, sum((q.v - c.val) * (q.v - c.val)) AS d2
+  FROM q JOIN c{KM_ITERS} c ON q.dim = c.dim GROUP BY 1, 2)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+  FROM df) WHERE rn = 1"""
+    return "WITH " + ",\n".join(cte) + ",\n" + final
+
+
 # ---------------------------------------------------------------- registry
 
 # Ordering policy (VERDICT r2 #1): the correctness driver witnesses the FIRST
@@ -3898,6 +4064,10 @@ QUERIES: dict[str, tuple] = {
     "hopping_windows": (q_hopping_windows, sql_hopping_windows),
     "heavy_hitter_cells": (q_heavy_hitter_cells, sql_heavy_hitter_cells),
     "overview_select_windows": (q_overview_select_windows, sql_overview_select_windows),
+    "vocab_df": (q_vocab_df, sql_vocab_df),
+    "repetition_filter": (q_repetition_filter, sql_repetition_filter),
+    "stratified_sample": (q_stratified_sample, sql_stratified_sample),
+    "kmeans_embed": (q_kmeans_embed, sql_kmeans_embed),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

@@ -154,3 +154,61 @@ def pii_scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return (batch.append_column("n_email", pc.cast(n_email, pa.int64()))
                  .append_column("n_phone", pc.cast(n_phone, pa.int64()))
                  .append_column("scrubbed", scrub))
+
+
+def _explode_tokens(batch: pa.Table, text_col: str = "text"):
+    """(parent_idx, token) for single-space-split lowered tokens, empties
+    dropped — the exact token universe of the SQL oracle's
+    unnest(string_split(lower(text), ' '))."""
+    toks = pc.split_pattern(pc.utf8_lower(batch.column(text_col)), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    return pc.filter(parent, mask), pc.filter(flat, mask)
+
+
+def vocab_df_partial_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-block vocabulary partials (token, df, tf): tf = term occurrences,
+    df = docs containing the token — both additive across blocks because a
+    document never spans blocks. The global groupby over these partials sees
+    O(vocab x blocks) rows, not O(tokens); vocab grows sub-linearly (Zipf)
+    so the exchange stays narrow at corpus scale."""
+    parent, flat = _explode_tokens(batch, text_col)
+    per_doc = (pa.table({"p": parent, "token": flat})
+               .group_by(["p", "token"]).aggregate([([], "count_all")]))
+    g = per_doc.group_by("token").aggregate([("p", "count"), ("count_all", "sum")])
+    return pa.table({
+        "token": g.column("token"),
+        "df": pc.cast(g.column("p_count"), pa.int64()),
+        "tf": pc.cast(g.column("count_all_sum"), pa.int64()),
+    })
+
+
+REPETITION_MAX_PPM = 100_000  # keep docs whose top token is < 10% of tokens
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition features, doc-local (zero shuffle): top-token
+    fraction in ppm = floor(1e6 * max_count / n_tokens). The 1e6 multiply is
+    exact (counts < 2^20) and the single double division + floor is the same
+    IEEE op sequence as the oracle's floor(1000000.0 * m / n)."""
+    parent, flat = _explode_tokens(batch, text_col)
+    per_doc = (pa.table({"p": parent, "token": flat})
+               .group_by(["p", "token"]).aggregate([([], "count_all")]))
+    p = per_doc.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = per_doc.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_docs = len(batch)
+    m = np.zeros(n_docs, np.int64)
+    np.maximum.at(m, p, c)
+    n = np.zeros(n_docs, np.int64)
+    np.add.at(n, p, c)
+    ppm = np.floor(1e6 * m / np.maximum(n, 1)).astype(np.int64)
+    ppm[n == 0] = 0
+    return pa.table({
+        "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+        "n_tokens": pa.array(n),
+        "top_ppm": pa.array(ppm),
+        "keep": pa.array((ppm < REPETITION_MAX_PPM).astype(np.int64)),
+    })

@@ -1,0 +1,82 @@
+"""Unit tests: k-means kernels (stages/cluster.py), vocabulary/repetition
+text kernels, stratified-sample threshold arithmetic."""
+
+import numpy as np
+import pyarrow as pa
+
+from geotrellis_server_ray.stages import cluster as CL
+from geotrellis_server_ray.stages import text as T
+
+
+def _emb_batch(vecs, ids=None):
+    ids = list(range(len(vecs))) if ids is None else ids
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_quantize_exact_lattice():
+    b = _emb_batch([[0.5, -0.25], [1.0, 0.0]])
+    _, V = CL.quantize_batch(b)
+    assert V.tolist() == [[524288, -262144], [1048576, 0]]
+
+
+def test_nearest_cluster_first_min_tiebreak():
+    V = np.array([[0, 0]], np.int64)
+    cent = np.array([[2, 0], [0, 2], [5, 5]], np.int64)  # clusters 0,1 tie
+    assert CL.nearest_cluster(V, cent).tolist() == [0]
+
+
+def test_partial_sums_additive_across_splits():
+    vecs = [[float(i), float(-i)] for i in range(10)]
+    whole = CL.partial_sums_batch(_emb_batch(vecs), np.array([[0, 0], [9 << 20, 0]], np.int64))
+    a = CL.partial_sums_batch(_emb_batch(vecs[:4]), np.array([[0, 0], [9 << 20, 0]], np.int64))
+    b = CL.partial_sums_batch(_emb_batch(vecs[4:], ids=list(range(4, 10))),
+                              np.array([[0, 0], [9 << 20, 0]], np.int64))
+    merged = pa.concat_tables([a, b]).group_by(["cluster", "dim"]) \
+        .aggregate([("s", "sum"), ("n", "sum")]).sort_by([("cluster", "ascending"), ("dim", "ascending")])
+    w = whole.sort_by([("cluster", "ascending"), ("dim", "ascending")])
+    assert merged.column("s_sum").to_pylist() == w.column("s").to_pylist()
+    assert merged.column("n_sum").to_pylist() == w.column("n").to_pylist()
+
+
+def test_update_centroids_keeps_empty_cluster():
+    cent = np.array([[10, 10], [99, 99]], np.int64)
+    rows = [{"cluster": 0, "dim": 0, "s": 7, "n": 2},
+            {"cluster": 0, "dim": 1, "s": -7, "n": 2}]
+    out = CL.update_centroids(rows, cent)
+    assert out.tolist() == [[3, -4], [99, 99]]  # floor(7/2)=3, floor(-7/2)=-4
+
+
+def test_vocab_partials_df_tf():
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a b a", "b  b"])})
+    out = T.vocab_df_partial_batch(b).sort_by("token")
+    assert out.column("token").to_pylist() == ["a", "b"]
+    assert out.column("df").to_pylist() == [1, 2]
+    assert out.column("tf").to_pylist() == [2, 3]
+
+
+def test_repetition_ppm_and_keep():
+    b = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["x x x x x x x x x y",  # 9/10 repeated
+                                    "a b c d e f g h i j"])})
+    out = T.repetition_batch(b)
+    assert out.column("top_ppm").to_pylist() == [900000, 100000]
+    assert out.column("keep").to_pylist() == [0, 0]  # 100000 is NOT < 100000
+    b2 = pa.table({"doc_id": pa.array([3], pa.int64()),
+                   "text": pa.array(["a b c d e f g h i j k"])})
+    assert T.repetition_batch(b2).column("keep").to_pylist() == [1]
+
+
+def test_stratified_threshold_exact_bigint():
+    from geotrellis_server_ray.pipelines.registry import STRAT_CAP
+
+    # count <= cap => threshold >= 2^31 => every 31-bit hash survives
+    assert (STRAT_CAP << 31) // STRAT_CAP == 1 << 31
+    # huge stratum: threshold stays exact (no float), monotone in count
+    t1 = (STRAT_CAP << 31) // (10**12)
+    t2 = (STRAT_CAP << 31) // (10**12 + 1)
+    assert t2 <= t1 < 1 << 31
