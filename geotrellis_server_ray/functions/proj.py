@@ -243,6 +243,61 @@ class PolarStereo:
         return np.degrees(lam) + self.lon_0, np.degrees(phi)
 
 
+def _q_auth(phi, e):
+    """Snyder 3-12: the authalic-latitude integral q(phi) — the equal-area
+    twin of _ts; q(pi/2) = qp is the full-hemisphere value."""
+    s = np.sin(phi)
+    es = e * s
+    return (1 - e * e) * (s / (1 - es * es)
+                          - (1.0 / (2 * e)) * np.log((1 - es) / (1 + es)))
+
+
+class Albers:
+    """Albers equal-area conic, 2 standard parallels, ellipsoidal
+    (Snyder 14-1..14-11 closed forms — the conic the reference reaches
+    through geotrellis-proj4 for CONUS layers, OgcLayer.scala:83-91)."""
+
+    def __init__(self, lat_1: float, lat_2: float | None = None,
+                 lat_0: float = 0.0, lon_0: float = 0.0,
+                 x_0: float = 0.0, y_0: float = 0.0, ellps: str = "WGS84"):
+        self.a, f = ELLIPSOIDS.get(ellps, ELLIPSOIDS["WGS84"])
+        self.e = np.sqrt(f * (2 - f))
+        e = self.e
+        p1 = np.radians(lat_1)
+        p2 = np.radians(lat_2 if lat_2 is not None else lat_1)
+        m1, m2 = _m(p1, e), _m(p2, e)
+        q1, q2 = _q_auth(p1, e), _q_auth(p2, e)
+        self.n = (np.sin(p1) if abs(p1 - p2) < 1e-12
+                  else (m1 * m1 - m2 * m2) / (q2 - q1))
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = self.a * np.sqrt(self.C - self.n * _q_auth(np.radians(lat_0), e)) / self.n
+        self.lon_0, self.x_0, self.y_0 = lon_0, x_0, y_0
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.asarray(lon, np.float64) - self.lon_0)
+        phi = np.radians(np.asarray(lat, np.float64))
+        rho = self.a * np.sqrt(self.C - self.n * _q_auth(phi, self.e)) / self.n
+        th = self.n * lam
+        return self.x_0 + rho * np.sin(th), self.y_0 + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.asarray(x, np.float64) - self.x_0
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.y_0)
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rho = sgn * np.hypot(dx, dy)
+        th = np.arctan2(sgn * dx, sgn * dy)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        e = self.e
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(8):  # Snyder 3-16 fixed point; float64 in <= 6 rounds
+            s = np.sin(phi)
+            es = e * s
+            phi = phi + (1 - es * es) ** 2 / (2 * np.cos(phi)) * (
+                q / (1 - e * e) - s / (1 - es * es)
+                + (1.0 / (2 * e)) * np.log((1 - es) / (1 + es)))
+        return np.degrees(th / self.n) + self.lon_0, np.degrees(phi)
+
+
 # named EPSG codes for the conic/azimuthal CRSs (parameters are the public
 # EPSG registry definitions)
 _EPSG_DEFS = {
@@ -250,6 +305,8 @@ _EPSG_DEFS = {
                       x_0=700000.0, y_0=6600000.0, ellps="GRS80"),  # RGF93 / Lambert-93
     3413: lambda: PolarStereo(lat_ts=70.0, lon_0=-45.0, north=True),  # NSIDC N
     3031: lambda: PolarStereo(lat_ts=-71.0, lon_0=0.0, north=False),  # Antarctic
+    5070: lambda: Albers(lat_1=29.5, lat_2=45.5, lat_0=23.0, lon_0=-96.0,
+                         ellps="GRS80"),  # NAD83 / Conus Albers
 }
 
 
@@ -293,6 +350,12 @@ def parse_proj4(s: str):
                    lat_0=float(kv.get("lat_0", 0)), lon_0=float(kv.get("lon_0", 0)),
                    x_0=float(kv.get("x_0", 0)), y_0=float(kv.get("y_0", 0)),
                    ellps=ellps)
+    if proj == "aea":
+        return Albers(lat_1=float(kv["lat_1"]),
+                      lat_2=float(kv["lat_2"]) if "lat_2" in kv else None,
+                      lat_0=float(kv.get("lat_0", 0)), lon_0=float(kv.get("lon_0", 0)),
+                      x_0=float(kv.get("x_0", 0)), y_0=float(kv.get("y_0", 0)),
+                      ellps=ellps)
     if proj == "stere":
         lat_0 = float(kv.get("lat_0", 90))
         if abs(lat_0) != 90.0:

@@ -3475,6 +3475,60 @@ SELECT CAST(floor(rho * sin(lam) / 200000.0) AS BIGINT) AS cell_x,
 FROM fwd GROUP BY 1, 2"""
 
 
+def q_reproject_albers_cells(sf_dir: str):
+    """M1 equal-area conic: CONUS points reprojected EPSG:4326 -> EPSG:5070
+    (NAD83 / Conus Albers on GRS80, functions/proj.py Snyder 14-4) and
+    bucketed into 100 km projected cells; same closed-form-replay oracle
+    contract as the LCC/stereo queries (engine-derived constants n, C, rho0
+    embedded as full-precision literals, identical IEEE op sequence)."""
+    ds = read(sf_dir, "events", ["event_id"])
+
+    from ..functions.proj import Albers
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = ((ids * 61) % 4500) / 100.0 - 120.0  # [-120, -75)
+        lat = ((ids * 29) % 2400) / 100.0 + 25.0   # [25, 49)
+        crs = Albers(lat_1=29.5, lat_2=45.5, lat_0=23.0, lon_0=-96.0,
+                     ellps="GRS80")
+        x, y = crs.forward(lon, lat)
+        return pa.table({
+            "cell_x": pa.array(np.floor(x / 100000.0).astype(np.int64)),
+            "cell_y": pa.array(np.floor(y / 100000.0).astype(np.int64)),
+        })
+
+    ds = ds.map_batches(assign, batch_format="pyarrow")
+    return grouped_sums(ds, ["cell_x", "cell_y"], [], count_as="n",
+                        small_key_space=True)
+
+
+def sql_reproject_albers_cells() -> str:
+    from ..functions.proj import Albers
+
+    crs = Albers(lat_1=29.5, lat_2=45.5, lat_0=23.0, lon_0=-96.0, ellps="GRS80")
+    e = flit(crs.e)
+    ome2 = flit(float(1 - crs.e * crs.e))      # (1 - e^2), the constant
+    i2e = flit(float(1.0 / (2 * crs.e)))       # 1/(2e) — both precomputed so
+    n, C, a = flit(float(crs.n)), flit(float(crs.C)), flit(crs.a)
+    rho0 = flit(float(crs.rho0))
+    return f"""
+WITH pts AS (
+  SELECT radians(((event_id * 61) % 4500) / 100.0 - 120.0 - (-96.0)) AS lam,
+         radians(((event_id * 29) % 2400) / 100.0 + 25.0) AS phi
+  FROM events),
+qv AS (
+  SELECT lam,
+         {ome2} * (sin(phi) / (1 - ({e} * sin(phi)) * ({e} * sin(phi)))
+                   - {i2e} * ln((1 - {e} * sin(phi)) / (1 + {e} * sin(phi)))) AS q
+  FROM pts),
+fwd AS (
+  SELECT {n} * lam AS th, {a} * sqrt({C} - {n} * q) / {n} AS rho FROM qv)
+SELECT CAST(floor(rho * sin(th) / 100000.0) AS BIGINT) AS cell_x,
+       CAST(floor(({rho0} - rho * cos(th)) / 100000.0) AS BIGINT) AS cell_y,
+       CAST(count(*) AS BIGINT) AS n
+FROM fwd GROUP BY 1, 2"""
+
+
 def q_decontaminate(sf_dir: str):
     """Test-set decontamination (training-data suite): docs with
     doc_id % 17 == 0 stand in for a benchmark/eval set; every OTHER doc
@@ -4059,6 +4113,7 @@ QUERIES: dict[str, tuple] = {
     "stac_http_mosaic": (q_stac_http_mosaic, sql_stac_http_mosaic),
     "reproject_lcc_cells": (q_reproject_lcc_cells, sql_reproject_lcc_cells),
     "reproject_stereo_cells": (q_reproject_stereo_cells, sql_reproject_stereo_cells),
+    "reproject_albers_cells": (q_reproject_albers_cells, sql_reproject_albers_cells),
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "hopping_windows": (q_hopping_windows, sql_hopping_windows),

@@ -216,3 +216,61 @@ def test_transform_identity_is_case_insensitive_bit_exact():
     y = np.array([5612345.987654321])
     ox, oy = transform("epsg:32633", "EPSG:32633", x, y)
     assert ox[0] == x[0] and oy[0] == y[0]  # bit-exact, no round-trip math
+
+
+def test_albers_roundtrip_and_origin():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-124.0, -67.0, 2000)
+    lat = rng.uniform(24.0, 49.5, 2000)
+    x, y = transform("EPSG:4326", "EPSG:5070", lon, lat)
+    lon2, lat2 = transform("EPSG:5070", "EPSG:4326", x, y)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    x0, y0 = transform("EPSG:4326", "EPSG:5070", -96.0, 23.0)
+    assert abs(x0) < 1e-6 and abs(y0) < 1e-6
+
+
+def test_albers_scale_unity_at_standard_parallels():
+    """Secant-cone law along parallels holds for the equal-area conic too:
+    k = 1 exactly on both standard parallels, < 1 between, > 1 outside."""
+    def k(lat):
+        x0, y0 = transform("EPSG:4326", "EPSG:5070", -96.0, lat)
+        x1, y1 = transform("EPSG:4326", "EPSG:5070", -95.9999, lat)
+        return float(np.hypot(x1 - x0, y1 - y0)
+                     / (_parallel_radius(lat) * np.radians(0.0001)))
+
+    assert abs(k(29.5) - 1.0) < 1e-9
+    assert abs(k(45.5) - 1.0) < 1e-9
+    assert k(37.5) < 1.0 < k(49.0)
+    assert k(25.0) > 1.0
+
+
+def test_albers_is_equal_area():
+    """THE defining property (independent numeric oracle): the projected
+    area of a small quad equals its true ellipsoidal area
+    a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2 dlam dphi — everywhere,
+    including far from the standard parallels (where LCC distorts area)."""
+    from geotrellis_server_ray.functions.proj import ELLIPSOIDS
+
+    a, f = ELLIPSOIDS["GRS80"]
+    e2 = f * (2 - f)
+    d = 1e-5
+    for lon, lat in [(-120.0, 26.0), (-96.0, 37.5), (-80.0, 48.0), (-70.0, 30.0)]:
+        x00, y00 = transform("EPSG:4326", "EPSG:5070", lon, lat)
+        x10, y10 = transform("EPSG:4326", "EPSG:5070", lon + d, lat)
+        x01, y01 = transform("EPSG:4326", "EPSG:5070", lon, lat + d)
+        proj_area = abs((x10 - x00) * (y01 - y00) - (x01 - x00) * (y10 - y00))
+        phi = np.radians(lat)
+        s2 = np.sin(phi) ** 2
+        true_area = (a * a * (1 - e2) * np.cos(phi) / (1 - e2 * s2) ** 2
+                     * np.radians(d) ** 2)
+        assert abs(proj_area / true_area - 1.0) < 1e-4, (lon, lat)
+
+
+def test_albers_proj4_matches_epsg():
+    p4 = ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+          "+x_0=0 +y_0=0 +ellps=GRS80")
+    lon = np.array([-100.0, -85.0])
+    lat = np.array([30.0, 44.0])
+    assert transform("EPSG:4326", p4, lon, lat)[0].tolist() == \
+        transform("EPSG:4326", "EPSG:5070", lon, lat)[0].tolist()
