@@ -4075,6 +4075,66 @@ SELECT vec_id, cluster FROM (
     return "WITH " + ",\n".join(cte) + ",\n" + final
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog distinct-count sketch over lineitem.l_orderkey: the
+    CORRECTNESS contract is the full register table (bucket -> max
+    leading-zero rank), pure int64 — the float estimate is diagnostic
+    (stages/sketch.py, accuracy pytest-checked vs exact counts). Per-block
+    partial registers (<= 4096 rows each) + a distributed max-combine:
+    the canonical mergeable sketch, no corpus shuffle at any scale."""
+    from functools import partial as _p
+
+    from ray.data.aggregate import Max
+
+    from ..stages import sketch as SK
+
+    ds = read(sf_dir, "lineitem", ["l_orderkey"])
+    partials = ds.map_batches(_p(SK.hll_partial_batch, key_col="l_orderkey"),
+                              batch_format="pyarrow")
+    out = partials.groupby("bucket").aggregate(Max("reg", alias_name="reg"))
+    return out.map_batches(
+        lambda b: pa.table({"bucket": pc.cast(b.column("bucket"), I64),
+                            "reg": pc.cast(b.column("reg"), I64)}),
+        batch_format="pyarrow")
+
+
+def sql_hll_registers() -> str:
+    from ..stages.sketch import SM_GAMMA, SM_M1, SM_M2
+
+    M32 = 1 << 32
+
+    def xorshift(ref: str, s: int) -> str:
+        # z ^ (z >> s) for z < 2^64, s < 32: split into 32-bit halves (each
+        # fits signed BIGINT for DuckDB's xor); the shifted value's low half
+        # takes (hi % 2^s) << (32-s) carried down from the high half
+        hi, lo = f"({ref} // {M32})", f"({ref} % {M32})"
+        shi = f"({ref} // {1 << (32 + s)})"
+        slo = f"(({hi} % {1 << s}) * {1 << (32 - s)} + {lo} // {1 << s})"
+        return (f"(CAST(xor(CAST({hi} AS BIGINT), CAST({shi} AS BIGINT)) AS HUGEINT)"
+                f" * {M32}"
+                f" + xor(CAST({lo} AS BIGINT), CAST({slo} AS BIGINT)))")
+
+    def mulmod(ref: str, c: int) -> str:
+        # a*c mod 2^64 via sub-2^96 intermediates (passage-dedup identity)
+        return (f"(({ref} % {M32}) * {c} % {_M64}"
+                f" + (({ref} // {M32}) * {c % M32} % {M32}) * {M32}) % {_M64}")
+
+    return f"""
+WITH z0 AS (
+  SELECT (CAST(l_orderkey AS HUGEINT) + {SM_GAMMA}) % {_M64} AS v FROM lineitem),
+z1 AS (SELECT {xorshift('v', 30)} AS v FROM z0),
+z2 AS (SELECT {mulmod('v', SM_M1)} AS v FROM z1),
+z3 AS (SELECT {xorshift('v', 27)} AS v FROM z2),
+z4 AS (SELECT {mulmod('v', SM_M2)} AS v FROM z3),
+h AS (SELECT {xorshift('v', 31)} AS v FROM z4),
+br AS (
+  SELECT v // {1 << 52} AS bucket,
+         53 - length(ltrim(bin(CAST(v % {1 << 52} AS BIGINT)), '0')) AS reg
+  FROM h)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(max(reg) AS BIGINT) AS reg
+FROM br GROUP BY bucket"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Ordering policy (VERDICT r2 #1): the correctness driver witnesses the FIRST
@@ -4123,6 +4183,7 @@ QUERIES: dict[str, tuple] = {
     "repetition_filter": (q_repetition_filter, sql_repetition_filter),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "kmeans_embed": (q_kmeans_embed, sql_kmeans_embed),
+    "hll_registers": (q_hll_registers, sql_hll_registers),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),
@@ -4138,14 +4199,14 @@ QUERIES: dict[str, tuple] = {
     "tiff_windows": (q_tiff_windows, sql_tiff_windows),
     "getmap_from_tiff": (q_getmap_from_tiff, sql_getmap_from_tiff),
     "getcoverage_requests": (q_getcoverage_requests, sql_getcoverage_requests),
+    # --- window boundary: with 82 entries the driver witnesses exactly the
+    # 50 above. Everything below is r1/r2-driver-green and re-witnessed by
+    # the pytest oracle-parity suite every round.
     "stac_asset_select": (q_stac_asset_select, sql_stac_asset_select),
     "feature_info_window": (q_feature_info_window, sql_feature_info_window),
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "knn_media": (q_knn_media, sql_knn_media),
     "knn_media_ring": (q_knn_media_ring, sql_knn_media),
-    # --- window boundary: with 77 entries the driver witnesses exactly the
-    # 50 above. Everything below is r1/r2-driver-green and re-witnessed by
-    # the pytest oracle-parity suite every round.
     "media_meta": (q_media_meta, sql_media_meta),
     "frame_sample": (q_frame_sample, sql_frame_sample),
     "catalog_query_ogc": (q_catalog_query_ogc, sql_catalog_query_ogc),

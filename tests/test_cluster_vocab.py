@@ -80,3 +80,43 @@ def test_stratified_threshold_exact_bigint():
     t1 = (STRAT_CAP << 31) // (10**12)
     t2 = (STRAT_CAP << 31) // (10**12 + 1)
     assert t2 <= t1 < 1 << 31
+
+
+def test_splitmix64_reference_vector():
+    """Known splitmix64 output for seed 0 (Steele/Lea/Flood reference)."""
+    from geotrellis_server_ray.stages import sketch as SK
+
+    assert int(SK.mix64(np.array([0]))[0]) == 0xE220A8397B1DCDAF
+
+
+def test_hll_partial_merge_equals_whole():
+    from geotrellis_server_ray.stages import sketch as SK
+
+    xs = np.arange(50_000, dtype=np.int64)
+    whole = SK.hll_partial_batch(pa.table({"k": pa.array(xs)}), "k")
+    a = SK.hll_partial_batch(pa.table({"k": pa.array(xs[:20_000])}), "k")
+    b = SK.hll_partial_batch(pa.table({"k": pa.array(xs[20_000:])}), "k")
+    merged = pa.concat_tables([a, b]).group_by("bucket") \
+        .aggregate([("reg", "max")]).sort_by("bucket")
+    w = whole.sort_by("bucket")
+    assert merged.column("bucket").to_pylist() == w.column("bucket").to_pylist()
+    assert merged.column("reg_max").to_pylist() == w.column("reg").to_pylist()
+
+
+def test_hll_estimate_within_bound():
+    """1.04/sqrt(4096) ~ 1.6% standard error; assert < 3 sigma on three
+    disjoint sequential ranges (the adversarial input for weak mixers)."""
+    from geotrellis_server_ray.stages import sketch as SK
+
+    for lo, n in [(0, 10_000), (10**9, 200_000), (7, 1_000_000)]:
+        t = SK.hll_partial_batch(
+            pa.table({"k": pa.array(np.arange(lo, lo + n, dtype=np.int64))}), "k")
+        est = SK.hll_estimate(np.asarray(t.column("bucket")), np.asarray(t.column("reg")))
+        assert abs(est / n - 1.0) < 0.05, (lo, n, est)
+
+
+def test_bit_length_exact():
+    from geotrellis_server_ray.stages.sketch import _bit_length
+
+    vals = np.array([0, 1, 2, 3, 4, (1 << 52) - 1, 1 << 52, 1 << 63], np.uint64)
+    assert _bit_length(vals).tolist() == [0, 1, 2, 2, 3, 52, 53, 64]
