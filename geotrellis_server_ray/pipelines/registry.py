@@ -4135,6 +4135,61 @@ SELECT CAST(bucket AS BIGINT) AS bucket, CAST(max(reg) AS BIGINT) AS reg
 FROM br GROUP BY bucket"""
 
 
+IVJ_MOD = 97     # every 97th order carries a synthetic 2024-01 window
+_EPOCH_2024 = 1704067200000000  # 2024-01-01T00:00:00Z in epoch microseconds
+_DAY_US = 86400000000
+
+
+def q_interval_join(sf_dir: str):
+    """Range (interval) join with NO equi key (stages/windows.interval_join):
+    every 97th order carries a deterministic window inside the events month
+    (start = Jan 1 + (okey%25) days, length (okey%7)+1 days); each event
+    pairs with every window containing its timestamp via the bounded-
+    replication bucket exchange (8-day buckets >= the 7-day max window, so
+    each window lands in at most 2 buckets and each pair is produced exactly
+    once). Output: per-window event count + exact cents sum."""
+    from ..stages.windows import interval_join
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = k % IVJ_MOD == 0
+        k = k[keep]
+        s = _EPOCH_2024 + (k % 25) * _DAY_US
+        e = s + (k % 7 + 1) * _DAY_US
+        return pa.table({"o_orderkey": pa.array(k),
+                         "s": pa.array(s.astype("datetime64[us]")),
+                         "e": pa.array(e.astype("datetime64[us]"))})
+
+    iv = read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        mk_iv, batch_format="pyarrow")
+    ev = read(sf_dir, "events", ["ts", "value"]).map_batches(
+        partial(add_cents, cols={"cents": "value"}), batch_format="pyarrow")
+    pairs = interval_join(ev, iv, "ts", "s", "e", bucket_us=8 * _DAY_US,
+                          num_partitions=_nparts_for(sf_dir, "events"))
+    # window keys scale with the orders table -> real hash groupby, not the
+    # coalesced combiner tree
+    return grouped_sums(pairs, ["o_orderkey"], ["cents"], count_as="n_events").map_batches(
+        lambda b: pa.table({"o_orderkey": pc.cast(b.column("o_orderkey"), I64),
+                            "n_events": pc.cast(b.column("n_events"), I64),
+                            "sum_cents": pc.cast(b.column("cents"), I64)}),
+        batch_format="pyarrow")
+
+
+def sql_interval_join() -> str:
+    return f"""
+WITH iv AS (
+  SELECT o_orderkey,
+         TIMESTAMP '2024-01-01' + (o_orderkey % 25) * INTERVAL 1 DAY AS s,
+         TIMESTAMP '2024-01-01'
+           + ((o_orderkey % 25) + (o_orderkey % 7) + 1) * INTERVAL 1 DAY AS e
+  FROM orders WHERE o_orderkey % {IVJ_MOD} = 0),
+ev AS (SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM iv JOIN ev ON ev.ts >= iv.s AND ev.ts < iv.e
+GROUP BY 1"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Ordering policy (VERDICT r2 #1): the correctness driver witnesses the FIRST
@@ -4184,6 +4239,7 @@ QUERIES: dict[str, tuple] = {
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "kmeans_embed": (q_kmeans_embed, sql_kmeans_embed),
     "hll_registers": (q_hll_registers, sql_hll_registers),
+    "interval_join": (q_interval_join, sql_interval_join),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

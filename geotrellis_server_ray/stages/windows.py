@@ -161,3 +161,60 @@ def asof_join(ds, key_col: str, ts_col: str, left_pred, right_pred,
                 left_pred=left_pred, right_pred=right_pred),
         batch_format="pyarrow",
     )
+
+
+def interval_join(events_ds, intervals_ds, ts_col: str, start_col: str,
+                  end_col: str, bucket_us: int, num_partitions: int | None = None):
+    """Range (interval) join: pair every event with every interval
+    containing its timestamp — NO equi key, the classic all-to-all range
+    predicate — expressed as one bounded-replication hash exchange:
+
+    * each event hashes to exactly ONE time bucket (ts // bucket_us);
+    * each interval REPLICATES to every bucket it overlaps — bounded by
+      ceil(len / bucket_us) + 1 copies, so choosing bucket_us >= the max
+      interval length caps replication at 2x;
+    * a hash Dataset.join on the bucket key then pairs each event with the
+      replicas in its own bucket only, so every true pair is produced
+      EXACTLY once (the event side is never replicated) — no post-dedup;
+    * the range predicate start <= ts < end filters the bucket-local pairs.
+
+    bucket_us is the scale knob: wider buckets -> less interval replication
+    but coarser join parallelism and bigger bucket-local cross products;
+    size it to the max interval length. Both sides stream; only the bucket
+    exchange shuffles."""
+    import pyarrow.compute as pc
+
+    def ev_bucket(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b.column(ts_col))
+        return b.append_column("bucket", pa.array(ts // bucket_us)) \
+                .append_column("_ts_us", pa.array(ts))
+
+    def iv_replicate(b: pa.Table) -> pa.Table:
+        s = _ts_us(b.column(start_col))
+        e = _ts_us(b.column(end_col))
+        first = s // bucket_us
+        last = np.maximum(e - 1, s) // bucket_us
+        reps = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), reps)
+        off = np.arange(len(idx), dtype=np.int64)
+        # per-row 0..reps-1 offsets via a running-count reset at row starts
+        starts = np.zeros(len(b) + 1, np.int64)
+        np.cumsum(reps, out=starts[1:])
+        local = off - np.repeat(starts[:-1], reps)
+        t = b.take(pa.array(idx))
+        return t.append_column("bucket", pa.array(first[idx] + local)) \
+                .append_column("_s_us", pa.array(s[idx])) \
+                .append_column("_e_us", pa.array(e[idx]))
+
+    ev = events_ds.map_batches(ev_bucket, batch_format="pyarrow")
+    iv = intervals_ds.map_batches(iv_replicate, batch_format="pyarrow")
+    kw = {"num_partitions": num_partitions} if num_partitions else {"num_partitions": 8}
+    joined = ev.join(iv, join_type="inner", on=("bucket",), **kw)
+
+    def in_range(b: pa.Table) -> pa.Table:
+        ts = b.column("_ts_us")
+        keep = pc.and_(pc.less_equal(b.column("_s_us"), ts),
+                       pc.less(ts, b.column("_e_us")))
+        return b.filter(keep).drop_columns(["bucket", "_ts_us", "_s_us", "_e_us"])
+
+    return joined.map_batches(in_range, batch_format="pyarrow")

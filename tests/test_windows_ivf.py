@@ -94,3 +94,26 @@ def test_ivf_high_recall_on_clustered_data(ray_session):
     a = set(zip(approx["query_id"], approx["vec_id"]))
     recall = len(e & a) / len(e)
     assert recall >= 0.9, recall
+
+
+def test_interval_join_boundaries(ray_session):
+    """Range-join edge cases: event exactly at start (included), exactly at
+    end (excluded), interval spanning a bucket boundary pairs exactly once."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.windows import interval_join
+
+    W = 1000  # bucket width in us
+    ev = rd.from_arrow(pa.table({
+        "ts": pa.array(np.array([100, 999, 1000, 1500, 2000], "datetime64[us]")),
+        "eid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    }))
+    iv = rd.from_arrow(pa.table({
+        "k": pa.array([7], pa.int64()),
+        "s": pa.array(np.array([999], "datetime64[us]")),   # spans buckets 0+1
+        "e": pa.array(np.array([2000], "datetime64[us]")),  # exclusive
+    }))
+    out = interval_join(ev, iv, "ts", "s", "e", bucket_us=W).to_pandas()
+    assert sorted(out["eid"].tolist()) == [1, 2, 3]  # 999 in, 2000 out, once each
