@@ -4190,6 +4190,43 @@ FROM iv JOIN ev ON ev.ts >= iv.s AND ev.ts < iv.e
 GROUP BY 1"""
 
 
+QUANTILE_QS = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+
+
+def q_exact_quantiles(sf_dir: str):
+    """Distributed EXACT quantiles of l_extendedprice cents by iterative
+    counting selection (stages/quantiles.py): rank k = ceil(q*n)-th
+    smallest; 2-3 pruned single-column passes, only histogram rows ever
+    shuffle, the driver never holds a data value. The oracle states the
+    same rank semantics directly (row_number over ORDER BY = k)."""
+    from ..stages.quantiles import exact_quantiles
+    from ..config import parquet_rows
+    import os
+
+    path = f"{sf_dir}/lineitem.parquet"
+    n = parquet_rows(path) if os.path.exists(path) else None
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        partial(add_cents, cols={"cents": "l_extendedprice"}),
+        batch_format="pyarrow")
+    if n is None:
+        n = ds.count()
+    return exact_quantiles(ds, "cents", QUANTILE_QS, n)
+
+
+def sql_exact_quantiles() -> str:
+    vals = ", ".join(f"({q}, '{lbl}')" for lbl, q in QUANTILE_QS.items())
+    return f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+         count(*) OVER () AS n
+  FROM v)
+SELECT ql AS q_label, CAST(cents AS BIGINT) AS value
+FROM ranked, (VALUES {vals}) qs(q, ql)
+WHERE rn = CAST(ceil(q * n) AS BIGINT)"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Ordering policy (VERDICT r2 #1): the correctness driver witnesses the FIRST
@@ -4240,6 +4277,7 @@ QUERIES: dict[str, tuple] = {
     "kmeans_embed": (q_kmeans_embed, sql_kmeans_embed),
     "hll_registers": (q_hll_registers, sql_hll_registers),
     "interval_join": (q_interval_join, sql_interval_join),
+    "exact_quantiles": (q_exact_quantiles, sql_exact_quantiles),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

@@ -120,3 +120,26 @@ def test_bit_length_exact():
 
     vals = np.array([0, 1, 2, 3, 4, (1 << 52) - 1, 1 << 52, 1 << 63], np.uint64)
     assert _bit_length(vals).tolist() == [0, 1, 2, 2, 3, 52, 53, 64]
+
+
+def test_exact_quantiles_vs_numpy(ray_session):
+    """Counting selection == the k-th smallest by direct sort, including
+    duplicate-heavy and negative domains and ranks at both ends."""
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.integers(-50_000, 5_000_000, 20_000),
+        np.full(5_000, 1234),           # heavy duplicate spike
+    ]).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    qs = {"p01": 0.01, "p50": 0.5, "p99": 0.99, "max": 1.0}
+    out = exact_quantiles(ds, "v", qs, len(vals))
+    got = dict(zip(out.column("q_label").to_pylist(),
+                   out.column("value").to_pylist()))
+    sv = np.sort(vals)
+    import math
+    for lbl, q in qs.items():
+        assert got[lbl] == int(sv[math.ceil(q * len(vals)) - 1]), lbl
