@@ -4190,6 +4190,165 @@ FROM iv JOIN ev ON ev.ts >= iv.s AND ev.ts < iv.e
 GROUP BY 1"""
 
 
+PR_ITERS = 3
+PR_OFFSET = 1_000_000  # part node-id offset disjoining the two id spaces
+
+
+def q_pagerank(sf_dir: str):
+    """Iterative PageRank in PURE integer arithmetic (damping 17/20 = 0.85
+    exactly): contrib = rank // outdeg, rank' = 150000 + 17*sum(contrib)//20
+    — every op is order-independent integer math, so ranks are bit-stable
+    across engines, block layouts, and shuffle orders (the same discipline
+    that makes k-means and the HLL registers hash-matchable).
+
+    Graph: the symmetric supplier<->part bipartite graph from distinct
+    lineitem pairs (mirroring guarantees indeg>0 AND outdeg>0 everywhere —
+    no dangling-mass special case). Dual plan (the dedup_clusters
+    precedent): edges + outdeg are built by ONE distributed groupby and
+    materialized once; below PR_BROADCAST_NODES the rank vector (16 B/node)
+    is ray.put-broadcast and each iteration is a single combiner groupby —
+    no join; above it, each iteration is one hash join (edges x ranks on
+    src) + the same combiner groupby, nothing broadcast."""
+    import ray
+
+    from functools import partial as _p
+
+    from ..stages.focal import add_key_partition
+
+    jp = _nparts_for(sf_dir, "lineitem")
+
+    def mk_pairs(b: pa.Table) -> pa.Table:
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64) + PR_OFFSET
+        return pa.table({"src": pa.array(np.concatenate([s, p])),
+                         "dst": pa.array(np.concatenate([p, s]))})
+
+    def loc_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["src", "dst"]).aggregate([]).select(["src", "dst"])
+
+    # distinct edges via the add_key_partition exchange (focal/dedup house
+    # pattern): per-block distinct partial, hash-partition on (src,dst),
+    # per-partition distinct — a P-cardinality shuffle key, NOT a
+    # million-key hash aggregate (measured 4x faster at 1.2M edges)
+    raw = read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+        mk_pairs, batch_format="pyarrow")
+    edges = raw.map_batches(loc_distinct, batch_format="pyarrow") \
+        .map_batches(_p(add_key_partition, key_cols=["src", "dst"],
+                        num_partitions=jp), batch_format="pyarrow") \
+        .groupby("part").map_groups(loc_distinct, batch_format="pyarrow") \
+        .materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("src").aggregate([([], "count_all")])
+        return g.rename_columns(["src", "d"])
+
+    def deg_combine(b: pa.Table) -> pa.Table:
+        g = b.group_by("src").aggregate([("d", "sum")])
+        return g.rename_columns(["src", "d"])
+
+    deg_rows = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .map_batches(_p(add_key_partition, key_cols=["src"],
+                        num_partitions=jp), batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda b: deg_combine(b.select(["src", "d"])),
+            batch_format="pyarrow").take_all()
+    n_nodes = len(deg_rows)
+    if n_nodes > PR_BROADCAST_NODES:  # pragma: no cover - corpus-scale path
+        return _pagerank_join_path(edges, deg_rows, jp)
+    nodes = np.array([r["src"] for r in deg_rows], np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes = nodes[order]
+    deg = np.array([r["d"] for r in deg_rows], np.int64)[order]
+    ranks = np.full(n_nodes, PR_OFFSET, np.int64)
+    nodes_ref = ray.put(nodes)
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("dst").aggregate([("c", "sum")])
+        return g.rename_columns(["dst", "c"])
+
+    for _ in range(PR_ITERS):
+        ranks_ref = ray.put(ranks // deg)  # per-node contribution, exact
+
+        def contrib(b: pa.Table, cref=ranks_ref) -> pa.Table:
+            nds = ray.get(nodes_ref)
+            c = ray.get(cref)
+            s = b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            return sum_partial(pa.table({
+                "dst": b.column("dst"),
+                "c": pa.array(c[np.searchsorted(nds, s)])}))
+
+        sums = edges.map_batches(contrib, batch_format="pyarrow") \
+            .map_batches(_p(add_key_partition, key_cols=["dst"],
+                            num_partitions=jp), batch_format="pyarrow") \
+            .groupby("part").map_groups(
+                lambda b: sum_partial(b.select(["dst", "c"])),
+                batch_format="pyarrow").take_all()
+        new = np.full(n_nodes, 150_000, np.int64)
+        for r in sums:
+            new[np.searchsorted(nodes, r["dst"])] = 150_000 + 17 * r["c"] // 20
+        ranks = new
+
+    return pa.table({"node": pa.array(nodes), "rank": pa.array(ranks)})
+
+
+PR_BROADCAST_NODES = 5_000_000  # ~80 MB of rank vector; above this, join
+
+
+def _pagerank_join_path(edges, deg_rows, jp):  # pragma: no cover - scale path
+    """Corpus-scale iteration: hash join edges x ranks on src, combiner
+    groupby by dst — nothing driver-side; same integer math as the
+    broadcast path (both paths agree in tests via a forced threshold)."""
+    import ray.data as rd
+
+    deg_t = pa.table({"src_d": pa.array([r["src"] for r in deg_rows], I64),
+                      "d": pa.array([r["d"] for r in deg_rows], I64)})
+    edges_d = edges.join(rd.from_arrow(deg_t), join_type="inner",
+                         num_partitions=jp, on=("src",), right_on=("src_d",)) \
+        .materialize()
+    ranks = rd.from_arrow(pa.table({
+        "node": deg_t.column("src_d"),
+        "rank": pa.array(np.full(len(deg_t), PR_OFFSET, np.int64))}))
+
+    def contrib(b: pa.Table) -> pa.Table:
+        r = b.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"dst": b.column("dst"), "c": pa.array(r // d)})
+
+    def damp(b: pa.Table) -> pa.Table:
+        s = b.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": b.column("dst"),
+                         "rank": pa.array(150_000 + 17 * s // 20)})
+
+    for _ in range(PR_ITERS):
+        j = edges_d.join(ranks, join_type="inner", num_partitions=jp,
+                         on=("src",), right_on=("node",))
+        sums = grouped_sums(j.map_batches(contrib, batch_format="pyarrow"),
+                            ["dst"], ["c"])
+        ranks = sums.map_batches(damp, batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({"node": pc.cast(b.column("node"), I64),
+                            "rank": pc.cast(b.column("rank"), I64)}),
+        batch_format="pyarrow")
+
+
+def sql_pagerank() -> str:
+    cte = [f"""pairs AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + {PR_OFFSET} AS p FROM lineitem),
+edges AS (SELECT s AS src, p AS dst FROM pairs
+          UNION ALL SELECT p, s FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST({PR_OFFSET} AS BIGINT) AS rank FROM deg)"""]
+    for i in range(PR_ITERS):
+        cte.append(f"""r{i + 1} AS (
+  SELECT e.dst AS node, 150000 + 17 * sum(r.rank // g.d) // 20 AS rank
+  FROM edges e JOIN r{i} r ON r.node = e.src JOIN deg g ON g.src = e.src
+  GROUP BY e.dst)""")
+    return ("WITH " + ",\n".join(cte)
+            + f"\nSELECT CAST(node AS BIGINT) AS node,"
+              f" CAST(rank AS BIGINT) AS rank FROM r{PR_ITERS}")
+
+
 QUANTILE_QS = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
 
 
@@ -4278,6 +4437,7 @@ QUERIES: dict[str, tuple] = {
     "hll_registers": (q_hll_registers, sql_hll_registers),
     "interval_join": (q_interval_join, sql_interval_join),
     "exact_quantiles": (q_exact_quantiles, sql_exact_quantiles),
+    "pagerank": (q_pagerank, sql_pagerank),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

@@ -143,3 +143,18 @@ def test_exact_quantiles_vs_numpy(ray_session):
     import math
     for lbl, q in qs.items():
         assert got[lbl] == int(sv[math.ceil(q * len(vals)) - 1]), lbl
+
+
+def test_pagerank_paths_agree(ray_session, monkeypatch):
+    """The broadcast-rank path and the corpus-scale join path compute
+    identical integer ranks (forced via the node threshold)."""
+    import geotrellis_server_ray.pipelines.registry as R
+
+    sf = "/root/testdata/sf0.001"
+    a = R.q_pagerank(sf)
+    a = a.to_pandas() if not hasattr(a, "to_pandas") else a.to_pandas()
+    monkeypatch.setattr(R, "PR_BROADCAST_NODES", 0)
+    b = R.q_pagerank(sf).to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
