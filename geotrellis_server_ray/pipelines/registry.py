@@ -4190,6 +4190,46 @@ FROM iv JOIN ev ON ev.ts >= iv.s AND ev.ts < iv.e
 GROUP BY 1"""
 
 
+def q_interval_agg(sf_dir: str):
+    """Aggregate-pushdown range join (stages/windows.interval_agg): the
+    SAME per-window count/sum as interval_join + groupby, but the event x
+    window pair stream is never materialized — events and window replicas
+    co-group by bucket partition and a per-partition sort + prefix-sum +
+    bucket-clipped searchsorted answers every replica exactly. At scale
+    this removes the quadratic (event x overlapping-window) intermediate
+    the join plan pays for dense windows. Zero-event windows are dropped
+    to match the oracle's inner-join semantics."""
+    from ..stages.windows import interval_agg
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = k % IVJ_MOD == 0
+        k = k[keep]
+        s = _EPOCH_2024 + (k % 25) * _DAY_US
+        e = s + (k % 7 + 1) * _DAY_US
+        return pa.table({"o_orderkey": pa.array(k),
+                         "s": pa.array(s.astype("datetime64[us]")),
+                         "e": pa.array(e.astype("datetime64[us]"))})
+
+    iv = read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        mk_iv, batch_format="pyarrow")
+    ev = read(sf_dir, "events", ["ts", "value"]).map_batches(
+        partial(add_cents, cols={"cents": "value"}), batch_format="pyarrow")
+    agg = interval_agg(ev, iv, "ts", "s", "e", val_col="cents",
+                       key_col="o_orderkey", bucket_us=8 * _DAY_US,
+                       num_partitions=_nparts_for(sf_dir, "events"))
+    return agg.map_batches(
+        lambda b: pa.table({"o_orderkey": pc.cast(b.column("o_orderkey"), I64),
+                            "n_events": pc.cast(b.column("n_events"), I64),
+                            "sum_cents": pc.cast(b.column("sum_val"), I64)}
+                           ).filter(pc.greater(b.column("n_events"), 0)),
+        batch_format="pyarrow")
+
+
+def sql_interval_agg() -> str:
+    return sql_interval_join()
+
+
 PR_ITERS = 3
 PR_OFFSET = 1_000_000  # part node-id offset disjoining the two id spaces
 
@@ -4419,6 +4459,7 @@ QUERIES: dict[str, tuple] = {
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "getmap_requests": (q_getmap_requests, None),
+    "getcoverage_requests": (q_getcoverage_requests, sql_getcoverage_requests),
     # --- Block C: round-3 additions land here (inside the driver window)
     "stac_http_select": (q_stac_http_select, sql_stac_http_select),
     "stac_http_mosaic": (q_stac_http_mosaic, sql_stac_http_mosaic),
@@ -4436,6 +4477,7 @@ QUERIES: dict[str, tuple] = {
     "kmeans_embed": (q_kmeans_embed, sql_kmeans_embed),
     "hll_registers": (q_hll_registers, sql_hll_registers),
     "interval_join": (q_interval_join, sql_interval_join),
+    "interval_agg": (q_interval_agg, sql_interval_agg),
     "exact_quantiles": (q_exact_quantiles, sql_exact_quantiles),
     "pagerank": (q_pagerank, sql_pagerank),
     # --- remaining pre-window fill (r2-green, less long-stable)
@@ -4447,15 +4489,14 @@ QUERIES: dict[str, tuple] = {
     "hilbert_partitions": (q_hilbert_partitions, sql_hilbert_partitions),
     "zonal_histogram": (q_zonal_histogram, sql_zonal_histogram),
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
+    # --- window boundary: the driver witnesses exactly the 50 above.
+    # Everything below is r1/r2-driver-green and re-witnessed by the pytest
+    # oracle-parity suite every round.
     "lang_id": (q_lang_id, sql_lang_id),
     "doc_fingerprints": (q_doc_fingerprints, sql_doc_fingerprints),
     "media_payload_features": (q_media_payload_features, sql_media_payload_features),
     "tiff_windows": (q_tiff_windows, sql_tiff_windows),
     "getmap_from_tiff": (q_getmap_from_tiff, sql_getmap_from_tiff),
-    "getcoverage_requests": (q_getcoverage_requests, sql_getcoverage_requests),
-    # --- window boundary: with 82 entries the driver witnesses exactly the
-    # 50 above. Everything below is r1/r2-driver-green and re-witnessed by
-    # the pytest oracle-parity suite every round.
     "stac_asset_select": (q_stac_asset_select, sql_stac_asset_select),
     "feature_info_window": (q_feature_info_window, sql_feature_info_window),
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),

@@ -218,3 +218,94 @@ def interval_join(events_ds, intervals_ds, ts_col: str, start_col: str,
         return b.filter(keep).drop_columns(["bucket", "_ts_us", "_s_us", "_e_us"])
 
     return joined.map_batches(in_range, batch_format="pyarrow")
+
+
+def interval_agg(events_ds, intervals_ds, ts_col: str, start_col: str,
+                 end_col: str, val_col: str, key_col: str, bucket_us: int,
+                 num_partitions: int | None = None):
+    """Aggregate pushdown into the range join: per-interval COUNT and SUM
+    without ever materializing the event x interval pair stream (which is
+    quadratic in window density — the measured 10x cost of running
+    interval_join + groupby for dense windows).
+
+    Same bounded-replication bucketing as interval_join, but instead of a
+    pair-producing hash join, events and interval replicas CO-GROUP by
+    bucket partition (bucket % P) and each partition answers ALL its
+    replicas in one vectorized pass: because bucket = ts // bucket_us is
+    MONOTONE in ts, the partition's ts-sorted event array keeps every
+    bucket contiguous, so clipping each replica's query range to its own
+    bucket ([max(s, b*W), min(e, (b+1)*W))) makes one global searchsorted
+    pair exact per replica (events of other buckets in the partition
+    occupy disjoint ts ranges and cannot fall inside the clipped range).
+    n = hi - lo; sum = prefix-sum difference — O((E+I) log E) per
+    partition, exact int64 arithmetic, no per-bucket loop. Replica
+    partials then combine in a small keyed groupby (a window spanning 2
+    buckets contributes 2 partials). Windows with zero events still yield
+    a (0, 0) row — filter downstream for inner-join semantics. Returns
+    (key_col, n_events, sum_val)."""
+    if num_partitions is None:
+        from ..config import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
+
+    def ev_rows(b: pa.Table) -> pa.Table:
+        ts = _ts_us(b.column(ts_col))
+        val = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ts)
+        return pa.table({
+            "part": pa.array((ts // bucket_us) % num_partitions),
+            "kind": pa.array(np.zeros(n, np.int8)),
+            "t0": pa.array(ts), "t1": pa.array(np.zeros(n, np.int64)),
+            "val": pa.array(val), "key": pa.array(np.zeros(n, np.int64)),
+            "bkt": pa.array(ts // bucket_us),
+        })
+
+    def iv_rows(b: pa.Table) -> pa.Table:
+        s = _ts_us(b.column(start_col))
+        e = _ts_us(b.column(end_col))
+        key = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        first = s // bucket_us
+        last = np.maximum(e - 1, s) // bucket_us
+        reps = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s), dtype=np.int64), reps)
+        starts = np.zeros(len(s) + 1, np.int64)
+        np.cumsum(reps, out=starts[1:])
+        local = np.arange(len(idx), dtype=np.int64) - np.repeat(starts[:-1], reps)
+        bkt = first[idx] + local
+        n = len(idx)
+        return pa.table({
+            "part": pa.array(bkt % num_partitions),
+            "kind": pa.array(np.ones(n, np.int8)),
+            "t0": pa.array(s[idx]), "t1": pa.array(e[idx]),
+            "val": pa.array(np.zeros(n, np.int64)), "key": pa.array(key[idx]),
+            "bkt": pa.array(bkt),
+        })
+
+    def per_part(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        t0 = g.column("t0").to_numpy(zero_copy_only=False).astype(np.int64)
+        t1 = g.column("t1").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = g.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = g.column("bkt").to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = kind == 0
+        order = np.argsort(t0[ev], kind="stable")
+        ts = t0[ev][order]
+        cum = np.zeros(len(ts) + 1, np.int64)
+        np.cumsum(val[ev][order], out=cum[1:])
+        s, e, k, b = t0[~ev], t1[~ev], key[~ev], bkt[~ev]
+        qlo = np.maximum(s, b * bucket_us)
+        qhi = np.minimum(e, (b + 1) * bucket_us)
+        lo = np.searchsorted(ts, qlo, side="left")
+        hi = np.searchsorted(ts, np.maximum(qhi, qlo), side="left")
+        return pa.table({key_col: pa.array(k),
+                         "n_events": pa.array(hi - lo),
+                         "sum_val": pa.array(cum[hi] - cum[lo])})
+
+    ev = events_ds.map_batches(ev_rows, batch_format="pyarrow")
+    iv = intervals_ds.map_batches(iv_rows, batch_format="pyarrow")
+    partials = ev.union(iv).groupby("part").map_groups(
+        per_part, batch_format="pyarrow")
+    from ..pipelines.relational import grouped_sums
+
+    return grouped_sums(partials, [key_col], ["n_events", "sum_val"])

@@ -117,3 +117,35 @@ def test_interval_join_boundaries(ray_session):
     }))
     out = interval_join(ev, iv, "ts", "s", "e", bucket_us=W).to_pandas()
     assert sorted(out["eid"].tolist()) == [1, 2, 3]  # 999 in, 2000 out, once each
+
+
+def test_interval_agg_matches_join(ray_session):
+    """Aggregate pushdown == materialized join + groupby on the same edge
+    cases: start-inclusive, end-exclusive, bucket-spanning window counted
+    once, zero-event window present with n=0 (dropped by callers wanting
+    inner-join semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.windows import interval_agg
+
+    W = 1000
+    ev = rd.from_arrow(pa.table({
+        "ts": pa.array(np.array([100, 999, 1000, 1500, 2000], "datetime64[us]")),
+        "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    }))
+    iv = rd.from_arrow(pa.table({
+        "k": pa.array([7, 8, 9], pa.int64()),
+        "s": pa.array(np.array([999, 0, 5000], "datetime64[us]")),
+        "e": pa.array(np.array([2000, 100, 6000], "datetime64[us]")),
+    }))
+    out = (interval_agg(ev, iv, "ts", "s", "e", val_col="v", key_col="k",
+                        bucket_us=W, num_partitions=3)
+           .to_pandas().set_index("k").sort_index())
+    # k=7 spans buckets 0+1: events 999,1000,1500 in [999,2000) -> n=3 sum=90
+    assert out.loc[7, "n_events"] == 3 and out.loc[7, "sum_val"] == 90
+    # k=8: [0,100) excludes ts=100 (end-exclusive) -> zero-event window
+    assert out.loc[8, "n_events"] == 0 and out.loc[8, "sum_val"] == 0
+    # k=9: empty range far from any event
+    assert out.loc[9, "n_events"] == 0
