@@ -1,0 +1,118 @@
+"""Distributed prefix scan (exclusive running sum over a global order).
+
+The primitive behind training-sequence packing, global row numbering and
+token-budget splitting: every row needs the sum of all earlier rows'
+values under a total order — a computation that looks inherently
+sequential but is the textbook two-pass parallel scan:
+
+  pass 1  range-partition rows by the order column and reduce each
+          partition to one total (P tiny rows, P ~ cluster size);
+  driver  exclusive prefix over the P totals — O(P) scalar work;
+  pass 2  each partition sorts its own rows once and adds
+          local-exclusive-cumsum + its partition offset.
+
+Only the P-row totals ever leave the workers; the data proper moves
+through exactly one hash exchange (the range partitioning), so the scan
+costs the same as a groupby at 100 TB.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _minmax(ds, col: str) -> tuple[int, int]:
+    """Distributed min/max combiner: per-batch pyarrow aggregate partials
+    coalesced to one block (same shape as the color-breaks gate)."""
+    def partial_mm(b: pa.Table) -> pa.Table:
+        g = b.group_by([]).aggregate([(col, "min"), (col, "max")])
+        return g.rename_columns(["lo", "hi"])
+
+    mm = ds.map_batches(partial_mm, batch_format="pyarrow").repartition(1).map_batches(
+        lambda b: b.group_by([]).aggregate([("lo", "min"), ("hi", "max")])
+        .rename_columns(["lo", "hi"]),
+        batch_format="pyarrow",
+    ).take_all()[0]
+    return int(mm["lo"]), int(mm["hi"])
+
+
+def _range_part(order: np.ndarray, lo: int, hi: int, nparts: int) -> np.ndarray:
+    span = max(hi - lo + 1, 1)
+    return ((order - lo).astype(np.int64) * nparts) // span
+
+
+def prefix_sum(ds, order_col: str, val_col: str, out_col: str = "prev",
+               num_partitions: int | None = None):
+    """Append ``out_col`` = exclusive prefix sum of ``val_col`` in
+    ``order_col`` order (int64-exact). ``order_col`` must be integral and
+    UNIQUE per row — ties would make "earlier" ambiguous (the SQL
+    equivalent is SUM() OVER (ORDER BY order_col ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)). Range partitioning keys on the order
+    value itself, so the per-partition sort sees only its own contiguous
+    key range and partials compose exactly."""
+    if num_partitions is None:
+        from ..config import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
+    lo, hi = _minmax(ds, order_col)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        order = b.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("_part", pa.array(_range_part(order, lo, hi, num_partitions)))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+
+    # pass 1: one int64 total per partition; P rows total -> driver.
+    def part_totals(b: pa.Table) -> pa.Table:
+        g = b.group_by(["_part"]).aggregate([(val_col, "sum")])
+        return g.rename_columns(["_part", "tot"])
+
+    totals = parted.map_batches(part_totals, batch_format="pyarrow").repartition(1).map_batches(
+        lambda b: b.group_by(["_part"]).aggregate([("tot", "sum")]).rename_columns(["_part", "tot"]),
+        batch_format="pyarrow",
+    ).take_all()
+    tot = np.zeros(num_partitions, np.int64)
+    for r in totals:
+        tot[int(r["_part"])] = int(r["tot"])
+    offsets = np.zeros(num_partitions, np.int64)
+    np.cumsum(tot[:-1], out=offsets[1:])  # exclusive prefix over partitions
+
+    # pass 2: per-partition sort + local exclusive cumsum + offset. The
+    # offsets array is O(P) and ships inside the task closure.
+    def scan_part(g: pa.Table, *, offs: np.ndarray) -> pa.Table:
+        p = int(g.column("_part")[0].as_py())
+        order = g.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        val = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = np.argsort(order, kind="stable")
+        prev = np.empty(len(val), np.int64)
+        run = np.zeros(len(val) + 1, np.int64)
+        np.cumsum(val[ix], out=run[1:])
+        prev[ix] = offs[p] + run[:-1]
+        return g.drop_columns(["_part"]).append_column(out_col, pa.array(prev))
+
+    return parted.groupby("_part").map_groups(
+        partial(scan_part, offs=offsets), batch_format="pyarrow")
+
+
+def pack_sequences(ds, order_col: str, tokens_col: str, capacity: int,
+                   num_partitions: int | None = None):
+    """Assign every document to a fixed-capacity training sequence:
+    seq_id = (tokens before me) // capacity, seq_offset = ... % capacity
+    — the deterministic streaming packer (documents straddle sequence
+    boundaries rather than leaving tail padding, the layout used when
+    examples are concatenated then chunked). One distributed scan; no
+    driver-side pass over the data."""
+    ds = prefix_sum(ds, order_col, tokens_col, out_col="_prev",
+                    num_partitions=num_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        prev = b.column("_prev")
+        b = b.drop_columns(["_prev"])
+        b = b.append_column("seq_id", pc.cast(pc.divide(prev, capacity), pa.int64()))
+        return b.append_column("seq_offset", pc.cast(
+            pc.subtract(prev, pc.multiply(pc.divide(prev, capacity), capacity)), pa.int64()))
+
+    return ds.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,62 @@
+"""Distributed prefix scan (stages/scan.py): exclusive running sums and
+fixed-capacity sequence packing, checked against a single-machine numpy
+replay on shuffled multi-block inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from geotrellis_server_ray.stages.scan import pack_sequences, prefix_sum
+
+
+def _corpus(n=1000, seed=7, nblocks=9):
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n * 3)[:n].astype(np.int64)  # unique, gappy
+    val = rng.integers(0, 500, n).astype(np.int64)
+    t = pa.table({"k": order, "v": val})
+    ds = rd.from_arrow(t).repartition(nblocks)
+    return ds, order, val
+
+
+def _expected_prev(order, val):
+    ix = np.argsort(order, kind="stable")
+    run = np.zeros(len(val) + 1, np.int64)
+    np.cumsum(val[ix], out=run[1:])
+    prev = np.empty(len(val), np.int64)
+    prev[ix] = run[:-1]
+    return prev
+
+
+def test_prefix_sum_matches_numpy(ray_session):
+    ds, order, val = _corpus()
+    out = prefix_sum(ds, "k", "v", num_partitions=5).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    exp = _expected_prev(order, val)
+    ix = np.argsort(order, kind="stable")
+    assert np.array_equal(out["prev"].to_numpy(), exp[ix])
+    assert np.array_equal(out["v"].to_numpy(), val[ix])
+
+
+def test_prefix_sum_single_partition(ray_session):
+    ds, order, val = _corpus(n=64, nblocks=2)
+    out = prefix_sum(ds, "k", "v", num_partitions=1).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    ix = np.argsort(order, kind="stable")
+    assert np.array_equal(out["prev"].to_numpy(), _expected_prev(order, val)[ix])
+
+
+def test_pack_sequences_layout(ray_session):
+    ds, order, val = _corpus(n=400, seed=11)
+    cap = 777
+    out = pack_sequences(ds, "k", "v", cap, num_partitions=4).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    prev = _expected_prev(order, val)
+    ix = np.argsort(order, kind="stable")
+    assert np.array_equal(out["seq_id"].to_numpy(), prev[ix] // cap)
+    assert np.array_equal(out["seq_offset"].to_numpy(), prev[ix] % cap)
+    # packing invariant: sequence ids are contiguous from 0 and every
+    # non-final sequence is filled exactly to capacity by its successor's
+    # start (concatenate-then-chunk: offset + value spans the boundary).
+    total = int(val.sum())
+    assert out["seq_id"].max() == (total - 1) // cap if total else True
