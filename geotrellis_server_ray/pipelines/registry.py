@@ -4164,7 +4164,11 @@ def q_interval_join(sf_dir: str):
         mk_iv, batch_format="pyarrow")
     ev = read(sf_dir, "events", ["ts", "value"]).map_batches(
         partial(add_cents, cols={"cents": "value"}), batch_format="pyarrow")
-    pairs = interval_join(ev, iv, "ts", "s", "e", bucket_us=8 * _DAY_US,
+    # 1-day buckets, NOT >= the 7-day max window: the window side is ~1% of
+    # the event side, so replicating it 8x is free while candidates shrink
+    # ~3x toward the true pair count and the exchange fans out over 30 keys
+    # x4 salt lanes instead of 4 (see interval_join's sizing note).
+    pairs = interval_join(ev, iv, "ts", "s", "e", bucket_us=_DAY_US, salt=4,
                           num_partitions=_nparts_for(sf_dir, "events"))
     # window keys scale with the orders table -> real hash groupby, not the
     # coalesced combiner tree

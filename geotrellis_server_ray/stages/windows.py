@@ -164,30 +164,50 @@ def asof_join(ds, key_col: str, ts_col: str, left_pred, right_pred,
 
 
 def interval_join(events_ds, intervals_ds, ts_col: str, start_col: str,
-                  end_col: str, bucket_us: int, num_partitions: int | None = None):
+                  end_col: str, bucket_us: int, num_partitions: int | None = None,
+                  salt: int = 1):
     """Range (interval) join: pair every event with every interval
     containing its timestamp — NO equi key, the classic all-to-all range
     predicate — expressed as one bounded-replication hash exchange:
 
     * each event hashes to exactly ONE time bucket (ts // bucket_us);
     * each interval REPLICATES to every bucket it overlaps — bounded by
-      ceil(len / bucket_us) + 1 copies, so choosing bucket_us >= the max
-      interval length caps replication at 2x;
+      ceil(len / bucket_us) + 1 copies per bucket span;
     * a hash Dataset.join on the bucket key then pairs each event with the
       replicas in its own bucket only, so every true pair is produced
       EXACTLY once (the event side is never replicated) — no post-dedup;
     * the range predicate start <= ts < end filters the bucket-local pairs.
 
-    bucket_us is the scale knob: wider buckets -> less interval replication
-    but coarser join parallelism and bigger bucket-local cross products;
-    size it to the max interval length. Both sides stream; only the bucket
-    exchange shuffles."""
+    bucket_us is the scale knob and it cuts BOTH ways: wider buckets mean
+    less interval replication, but coarser join parallelism AND a bigger
+    bucket-local candidate cross product (sum over buckets of
+    events_b x replicas_b — the join's real emission cost). When the
+    interval side is small relative to the event side (the common shape),
+    size bucket_us well BELOW the max interval length: replication grows
+    only the tiny side (len/bucket_us + 1 copies) while candidates shrink
+    toward the true pair count and the exchange fans out over
+    span/bucket_us keys instead of a handful. The measured sf0.1 case
+    (100k events x 1.5k windows, 20.6M true pairs): 8-day buckets = 4 join
+    keys / 70M candidates / 26 s; 1-day buckets = 30 keys / 25M candidates.
+
+    ``salt`` further multiplies parallelism when even fine buckets are too
+    few for the cluster: each event carries ONE salt value (its in-bucket
+    timestamp position scrambled), replicas replicate across ALL salt
+    values, and the join key becomes (bucket, salt) — emission is
+    unchanged (an event meets each same-bucket replica in exactly one salt
+    lane), only the tiny side replicates x salt. Both sides stream; only
+    the bucket exchange shuffles."""
     import pyarrow.compute as pc
 
     def ev_bucket(b: pa.Table) -> pa.Table:
         ts = _ts_us(b.column(ts_col))
-        return b.append_column("bucket", pa.array(ts // bucket_us)) \
-                .append_column("_ts_us", pa.array(ts))
+        b = b.append_column("bucket", pa.array(ts // bucket_us)) \
+             .append_column("_ts_us", pa.array(ts))
+        if salt > 1:
+            scr = ts.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            b = b.append_column("_salt", pa.array(
+                (scr % np.uint64(salt)).astype(np.int64)))
+        return b
 
     def iv_replicate(b: pa.Table) -> pa.Table:
         s = _ts_us(b.column(start_col))
@@ -202,20 +222,30 @@ def interval_join(events_ds, intervals_ds, ts_col: str, start_col: str,
         np.cumsum(reps, out=starts[1:])
         local = off - np.repeat(starts[:-1], reps)
         t = b.take(pa.array(idx))
-        return t.append_column("bucket", pa.array(first[idx] + local)) \
-                .append_column("_s_us", pa.array(s[idx])) \
-                .append_column("_e_us", pa.array(e[idx]))
+        t = t.append_column("bucket", pa.array(first[idx] + local)) \
+             .append_column("_s_us", pa.array(s[idx])) \
+             .append_column("_e_us", pa.array(e[idx]))
+        if salt > 1:
+            n = len(t)
+            t = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), salt)))
+            t = t.append_column("_salt", pa.array(
+                np.tile(np.arange(salt, dtype=np.int64), n)))
+        return t
 
     ev = events_ds.map_batches(ev_bucket, batch_format="pyarrow")
     iv = intervals_ds.map_batches(iv_replicate, batch_format="pyarrow")
     kw = {"num_partitions": num_partitions} if num_partitions else {"num_partitions": 8}
-    joined = ev.join(iv, join_type="inner", on=("bucket",), **kw)
+    on = ("bucket", "_salt") if salt > 1 else ("bucket",)
+    joined = ev.join(iv, join_type="inner", on=on, **kw)
 
     def in_range(b: pa.Table) -> pa.Table:
         ts = b.column("_ts_us")
         keep = pc.and_(pc.less_equal(b.column("_s_us"), ts),
                        pc.less(ts, b.column("_e_us")))
-        return b.filter(keep).drop_columns(["bucket", "_ts_us", "_s_us", "_e_us"])
+        drop = ["bucket", "_ts_us", "_s_us", "_e_us"]
+        if salt > 1:
+            drop.append("_salt")
+        return b.filter(keep).drop_columns(drop)
 
     return joined.map_batches(in_range, batch_format="pyarrow")
 

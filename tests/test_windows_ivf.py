@@ -117,6 +117,11 @@ def test_interval_join_boundaries(ray_session):
     }))
     out = interval_join(ev, iv, "ts", "s", "e", bucket_us=W).to_pandas()
     assert sorted(out["eid"].tolist()) == [1, 2, 3]  # 999 in, 2000 out, once each
+    # salted lanes must not change emission: each event meets each replica
+    # in exactly one salt lane, so pairs still appear exactly once
+    salted = interval_join(ev, iv, "ts", "s", "e", bucket_us=W,
+                           salt=4).to_pandas()
+    assert sorted(salted["eid"].tolist()) == [1, 2, 3]
 
 
 def test_interval_agg_matches_join(ray_session):
