@@ -4084,14 +4084,21 @@ def q_hll_registers(sf_dir: str):
     the canonical mergeable sketch, no corpus shuffle at any scale."""
     from functools import partial as _p
 
-    from ray.data.aggregate import Max
-
     from ..stages import sketch as SK
 
     ds = read(sf_dir, "lineitem", ["l_orderkey"])
     partials = ds.map_batches(_p(SK.hll_partial_batch, key_col="l_orderkey"),
                               batch_format="pyarrow")
-    out = partials.groupby("bucket").aggregate(Max("reg", alias_name="reg"))
+
+    # <= 4096 register rows per block partial — dimension-bounded, so the
+    # max-merge coalesces through the combiner tree (grouped_sums
+    # small_key_space precedent) instead of a cluster-wide aggregate
+    def _max_combine(b: pa.Table) -> pa.Table:
+        g = b.group_by("bucket").aggregate([("reg", "max")])
+        return g.rename_columns(["bucket", "reg"])
+
+    out = partials.map_batches(_max_combine, batch_format="pyarrow") \
+        .repartition(1).map_batches(_max_combine, batch_format="pyarrow")
     return out.map_batches(
         lambda b: pa.table({"bucket": pc.cast(b.column("bucket"), I64),
                             "reg": pc.cast(b.column("reg"), I64)}),
@@ -4238,6 +4245,17 @@ PR_ITERS = 3
 PR_OFFSET = 1_000_000  # part node-id offset disjoining the two id spaces
 
 
+def _fold_blocks(ds) -> pa.Table:
+    """Pull a (bounded) Dataset back as ONE Arrow table via block refs —
+    zero-copy from the object store, no row-dict conversion. Blocks that
+    came out of a filter/groupby empty carry an empty schema; skip them."""
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs())
+            if t.num_rows and t.num_columns]
+    return pa.concat_tables(tabs)
+
+
 def q_pagerank(sf_dir: str):
     """Iterative PageRank in PURE integer arithmetic (damping 17/20 = 0.85
     exactly): contrib = rank // outdeg, rank' = 150000 + 17*sum(contrib)//20
@@ -4286,23 +4304,26 @@ def q_pagerank(sf_dir: str):
         g = b.group_by("src").aggregate([([], "count_all")])
         return g.rename_columns(["src", "d"])
 
-    def deg_combine(b: pa.Table) -> pa.Table:
-        g = b.group_by("src").aggregate([("d", "sum")])
-        return g.rename_columns(["src", "d"])
-
-    deg_rows = edges.map_batches(deg_partial, batch_format="pyarrow") \
-        .map_batches(_p(add_key_partition, key_cols=["src"],
-                        num_partitions=jp), batch_format="pyarrow") \
-        .groupby("part").map_groups(
-            lambda b: deg_combine(b.select(["src", "d"])),
-            batch_format="pyarrow").take_all()
-    n_nodes = len(deg_rows)
+    # The broadcast path is GATED on the node set fitting the driver
+    # (n_nodes <= PR_BROADCAST_NODES), so the degree/rank combines need no
+    # cluster exchange at all: per-block pyarrow partials flow back as Arrow
+    # block refs (never row dicts) and one vectorized np.add.at folds them —
+    # the driver sees O(blocks x nodes) partial rows, the same order it
+    # already pays to broadcast the rank vector. _pr_fold below; the
+    # >threshold join path shuffles instead and never lands on the driver.
+    deg_tbl = _fold_blocks(
+        edges.map_batches(deg_partial, batch_format="pyarrow"))
+    src = deg_tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(src)
+    n_nodes = len(nodes)
     if n_nodes > PR_BROADCAST_NODES:  # pragma: no cover - corpus-scale path
-        return _pagerank_join_path(edges, deg_rows, jp)
-    nodes = np.array([r["src"] for r in deg_rows], np.int64)
-    order = np.argsort(nodes, kind="stable")
-    nodes = nodes[order]
-    deg = np.array([r["d"] for r in deg_rows], np.int64)[order]
+        deg0 = np.zeros(n_nodes, np.int64)
+        np.add.at(deg0, np.searchsorted(nodes, src),
+                  deg_tbl.column("d").to_numpy(zero_copy_only=False))
+        return _pagerank_join_path(edges, nodes, deg0, jp)
+    deg = np.zeros(n_nodes, np.int64)
+    np.add.at(deg, np.searchsorted(nodes, src),
+              deg_tbl.column("d").to_numpy(zero_copy_only=False).astype(np.int64))
     ranks = np.full(n_nodes, PR_OFFSET, np.int64)
     nodes_ref = ray.put(nodes)
 
@@ -4321,16 +4342,14 @@ def q_pagerank(sf_dir: str):
                 "dst": b.column("dst"),
                 "c": pa.array(c[np.searchsorted(nds, s)])}))
 
-        sums = edges.map_batches(contrib, batch_format="pyarrow") \
-            .map_batches(_p(add_key_partition, key_cols=["dst"],
-                            num_partitions=jp), batch_format="pyarrow") \
-            .groupby("part").map_groups(
-                lambda b: sum_partial(b.select(["dst", "c"])),
-                batch_format="pyarrow").take_all()
-        new = np.full(n_nodes, 150_000, np.int64)
-        for r in sums:
-            new[np.searchsorted(nodes, r["dst"])] = 150_000 + 17 * r["c"] // 20
-        ranks = new
+        sums = _fold_blocks(
+            edges.map_batches(contrib, batch_format="pyarrow"))
+        acc = np.zeros(n_nodes, np.int64)
+        np.add.at(acc, np.searchsorted(
+            nodes,
+            sums.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)),
+            sums.column("c").to_numpy(zero_copy_only=False).astype(np.int64))
+        ranks = 150_000 + 17 * acc // 20
 
     return pa.table({"node": pa.array(nodes), "rank": pa.array(ranks)})
 
@@ -4338,14 +4357,13 @@ def q_pagerank(sf_dir: str):
 PR_BROADCAST_NODES = 5_000_000  # ~80 MB of rank vector; above this, join
 
 
-def _pagerank_join_path(edges, deg_rows, jp):  # pragma: no cover - scale path
+def _pagerank_join_path(edges, nodes, deg, jp):  # pragma: no cover - scale path
     """Corpus-scale iteration: hash join edges x ranks on src, combiner
     groupby by dst — nothing driver-side; same integer math as the
     broadcast path (both paths agree in tests via a forced threshold)."""
     import ray.data as rd
 
-    deg_t = pa.table({"src_d": pa.array([r["src"] for r in deg_rows], I64),
-                      "d": pa.array([r["d"] for r in deg_rows], I64)})
+    deg_t = pa.table({"src_d": pa.array(nodes, I64), "d": pa.array(deg, I64)})
     edges_d = edges.join(rd.from_arrow(deg_t), join_type="inner",
                          num_partitions=jp, on=("src",), right_on=("src_d",)) \
         .materialize()

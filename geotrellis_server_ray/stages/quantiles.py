@@ -91,10 +91,13 @@ def exact_quantiles(ds, col: str, qs: dict[str, float], n: int) -> pa.Table:
         if not active:
             break
         ranges = [(rid, lo, hi) for rid, (lo, hi) in active.items()]
+        # rid x bucket <= labels x NB keys — dimension-bounded, never
+        # corpus-scaled, so the partials coalesce through the combiner tree
+        # instead of paying a cluster-wide hash aggregate per pass
         hist = grouped_sums(
             ds.map_batches(partial(_hist_batch, col=col, ranges=ranges),
                            batch_format="pyarrow"),
-            ["rid", "bucket"], ["cnt"])
+            ["rid", "bucket"], ["cnt"], small_key_space=True)
         counts: dict[int, dict[int, int]] = {rid: {} for rid in active}
         for r in hist.take_all():
             counts[r["rid"]][r["bucket"]] = r["cnt"]
