@@ -1269,94 +1269,102 @@ FROM ranked WHERE rnk <= {KNN_K}"""
 # ----------------------------------------------- n-gram Jaccard similarity
 
 def q_ngram_jaccard_pairs(sf_dir: str):
-    """Character-3-gram set Jaccard for consecutive doc pairs. Round-2 shape
-    (replaces the round-1 full-text broadcast + per-pair Python set kernel):
-    exact 24-bit gram sketches are computed vectorized per batch, the pair
-    stream is hash-shuffle-joined to the sketch stream on each side, and the
-    intersection counts come from one lexsort per batch (_pair_jaccard).
-    Pair GENERATION is distributed (VERDICT r2 wrong #3) with a
-    sorted-source fast path: ONE pass over the pruned id column emits each
-    block's locally-sorted shifted pairs plus a per-block (min, max) stats
-    row; when the block ranges are pairwise disjoint (always, for
-    sequentially-written corpora — verified, never assumed) the O(blocks)
-    cross-block pairs come straight from the stats and NO range shuffle
-    runs. Overlapping block ranges fall back to ``Dataset.sort`` + the same
-    block-local lead() + boundary exchange. The driver never holds the id
-    column — only block stats."""
+    """Character-3-gram set Jaccard for consecutive doc pairs, JOIN-FREE
+    (round-3 shape; replaces the round-2 pairs x sketch double hash join):
+    consecutive pairs are block-local by construction once block id ranges
+    are disjoint, so ONE pass over (doc_id, text) sketches each block
+    (exact 24-bit gram packs, vectorized over the flat Arrow buffer),
+    sorts block-locally, and scores every within-block consecutive pair
+    with one lexsort (_pair_jaccard) — texts and sketches never leave
+    their block. Each block also emits exactly two flagged rows carrying
+    its (min, max) ids and those two docs' sketches; the driver folds this
+    O(blocks) side, verifies pairwise-disjoint ranges (always true for
+    sequentially-written corpora — verified, never assumed), and scores
+    the blocks-1 cross-block pairs itself. Overlapping block ranges fall
+    back to ONE ``Dataset.sort`` over (doc_id, text) — after which blocks
+    are range-partitioned disjoint — and the same single pass."""
     import ray.data as rd
 
     from ..stages.dedup import _pair_jaccard, char3gram_sketch_batch
 
-    def pairs_and_stats(b: pa.Table) -> pa.Table:
-        # local sort is block-bounded; global order comes from disjointness
-        a = np.sort(b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
-        id_a, id_b = a[:-1], a[1:]
-        if len(a):  # stats row flagged 1: (block min, block max)
-            id_a = np.concatenate([id_a, a[:1]])
-            id_b = np.concatenate([id_b, a[-1:]])
-        flag = np.zeros(len(id_a), np.int8)
-        if len(a):
-            flag[-1] = 1
-        return pa.table({"id_a": pa.array(id_a), "id_b": pa.array(id_b),
-                         "flag": pa.array(flag)})
+    BIN = pa.large_binary()
 
-    # materialized ONCE (2 int columns): consumed by the tiny stats take and
-    # by the join probe below — optimistic, shared with the fallback check
-    combined = read(sf_dir, "documents", ["doc_id"],
-                    proportional_blocks=True).map_batches(
-        pairs_and_stats, batch_format="pyarrow", batch_size=None).materialize()
-    stats = sorted(
-        ((r["id_a"], r["id_b"]) for r in
-         combined.filter(expr="flag == 1").take_all()))
+    def block_pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], I64), "id_b": pa.array([], I64),
+                          "jaccard_e6": pa.array([], I64),
+                          "flag": pa.array([], pa.int8()),
+                          "blob": pa.array([], BIN)})
+        if b.num_rows == 0:
+            return empty
+        sk = char3gram_sketch_batch(b)
+        ids = sk.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        sk = sk.take(pa.array(order))
+        ids = ids[order]
+        blobs = sk.column("shingles")
+        if isinstance(blobs, pa.ChunkedArray):
+            blobs = blobs.combine_chunks()
+        n = len(ids)
+        if n >= 2:
+            j = _pair_jaccard(blobs.slice(0, n - 1), blobs.slice(1, n - 1))
+            je6 = np.floor(j * 1e6).astype(np.int64)
+            inner = pa.table({
+                "id_a": pa.array(ids[:-1]), "id_b": pa.array(ids[1:]),
+                "jaccard_e6": pa.array(je6),
+                "flag": pa.array(np.zeros(n - 1, np.int8)),
+                "blob": pa.nulls(n - 1, BIN)})
+        else:
+            inner = empty
+        # flag 1 = this block's min doc (its sketch), flag 2 = its max doc;
+        # both carry (min_id, max_id) so the driver can pair them per block
+        bound = pa.table({
+            "id_a": pa.array([ids[0], ids[0]], I64),
+            "id_b": pa.array([ids[-1], ids[-1]], I64),
+            "jaccard_e6": pa.array([0, 0], I64),
+            "flag": pa.array([1, 2], pa.int8()),
+            "blob": pa.concat_arrays([blobs.slice(0, 1).cast(BIN),
+                                      blobs.slice(n - 1, 1).cast(BIN)])})
+        return pa.concat_tables([inner, bound])
 
-    def drop_flag(b: pa.Table) -> pa.Table:
-        keep = b.filter(pc.equal(b.column("flag"), pa.scalar(0, pa.int8())))
-        return keep.select(["id_a", "id_b"])
+    def scored(docs_ds):
+        done = docs_ds.map_batches(block_pairs, batch_format="pyarrow",
+                                   batch_size=None).materialize()
+        btbl = _fold_blocks(done.filter(expr="flag > 0"))
+        blocks: dict[tuple[int, int], dict[int, bytes]] = {}
+        for mn, mx, fl, bl in zip(btbl.column("id_a").to_pylist(),
+                                  btbl.column("id_b").to_pylist(),
+                                  btbl.column("flag").to_pylist(),
+                                  btbl.column("blob").to_pylist()):
+            blocks.setdefault((mn, mx), {})[fl] = bl
+        spans = sorted(blocks)
+        disjoint = all(spans[i][1] < spans[i + 1][0]
+                       for i in range(len(spans) - 1))
+        if not disjoint:
+            return None
+        inner = done.map_batches(
+            lambda b: b.filter(pc.equal(b.column("flag"),
+                                        pa.scalar(0, pa.int8())))
+                       .select(["id_a", "id_b", "jaccard_e6"]),
+            batch_format="pyarrow")
+        if len(spans) < 2:
+            return inner
+        ja = _pair_jaccard(
+            pa.array([blocks[s][2] for s in spans[:-1]], BIN),
+            pa.array([blocks[s][1] for s in spans[1:]], BIN))
+        cross = pa.table({
+            "id_a": pa.array([s[1] for s in spans[:-1]], I64),
+            "id_b": pa.array([s[0] for s in spans[1:]], I64),
+            "jaccard_e6": pa.array(np.floor(ja * 1e6).astype(np.int64))})
+        return inner.union(rd.from_arrow(cross))
 
-    if all(stats[i][1] < stats[i + 1][0] for i in range(len(stats) - 1)):
-        boundary = pa.table({
-            "id_a": pa.array([mx for _, mx in stats[:-1]], I64),
-            "id_b": pa.array([mn for mn, _ in stats[1:]], I64),
-        })
-        pairs = combined.map_batches(drop_flag, batch_format="pyarrow") \
-            .union(rd.from_arrow(boundary))
-    else:  # overlapping block ranges: pay the range shuffle once
-        sorted_ids = read(sf_dir, "documents", ["doc_id"]).sort("doc_id")
-        resorted = sorted_ids.map_batches(pairs_and_stats,
-                                          batch_format="pyarrow",
-                                          batch_size=None).materialize()
-        st2 = sorted((r["id_a"], r["id_b"]) for r in
-                     resorted.filter(expr="flag == 1").take_all())
-        boundary = pa.table({
-            "id_a": pa.array([mx for _, mx in st2[:-1]], I64),
-            "id_b": pa.array([mn for mn, _ in st2[1:]], I64),
-        })
-        pairs = resorted.map_batches(drop_flag, batch_format="pyarrow") \
-            .union(rd.from_arrow(boundary))
-    sk = read(sf_dir, "documents", ["doc_id", "text"],
-              proportional_blocks=True).map_batches(
-        char3gram_sketch_batch, batch_format="pyarrow")
-    from ..config import parquet_rows, shuffle_partitions_for_rows
-
-    jp = shuffle_partitions_for_rows(
-        parquet_rows(f"{sf_dir}/documents.parquet")
-        if __import__("os").path.exists(f"{sf_dir}/documents.parquet")
-        else combined.count())
-    j1 = pairs.join(sk, join_type="inner", num_partitions=jp,
-                    on=("id_a",), right_on=("doc_id",))
-    j2 = j1.join(sk, join_type="inner", num_partitions=jp,
-                 on=("id_b",), right_on=("doc_id",),
-                 left_suffix="_a", right_suffix="_b")
-
-    def jac(b: pa.Table) -> pa.Table:
-        j = _pair_jaccard(b.column("shingles_a"), b.column("shingles_b"))
-        return pa.table({
-            "id_a": pc.cast(b.column("id_a"), I64),
-            "id_b": pc.cast(b.column("id_b"), I64),
-            "jaccard_e6": pa.array(np.floor(j * 1e6).astype(np.int64)),
-        })
-
-    return j2.map_batches(jac, batch_format="pyarrow")
+    # default (per-CPU) block split, NOT proportional: the gram sketch is the
+    # dominant compute and wants every core; the boundary side stays O(blocks)
+    out = scored(read(sf_dir, "documents", ["doc_id", "text"]))
+    if out is None:  # overlapping block ranges: pay the range sort once
+        out = scored(read(sf_dir, "documents", ["doc_id", "text"])
+                     .sort("doc_id"))
+        assert out is not None  # post-sort blocks are range-disjoint
+    return out
 
 
 def sql_ngram_jaccard_pairs() -> str:
@@ -4011,30 +4019,29 @@ def q_kmeans_embed(sf_dir: str):
 
     from ..stages import cluster as CL
 
-    def seed(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.less(b.column("vec_id"), KM_K))
-        if len(t) == 0:
-            return pa.table({"vec_id": pa.array([], I64),
-                             "v": pa.array([], pa.list_(I64))})
-        ids, V = CL.quantize_batch(t)
-        return pa.table({"vec_id": pa.array(ids),
-                         "v": pa.array(list(V), pa.list_(I64))})
+    # quantize ONCE into a materialized int64 lattice (spill-backed object
+    # store) — Lloyd rounds then stream over cached Arrow blocks instead of
+    # re-reading + re-decoding + re-quantizing the parquet every round (the
+    # pagerank-edges precedent; 5 corpus reads -> 1)
+    lattice = read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                   proportional_blocks=True) \
+        .map_batches(CL.quantize_to_table, batch_format="pyarrow") \
+        .materialize()
 
-    seeds = sorted(read(sf_dir, "embeddings", ["vec_id", "embedding"])
-                   .map_batches(seed, batch_format="pyarrow").take_all(),
-                   key=lambda r: r["vec_id"])
+    seeds = sorted(lattice.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), KM_K)),
+        batch_format="pyarrow").take_all(), key=lambda r: r["vec_id"])
     cent = np.array([r["v"] for r in seeds[:KM_K]], np.int64)
 
     for _ in range(KM_ITERS):
-        partials = read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
-            .map_batches(_p(CL.partial_sums_batch, cent=cent),
-                         batch_format="pyarrow")
+        partials = lattice.map_batches(
+            _p(CL.partial_sums_lattice, cent=cent), batch_format="pyarrow")
         rows = grouped_sums(partials, ["cluster", "dim"], ["s", "n"],
                             small_key_space=True).take_all()
         cent = CL.update_centroids(rows, cent)
 
-    return read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        _p(CL.assign_batch, cent=cent), batch_format="pyarrow")
+    return lattice.map_batches(
+        _p(CL.assign_lattice, cent=cent), batch_format="pyarrow")
 
 
 def sql_kmeans_embed() -> str:

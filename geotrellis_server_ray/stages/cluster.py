@@ -84,3 +84,51 @@ def assign_batch(batch: pa.Table, cent: np.ndarray) -> pa.Table:
     ids, V = quantize_batch(batch)
     return pa.table({"vec_id": pa.array(ids),
                      "cluster": pa.array(nearest_cluster(V, cent))})
+
+
+def quantize_to_table(batch: pa.Table, vec_col: str = "embedding") -> pa.Table:
+    """One-time projection float corpus -> (vec_id, v:fixed_size_list<int64>)
+    lattice. Iterative callers materialize THIS once (int64 lattice in the
+    object store, spill-backed) instead of re-reading + re-quantizing the
+    parquet every Lloyd round — the float column never crosses a round."""
+    ids, V = quantize_batch(batch, vec_col)
+    if len(ids) == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.list_(pa.int64()))})
+    vals = pa.array(V.reshape(-1))
+    return pa.table({"vec_id": pa.array(ids),
+                     "v": pa.FixedSizeListArray.from_arrays(vals, V.shape[1])})
+
+
+def _unpack_lattice(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = batch.column("v").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return ids, flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 1)
+
+
+def partial_sums_lattice(batch: pa.Table, cent: np.ndarray) -> pa.Table:
+    """partial_sums_batch over the pre-quantized lattice table."""
+    _, V = _unpack_lattice(batch)
+    if len(V) == 0:
+        e = pa.array([], pa.int64())
+        return pa.table({"cluster": e, "dim": e, "s": e, "n": e})
+    a = nearest_cluster(V, cent)
+    k, d = cent.shape
+    sums = np.zeros((k, d), np.int64)
+    np.add.at(sums, a, V)
+    counts = np.bincount(a, minlength=k).astype(np.int64)
+    return pa.table({
+        "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+        "s": pa.array(sums.reshape(-1)),
+        "n": pa.array(np.repeat(counts, d)),
+    })
+
+
+def assign_lattice(batch: pa.Table, cent: np.ndarray) -> pa.Table:
+    ids, V = _unpack_lattice(batch)
+    return pa.table({"vec_id": pa.array(ids),
+                     "cluster": pa.array(nearest_cluster(V, cent)
+                                         if len(ids) else
+                                         np.array([], np.int64))})

@@ -133,3 +133,35 @@ def test_round2_ops_bit_exact_at_sf01(name, ray_session):
     assert len(ray_df) == len(ora_df) and len(ray_df) > 0
     for c in ray_df.columns:
         assert (ray_df[c].values == ora_df[c].values).all(), f"{name}.{c}"
+
+
+def test_ngram_pairs_sort_fallback(ray_session, tmp_path, monkeypatch):
+    """Overlapping block ranges (shuffled row order across row groups) must
+    trigger the one-time range sort and still match the oracle exactly —
+    the disjointness check is verified, never assumed."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geotrellis_server_ray import config as C
+    from geotrellis_server_ray.pipelines.registry import QUERIES
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(400).astype(np.int64)  # shuffled -> ranges overlap
+    texts = [f"doc {i} body {'ab' * (i % 9)}" for i in ids]
+    pq.write_table(pa.table({"doc_id": ids, "text": texts}),
+                   tmp_path / "documents.parquet", row_group_size=100)
+    # force a multi-block read so >1 block range exists to overlap
+    monkeypatch.setattr(C, "read_blocks_for_rows", lambda n, **kw: 4)
+
+    fn, sql = QUERIES["ngram_jaccard_pairs"]
+    ray_df = _canon(_to_pandas(fn(str(tmp_path))))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ora_df = _canon(con.execute(sql()).fetch_df())
+    assert list(ray_df.columns) == list(ora_df.columns)
+    assert len(ray_df) == len(ora_df) == 399
+    for c in ray_df.columns:
+        assert (ray_df[c].values == ora_df[c].values).all(), c
