@@ -3939,6 +3939,148 @@ SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS tf
 FROM per GROUP BY token"""
 
 
+def q_inverted_index(sf_dir: str):
+    """Distributed inverted-index build: token -> (df, comma-joined
+    ASCENDING doc-id postings). Block-local distinct (token, doc_id)
+    partials (stages/text.token_doc_pairs_batch), ONE hash exchange on the
+    token, per-partition vectorized postings assembly
+    (text.postings_partition). The exchange carries O(postings) rows —
+    the output's own size, the lower bound for this operator — and the
+    driver never sees a posting. The search-index dual of the curation
+    suite's vocab_df."""
+    from functools import partial as _p
+
+    from ..stages.focal import add_key_partition
+
+    jp = _nparts_for(sf_dir, "documents")
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(T.token_doc_pairs_batch, batch_format="pyarrow") \
+        .map_batches(_p(add_key_partition, key_cols=["token"],
+                        num_partitions=jp), batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: T.postings_partition(g.select(["token", "doc_id"])),
+            batch_format="pyarrow")
+
+
+def sql_inverted_index() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+per AS (SELECT DISTINCT token, doc_id FROM tok WHERE token <> '')
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM per GROUP BY token"""
+
+
+TFIDF_K = 3
+TFIDF_VOCAB_BROADCAST = 2_000_000  # tokens; above this, join-path iteration
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 tf-idf terms per document, integer-exact: score_e6 =
+    tf * 1e6 * N // df (ranking-equivalent to tf * idf for fixed N — the
+    log is monotone in N/df — with no float in the comparison); ties break
+    token-ascending. Dual plan on the vocabulary size (the pagerank
+    precedent): the Zipf-sublinear df table folds to the driver and
+    broadcasts below TFIDF_VOCAB_BROADCAST (sorted vocab + df vector, one
+    fused per-block score+topk pass, zero extra shuffles); above it the tf
+    rows hash-join the df table on token and top-k runs per doc-id hash
+    partition — nothing driver-side. Both paths agree in tests via a
+    forced threshold."""
+    import os
+
+    import ray
+
+    from ..config import parquet_rows
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = parquet_rows(path) if os.path.exists(path) else \
+        read(sf_dir, "documents", ["doc_id"]).count()
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    dfs = grouped_sums(
+        ds.map_batches(T.vocab_df_partial_batch, batch_format="pyarrow"),
+        ["token"], ["df", "tf"])
+    if dfs.count() > TFIDF_VOCAB_BROADCAST:  # pragma: no cover - scale path
+        return _tfidf_join_path(ds, dfs, n_docs, sf_dir)
+    vt = _fold_blocks(dfs).select(["token", "df"]) \
+        .sort_by([("token", "ascending")])
+    vocab_ref = ray.put(vt.column("token").combine_chunks())
+    df_ref = ray.put(vt.column("df").to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = T.doc_tf_batch(b)
+        return T.tfidf_topk_batch(tf, ray.get(vocab_ref), ray.get(df_ref),
+                                  n_docs, TFIDF_K)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _tfidf_join_path(ds, dfs, n_docs: int, sf_dir: str):
+    """Corpus-scale tf-idf: hash join tf rows x df table on token, then
+    per-doc top-k inside doc-id hash partitions — a doc's rows co-locate
+    by construction, so the lexsort rank pass stays exact."""
+    from functools import partial as _p
+
+    from ..stages.focal import add_key_partition
+
+    jp = _nparts_for(sf_dir, "documents")
+    tf_rows = ds.map_batches(T.doc_tf_batch, batch_format="pyarrow")
+    j = tf_rows.join(dfs.select_columns(["token", "df"]), join_type="inner",
+                     num_partitions=jp, on=("token",))
+
+    def part_topk(g: pa.Table) -> pa.Table:
+        tok = g.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        vocab = pc.unique(tok).sort()
+        pos = pc.index_in(tok, value_set=vocab) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = g.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = g.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        score = tf * 1_000_000 * n_docs // df
+        order = np.lexsort((pos, -score, doc))
+        d2 = doc[order]
+        starts = np.flatnonzero(np.concatenate(([True], d2[1:] != d2[:-1])))
+        rank = np.arange(len(d2), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(d2)])))) + 1
+        keep = rank <= TFIDF_K
+        sel = order[keep]
+        return pa.table({"doc_id": pa.array(doc[sel]),
+                         "rank": pa.array(rank[keep]),
+                         "token": tok.take(pa.array(sel)),
+                         "score_e6": pa.array(score[sel])})
+
+    return j.map_batches(_p(add_key_partition, key_cols=["doc_id"],
+                            num_partitions=jp), batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: part_topk(g.select(["doc_id", "token", "tf", "df"])),
+            batch_format="pyarrow")
+
+
+def sql_tfidf_topk() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+per AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM per GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM documents),
+sc AS (
+  SELECT p.doc_id, p.token, p.tf * 1000000 * n.nn // d.df AS score_e6
+  FROM per p JOIN df d ON d.token = p.token, n),
+r AS (
+  SELECT doc_id, token, score_e6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_e6 DESC, token) AS rn
+  FROM sc)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rank,
+       token, CAST(score_e6 AS BIGINT) AS score_e6
+FROM r WHERE rn <= {TFIDF_K}"""
+
+
 def q_repetition_filter(sf_dir: str):
     """Gopher-style repetition filter: top-token fraction per document in
     exact ppm, keep flag under REPETITION_MAX_PPM. Doc-local — ONE fused map
@@ -4543,6 +4685,8 @@ QUERIES: dict[str, tuple] = {
     "heavy_hitter_cells": (q_heavy_hitter_cells, sql_heavy_hitter_cells),
     "overview_select_windows": (q_overview_select_windows, sql_overview_select_windows),
     "vocab_df": (q_vocab_df, sql_vocab_df),
+    "inverted_index": (q_inverted_index, sql_inverted_index),
+    "tfidf_topk": (q_tfidf_topk, sql_tfidf_topk),
     "repetition_filter": (q_repetition_filter, sql_repetition_filter),
     "stratified_sample": (q_stratified_sample, sql_stratified_sample),
     "kmeans_embed": (q_kmeans_embed, sql_kmeans_embed),

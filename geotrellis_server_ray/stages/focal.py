@@ -127,7 +127,13 @@ def add_key_partition(batch: pa.Table, key_cols: list[str], num_partitions: int)
     h = np.zeros(len(batch), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for kc in key_cols:
-            v = batch.column(kc).to_numpy(zero_copy_only=False).astype(np.uint64)
+            col = batch.column(kc)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                from .dedup import poly_hash_strings
+
+                v = poly_hash_strings(col)
+            else:
+                v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
             h = (h ^ v) * C
     part = ((h >> np.uint64(33)) % np.uint64(num_partitions)).astype(np.int64)
     return batch.append_column("part", pa.array(part))

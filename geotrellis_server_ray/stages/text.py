@@ -212,3 +212,88 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "top_ppm": pa.array(ppm),
         "keep": pa.array((ppm < REPETITION_MAX_PPM).astype(np.int64)),
     })
+
+
+def token_doc_pairs_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Block-local DISTINCT (token, doc_id) pairs — the partial an inverted
+    index shuffles. Exact because a document never spans blocks; the
+    exchange carries O(distinct token-doc pairs), which IS the index size
+    (an inverted index is inherently linear in its postings)."""
+    parent, flat = _explode_tokens(batch, text_col)
+    ids = pc.cast(batch.column("doc_id"), pa.int64()).take(parent)
+    return (pa.table({"token": flat, "doc_id": ids})
+            .group_by(["token", "doc_id"]).aggregate([])
+            .select(["token", "doc_id"]))
+
+
+def postings_partition(g: pa.Table) -> pa.Table:
+    """One hash partition of (token, doc_id) pairs -> (token, df, postings)
+    rows with postings = comma-joined ASCENDING doc ids. Tokens are
+    dictionary-encoded so the grouping sort runs on int32 codes; the only
+    per-group Python work is the final string join, bounded by this
+    partition's vocabulary (Zipf-sublinear), mirroring what any SQL
+    engine's string_agg does per group."""
+    if g.num_rows == 0:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64()),
+                         "postings": pa.array([], pa.string())})
+    tok = g.column("token")
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    d = tok.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, codes))
+    c2, i2 = codes[order], ids[order]
+    starts = np.flatnonzero(np.concatenate(([True], c2[1:] != c2[:-1])))
+    ends = np.concatenate((starts[1:], [len(c2)]))
+    toks = d.dictionary.take(pa.array(c2[starts]))
+    posts = [",".join(map(str, i2[s:e])) for s, e in zip(starts, ends)]
+    return pa.table({"token": toks,
+                     "df": pa.array((ends - starts).astype(np.int64)),
+                     "postings": pa.array(posts, pa.string())})
+
+
+def doc_tf_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Doc-local (doc_id, token, tf) rows — the per-document term counts a
+    tf-idf scorer consumes. Zero shuffle: a document never spans blocks."""
+    parent, flat = _explode_tokens(batch, text_col)
+    per_doc = (pa.table({"p": parent, "token": flat})
+               .group_by(["p", "token"]).aggregate([([], "count_all")]))
+    ids = pc.cast(batch.column("doc_id"), pa.int64()) \
+        .take(per_doc.column("p"))
+    return pa.table({"doc_id": ids,
+                     "token": per_doc.column("token"),
+                     "tf": pc.cast(per_doc.column("count_all"), pa.int64())})
+
+
+def tfidf_topk_batch(batch: pa.Table, vocab: pa.Array, df: np.ndarray,
+                     n_docs: int, k: int) -> pa.Table:
+    """Top-k tf-idf terms per doc from (doc_id, token, tf) rows against a
+    broadcast SORTED vocabulary + df vector. Integer-exact score
+    score_e6 = tf * 1_000_000 * N // df (monotone in tf/df for fixed N, no
+    float log in the ranking); ties break token-ascending, and because the
+    vocab array is byte-sorted the tie key is just the vocab position
+    (UTF-8 byte order == codepoint order). Fully vectorized: hash lookup
+    via pc.index_in, one lexsort, boundary-run rank assignment."""
+    if batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string()),
+                         "score_e6": pa.array([], pa.int64())})
+    pos = pc.index_in(batch.column("token"), value_set=vocab) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    score = tf * 1_000_000 * n_docs // df[pos]
+    order = np.lexsort((pos, -score, doc))
+    d2 = doc[order]
+    starts = np.flatnonzero(np.concatenate(([True], d2[1:] != d2[:-1])))
+    rank = np.arange(len(d2), dtype=np.int64) - np.repeat(
+        starts, np.diff(np.concatenate((starts, [len(d2)])))) + 1
+    keep = rank <= k
+    sel = order[keep]
+    return pa.table({"doc_id": pa.array(doc[sel]),
+                     "rank": pa.array(rank[keep]),
+                     "token": batch.column("token").take(pa.array(sel)),
+                     "score_e6": pa.array(score[sel])})

@@ -158,3 +158,16 @@ def test_pagerank_paths_agree(ray_session, monkeypatch):
     a = a.sort_values("node").reset_index(drop=True)
     b = b.sort_values("node").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_tfidf_paths_agree(ray_session, monkeypatch):
+    """The broadcast-vocab path and the corpus-scale join path emit the
+    identical top-k rows (forced via the vocabulary threshold)."""
+    import geotrellis_server_ray.pipelines.registry as R
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_id", "rank"]
+    a = R.q_tfidf_topk(sf).to_pandas().sort_values(cols).reset_index(drop=True)
+    monkeypatch.setattr(R, "TFIDF_VOCAB_BROADCAST", 0)
+    b = R.q_tfidf_topk(sf).to_pandas().sort_values(cols).reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b)
