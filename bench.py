@@ -78,10 +78,16 @@ def run_bench() -> dict:
 
     qtimes = {}
     if BENCH_QUERIES:
-        for name, fn in queries().items():
-            t = time.perf_counter()
-            _consume(fn(SF_DIR))
-            qtimes[name] = round(time.perf_counter() - t, 3)
+        # two interleaved passes, per-query min: the shared host steals CPU
+        # in tens-of-seconds bursts, so consecutive reruns of one query are
+        # correlated but the same query across two full passes is not —
+        # interleaving is the noise-robust shape at the same 2x cost
+        for _pass in range(int(os.environ.get("GRAFT_BENCH_PASSES", "2"))):
+            for name, fn in queries().items():
+                t = time.perf_counter()
+                _consume(fn(SF_DIR))
+                dt = round(time.perf_counter() - t, 3)
+                qtimes[name] = min(qtimes.get(name, float("inf")), dt)
 
     out = {
         "metric": "flagship_tile_pip_sec",

@@ -99,7 +99,8 @@ def test_tile_assign_bit_exact_at_sf01(ray_session):
 
 
 @pytest.mark.parametrize("name", ["reproject_lcc_cells", "reproject_stereo_cells",
-                                  "stac_http_select", "ngram_jaccard_pairs"])
+                                  "stac_http_select", "ngram_jaccard_pairs",
+                                  "inverted_index", "tfidf_topk"])
 def test_round3_ops_exact_at_sf01(name, ray_session):
     """Scale-confidence for round-3 operators at the 10x tier: the LCC /
     polar-stereo closed-form replays, the paged HTTP STAC walk (10x item
