@@ -4639,6 +4639,67 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
 FROM s"""
 
 
+SCRUB_W = 8  # tokens per scrub segment (the corpus has no sentence bounds)
+
+
+def q_passage_scrub(sf_dir: str):
+    """C4-style corpus-wide duplicate-span SCRUBBING (the transform twin of
+    passage_dedup's detector): every document is tiled into non-overlapping
+    8-token segments; each distinct segment text survives exactly ONCE in
+    the whole corpus, at its first occurrence (min doc_id, seg_no); every
+    later copy is cut out and each document's remainder is re-joined.
+    C4 removed all but one of any repeated three-sentence span — this is
+    that rule over fixed token windows.
+
+    Scale shape: two data-proportional hash exchanges and nothing else.
+    (1) segments partition by a hash OF THE SEGMENT TEXT, so all occurrences
+    co-locate and a per-partition Arrow sort + adjacent-equality keeps the
+    exact-text first occurrence — dedup never trusts the hash, so there is
+    no collision guard to pay; (2) survivors partition by doc, one
+    vectorized sort + list re-offsetting + binary_join rebuilds each text.
+    Segment strings ride each exchange once; no broadcast; no driver state.
+    """
+    from ..stages.dedup import (explode_token_segments, keep_first_segments,
+                                reassemble_segments)
+    from ..stages.focal import add_key_partition
+
+    np_seg = _nparts_for(sf_dir, "documents")
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    segs = ds.map_batches(partial(explode_token_segments, w=SCRUB_W),
+                          batch_format="pyarrow")
+    segs = segs.map_batches(
+        partial(add_key_partition, key_cols=["seg"], num_partitions=np_seg),
+        batch_format="pyarrow")
+    kept = segs.groupby("part").map_groups(keep_first_segments,
+                                           batch_format="pyarrow")
+    kept = kept.map_batches(
+        partial(add_key_partition, key_cols=["doc_id"], num_partitions=np_seg),
+        batch_format="pyarrow")
+    out = kept.groupby("part").map_groups(reassemble_segments,
+                                          batch_format="pyarrow")
+    return _cast_cols(out, {"doc_id": I64, "n_kept": I64})
+
+
+def sql_passage_scrub() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, p, string_split(text, ' ')[p] AS tok
+  FROM documents,
+       LATERAL unnest(generate_series(1, len(string_split(text, ' ')))) AS u(p)),
+seg AS (
+  SELECT doc_id, (p - 1) // {SCRUB_W} AS seg_no,
+         string_agg(tok, ' ' ORDER BY p) AS seg
+  FROM toks GROUP BY doc_id, (p - 1) // {SCRUB_W}),
+ranked AS (
+  SELECT doc_id, seg_no, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+  FROM seg)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(seg, ' ' ORDER BY seg_no) AS text_scrubbed
+FROM ranked WHERE rn = 1 GROUP BY doc_id"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Ordering policy (VERDICT r2 #1): the correctness driver witnesses the FIRST
@@ -4696,6 +4757,7 @@ QUERIES: dict[str, tuple] = {
     "exact_quantiles": (q_exact_quantiles, sql_exact_quantiles),
     "pagerank": (q_pagerank, sql_pagerank),
     "sequence_pack": (q_sequence_pack, sql_sequence_pack),
+    "passage_scrub": (q_passage_scrub, sql_passage_scrub),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

@@ -711,3 +711,88 @@ def decontaminate(docs_ds, pred, id_col: str = "doc_id", text_col: str = "text",
         return b.filter(m)
 
     return counted.map_batches(keep, batch_format="pyarrow")
+
+
+def explode_token_segments(batch: pa.Table, id_col: str = "doc_id",
+                           text_col: str = "text", w: int = 8) -> pa.Table:
+    """Explode each document into NON-overlapping ``w``-token segments (the
+    C4 'span' unit: C4 removed all but one of any three-sentence span that
+    occurred more than once; this corpus has no sentence boundaries, so the
+    unit is a fixed token window). One row per segment:
+    ``{id_col, seg_no, seg}`` with ``seg`` the exact segment text.
+
+    Fully vectorized over the flat Arrow buffers: the per-document token
+    lists from ``split_pattern`` share one flat value array, and because the
+    segments tile each document exactly, the segment list-array is just a
+    re-offsetting of that SAME flat array (zero token copies) followed by
+    one ``binary_join``. Tokenization is an exact single-space split so a
+    SQL oracle's ``string_split(text, ' ')`` sees identical tokens."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.split_pattern(batch.column(text_col), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offs = np.asarray(toks.offsets)
+    n_i = np.diff(offs)                      # tokens per doc
+    s_i = -(-n_i // w)                       # ceil: segments per doc
+    total = int(s_i.sum())
+    if total == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "seg_no": pa.array([], pa.int64()),
+                         "seg": pa.array([], pa.string())})
+    doc_of = np.repeat(np.arange(len(n_i), dtype=np.int64), s_i)
+    seg_no = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(s_i) - s_i, s_i)
+    seg_start = offs[:-1][doc_of] + w * seg_no
+    # consecutive segments tile the flat token array -> starts + final end
+    # form a valid monotonic offsets vector over the ORIGINAL values buffer
+    new_offs = np.append(seg_start, offs[-1]).astype(np.int32)
+    seg_list = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), flat)
+    seg = pc.binary_join(seg_list, " ")
+    return pa.table({id_col: pa.array(ids[doc_of]),
+                     "seg_no": pa.array(seg_no),
+                     "seg": seg})
+
+
+def keep_first_segments(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Per-partition keep-first: among rows whose ``seg`` text is identical,
+    keep ONLY the corpus-first occurrence (min (doc_id, seg_no)). Callers
+    hash-partition by the segment text first, so every occurrence of a given
+    segment is co-located and the survivor set is globally exact — dedup is
+    on the EXACT text (Arrow string sort + adjacent-equality), never on a
+    hash, so there is no collision risk to guard."""
+    if len(t) == 0:
+        return t.select([id_col, "seg_no", "seg"])
+    t = t.sort_by([("seg", "ascending"), (id_col, "ascending"),
+                   ("seg_no", "ascending")])
+    seg = t.column("seg").combine_chunks() if isinstance(t.column("seg"), pa.ChunkedArray) else t.column("seg")
+    first = np.ones(len(t), dtype=bool)
+    if len(t) > 1:
+        eq = pc.equal(seg.slice(1), seg.slice(0, len(t) - 1))
+        first[1:] = ~eq.fill_null(False).to_numpy(zero_copy_only=False)
+    return t.filter(pa.array(first)).select([id_col, "seg_no", "seg"])
+
+
+def reassemble_segments(t: pa.Table, id_col: str = "doc_id",
+                        text_out: str = "text_scrubbed") -> pa.Table:
+    """Per-partition reassembly: sort surviving segments by (doc, seg_no)
+    and join each document's remainder back into one string. Documents whose
+    every segment was scrubbed produce no row (inner-join semantics, same as
+    the SQL oracle's GROUP BY over survivors)."""
+    if len(t) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_kept": pa.array([], pa.int64()),
+                         text_out: pa.array([], pa.string())})
+    t = t.sort_by([(id_col, "ascending"), ("seg_no", "ascending")])
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = np.ones(len(t), dtype=bool)
+    nb[1:] = ids[1:] != ids[:-1]
+    starts = np.nonzero(nb)[0]
+    counts = np.diff(np.append(starts, len(t)))
+    seg = t.column("seg").combine_chunks() if isinstance(t.column("seg"), pa.ChunkedArray) else t.column("seg")
+    offs = np.append(starts, len(t)).astype(np.int32)
+    doc_list = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), seg)
+    joined = pc.binary_join(doc_list, " ")
+    return pa.table({id_col: pa.array(ids[starts]),
+                     "n_kept": pa.array(counts.astype(np.int64)),
+                     text_out: joined})

@@ -165,3 +165,54 @@ def test_connected_components_both_paths_agree(ray_session):
                                    small_edge_threshold=thresh).to_pandas()
         got = dict(zip(out["doc_id"], out["cluster_rep"]))
         assert got == want, thresh
+
+
+def test_passage_scrub_stage_functions():
+    """explode -> keep-first -> reassemble on a hand-checked corpus:
+    duplicate segments survive only at their corpus-first (doc, seg_no);
+    tail segments shorter than w round-trip; a fully-duplicated doc
+    disappears; within-doc repeats are also scrubbed."""
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.dedup import (
+        explode_token_segments, keep_first_segments, reassemble_segments)
+
+    w = 2
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c d e",        # segs: "a b", "c d", "e" (tail of 1)
+            "a b x y",          # "a b" dup of doc0 -> scrubbed; "x y" kept
+            "a b c d",          # fully duplicated -> vanishes
+            "p q p q p",        # within-doc repeat: "p q","p q","p" -> one "p q" + "p"
+        ]),
+    })
+    segs = explode_token_segments(docs, w=w)
+    assert segs.column("seg").to_pylist() == [
+        "a b", "c d", "e", "a b", "x y", "a b", "c d", "p q", "p q", "p"]
+    assert segs.column("seg_no").to_pylist() == [0, 1, 2, 0, 1, 0, 1, 0, 1, 2]
+    kept = keep_first_segments(segs)  # single partition = global
+    out = reassemble_segments(kept).sort_by("doc_id")
+    assert out.column("doc_id").to_pylist() == [0, 1, 3]
+    assert out.column("text_scrubbed").to_pylist() == ["a b c d e", "x y", "p q p"]
+    assert out.column("n_kept").to_pylist() == [3, 1, 2]
+
+
+def test_explode_token_segments_empty_and_offsets():
+    """Zero-row batches and sliced (non-zero-offset) columns both explode
+    correctly — the re-offsetting trick must honor absolute offsets."""
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.dedup import explode_token_segments
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out = explode_token_segments(empty, w=8)
+    assert len(out) == 0 and out.column_names == ["doc_id", "seg_no", "seg"]
+
+    base = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                     "text": pa.array(["skip me", "u v w"])})
+    sliced = base.slice(1)  # non-zero chunk offset
+    out = explode_token_segments(sliced, w=2)
+    assert out.column("seg").to_pylist() == ["u v", "w"]
+    assert out.column("doc_id").to_pylist() == [8, 8]
