@@ -4291,6 +4291,69 @@ SELECT CAST(bucket AS BIGINT) AS bucket, CAST(max(reg) AS BIGINT) AS reg
 FROM br GROUP BY bucket"""
 
 
+def q_cms_sketch(sf_dir: str):
+    """Count-Min sketch over token occurrences in the documents corpus
+    (stages/sketch.py: Cormode-Muthukrishnan, 4 x 1024 multiply-shift rows).
+    The CORRECTNESS contract is the full integer cell table (row, col, n) —
+    point estimates are diagnostic (pytest checks the one-sided est >= true
+    guarantee). Per-block dense-grid partials (<= 4096 nonzero cells each,
+    dimension-bounded regardless of block size) + cell-wise sum through the
+    coalesced combiner tree: the canonical mergeable sketch, no corpus
+    shuffle at any scale."""
+    from functools import partial as _p
+
+    from ..stages import sketch as SK
+
+    ds = read(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(_p(SK.cms_partial_batch, text_col="text"),
+                              batch_format="pyarrow")
+
+    def _sum_combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["row", "col"]).aggregate([("n", "sum")])
+        return g.rename_columns(["row", "col", "n"])
+
+    out = partials.map_batches(_sum_combine, batch_format="pyarrow") \
+        .repartition(1).map_batches(_sum_combine, batch_format="pyarrow")
+    return _cast_cols(out, {"row": I64, "col": I64, "n": I64})
+
+
+def sql_cms_sketch() -> str:
+    from ..stages.dedup import _POW_TABLE
+    from ..stages.sketch import CMS_ROW_C, CMS_W_BITS
+
+    M32 = 1 << 32
+    pw_list = "[" + ", ".join(str(int(_POW_TABLE[j])) for j in range(64)) + "]"
+    # token polynomial replay (passage-dedup identity), with a LOUD guard:
+    # a token longer than the emitted power table errors instead of
+    # silently NULLing out of the sum (ADVICE r2 on simhash's oracle).
+    tok_hash = (
+        f"CASE WHEN length(tok) > 64 THEN error('cms oracle: token > 64 chars')"
+        f" ELSE COALESCE((SELECT sum(CAST(ascii(substr(tok, i, 1)) AS HUGEINT)"
+        f" * ({pw_list})[length(tok) - i + 1] % {_M64})"
+        f" FROM unnest(generate_series(1, length(tok))) AS u(i)), 0) % {_M64} END"
+    )
+
+    def mulmod(ref: str, c: int) -> str:
+        return (f"(({ref} % {M32}) * {c} % {_M64}"
+                f" + (({ref} // {M32}) * {c % M32} % {M32}) * {M32}) % {_M64}")
+
+    col_case = " ".join(
+        f"WHEN {i} THEN {mulmod('th', c)} // {1 << (64 - CMS_W_BITS)}"
+        for i, c in enumerate(CMS_ROW_C))
+    return f"""
+WITH toks AS (
+  SELECT string_split(lower(text), ' ')[p] AS tok
+  FROM documents,
+       LATERAL unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS u(p)),
+tokh AS (SELECT {tok_hash} AS th FROM toks),
+cells AS (
+  SELECT r.i AS row, CASE r.i {col_case} END AS col
+  FROM tokh, (SELECT unnest(generate_series(0, {len(CMS_ROW_C) - 1})) AS i) r)
+SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+       CAST(count(*) AS BIGINT) AS n
+FROM cells GROUP BY row, col"""
+
+
 IVJ_MOD = 97     # every 97th order carries a synthetic 2024-01 window
 _EPOCH_2024 = 1704067200000000  # 2024-01-01T00:00:00Z in epoch microseconds
 _DAY_US = 86400000000
@@ -4758,6 +4821,7 @@ QUERIES: dict[str, tuple] = {
     "pagerank": (q_pagerank, sql_pagerank),
     "sequence_pack": (q_sequence_pack, sql_sequence_pack),
     "passage_scrub": (q_passage_scrub, sql_passage_scrub),
+    "cms_sketch": (q_cms_sketch, sql_cms_sketch),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

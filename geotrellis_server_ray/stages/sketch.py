@@ -80,3 +80,58 @@ def hll_estimate(buckets: np.ndarray, regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ------------------
+# Same CORRECTNESS contract as the HLL above: the full integer cell table
+# (row, col) -> count is the verified artifact; point estimates (min over
+# rows) are diagnostic, with the classic one-sided guarantee est >= true.
+CMS_D = 4                   # sketch depth (independent row hashes)
+CMS_W_BITS = 10
+CMS_W = 1 << CMS_W_BITS     # 1024 columns -> <= 4096 cells total
+# Multiply-shift row hashes (Dietzfelbinger et al.): col_i = top W_BITS
+# bits of (token_hash * C_i mod 2^64). Public odd constants (splitmix64 /
+# xxhash primes).
+CMS_ROW_C = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+             0x94D049BB133111EB, 0xC2B2AE3D27D4EB4F)
+
+
+def cms_partial_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-block partial Count-Min sketch over token OCCURRENCES: hash every
+    token once (the dedup polynomial), derive CMS_D columns by multiply-shift,
+    and bincount into a dense D x W grid — one vectorized pass, no Python
+    per-token work. Emits only nonzero cells ({row, col, n} int64), so a
+    block's partial is <= 4096 rows no matter how many tokens it holds: the
+    canonical mergeable sketch, combinable by plain cell-wise sum."""
+    from .dedup import _token_hashes
+
+    th, _ = _token_hashes(batch.column(text_col))
+    grid = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    shift = np.uint64(64 - CMS_W_BITS)
+    with np.errstate(over="ignore"):
+        for i, c in enumerate(CMS_ROW_C):
+            col = ((th * np.uint64(c)) >> shift).astype(np.int64)
+            grid[i * CMS_W:(i + 1) * CMS_W] += np.bincount(col, minlength=CMS_W)
+    nz = np.nonzero(grid)[0]
+    return pa.table({"row": pa.array((nz // CMS_W).astype(np.int64)),
+                     "col": pa.array((nz % CMS_W).astype(np.int64)),
+                     "n": pa.array(grid[nz])})
+
+
+def cms_point_estimate(cells: pa.Table, tokens: list[str]) -> np.ndarray:
+    """min-over-rows point estimate for each token (diagnostic; the verified
+    contract is the cell table itself)."""
+    from .dedup import poly_hash_strings
+
+    grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    grid[cells.column("row").to_numpy(zero_copy_only=False),
+         cells.column("col").to_numpy(zero_copy_only=False)] = \
+        cells.column("n").to_numpy(zero_copy_only=False)
+    th = poly_hash_strings(pa.array(tokens, pa.string()))
+    shift = np.uint64(64 - CMS_W_BITS)
+    est = np.full(len(tokens), np.iinfo(np.int64).max, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i, c in enumerate(CMS_ROW_C):
+            col = ((th * np.uint64(c)) >> shift).astype(np.int64)
+            est = np.minimum(est, grid[i, col])
+    return est

@@ -171,3 +171,32 @@ def test_tfidf_paths_agree(ray_session, monkeypatch):
     monkeypatch.setattr(R, "TFIDF_VOCAB_BROADCAST", 0)
     b = R.q_tfidf_topk(sf).to_pandas().sort_values(cols).reset_index(drop=True)
     assert len(a) > 0 and a.equals(b)
+
+
+def test_cms_partials_merge_and_guarantee():
+    """Count-Min partials are mergeable by cell-wise sum (two half-batches
+    sum to the whole-batch sketch) and point estimates never undercount;
+    for this small vocabulary heavy tokens estimate exactly."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.sketch import (
+        cms_partial_batch, cms_point_estimate)
+
+    texts = ["a b a c", "b b d", "a e a b", "f g a"]
+    whole = cms_partial_batch(pa.table({"text": pa.array(texts)}))
+    h1 = cms_partial_batch(pa.table({"text": pa.array(texts[:2])}))
+    h2 = cms_partial_batch(pa.table({"text": pa.array(texts[2:])}))
+    merged = pa.concat_tables([h1, h2]).group_by(["row", "col"]) \
+        .aggregate([("n", "sum")]).rename_columns(["row", "col", "n"])
+    a = whole.to_pandas().sort_values(["row", "col"]).reset_index(drop=True)
+    b = merged.to_pandas().sort_values(["row", "col"]).reset_index(drop=True)
+    assert a.equals(b[a.columns])
+
+    true = collections.Counter(t for s in texts for t in s.split(" "))
+    toks = sorted(true)
+    est = cms_point_estimate(whole, toks)
+    assert all(int(e) >= true[t] for e, t in zip(est, toks))
+    assert int(est[toks.index("a")]) == true["a"]  # no collision at this size
