@@ -43,16 +43,25 @@ def _nparts_for(sf_dir: str, table: str) -> int:
     count (no data read), capped by the cluster knob — toy inputs skip the
     fixed per-partition cost of a cluster-wide exchange, corpus-scale inputs
     still fan out to every CPU."""
+    from ..config import shuffle_partitions_for_rows
+
+    n = _rows_of(sf_dir, table)
+    if n is None:  # lance dir or exotic layout: cluster width
+        return _nparts()
+    return shuffle_partitions_for_rows(n)
+
+
+def _rows_of(sf_dir: str, table: str) -> int | None:
+    """Table row count from parquet metadata, or None for non-parquet
+    layouts. Exchange-width call sites that size by WORK or EMISSION
+    (expanding joins, sort kernels) rather than raw input rows derive their
+    estimates from this."""
     import os
 
-    from ..config import parquet_rows, shuffle_partitions_for_rows
+    from ..config import parquet_rows
 
     path = f"{sf_dir}/{table}.parquet"
-    if not os.path.exists(path):  # lance dir or exotic layout: cluster width
-        from ..config import shuffle_partitions
-
-        return shuffle_partitions()
-    return shuffle_partitions_for_rows(parquet_rows(path))
+    return parquet_rows(path) if os.path.exists(path) else None
 
 
 def flit(x: float) -> str:
@@ -4387,8 +4396,22 @@ def q_interval_join(sf_dir: str):
     # the event side, so replicating it 8x is free while candidates shrink
     # ~3x toward the true pair count and the exchange fans out over 30 keys
     # x4 salt lanes instead of 4 (see interval_join's sizing note).
-    pairs = interval_join(ev, iv, "ts", "s", "e", bucket_us=_DAY_US, salt=4,
-                          num_partitions=_nparts_for(sf_dir, "events"))
+    #
+    # Exchange width sized by the join's EMISSION, not its input: each event
+    # pairs with every live window (~n_windows x avg_len/span partners), so
+    # input-proportional width collapses a 100k-row input emitting 20M pairs
+    # to ONE aggregator and serializes the pair production (measured 8.0s ->
+    # 4.0s at sf0.1 when widened). Pair rows are narrow, so the per-partition
+    # target is 2M pair rows rather than the 250k input-row default.
+    from ..config import shuffle_partitions_for_rows
+
+    n_ev = _rows_of(sf_dir, "events")
+    n_iv = (_rows_of(sf_dir, "orders") or 0) // IVJ_MOD
+    est_pairs = (n_ev or 0) * n_iv * 4 // 30  # avg 4-day window, ~30-day span
+    pairs = interval_join(
+        ev, iv, "ts", "s", "e", bucket_us=_DAY_US, salt=4,
+        num_partitions=shuffle_partitions_for_rows(
+            est_pairs, rows_per_partition=2_000_000) if n_ev else _nparts())
     # window keys scale with the orders table -> real hash groupby, not the
     # coalesced combiner tree
     return grouped_sums(pairs, ["o_orderkey"], ["cents"], count_as="n_events").map_batches(
@@ -4438,9 +4461,18 @@ def q_interval_agg(sf_dir: str):
         mk_iv, batch_format="pyarrow")
     ev = read(sf_dir, "events", ["ts", "value"]).map_batches(
         partial(add_cents, cols={"cents": "value"}), batch_format="pyarrow")
+    # Width sized by the per-partition KERNEL work (sort + searchsorted over
+    # the partition's event share), not raw input rows: 250k-rows-per-
+    # partition sizing collapses 100k events to ONE partition and serializes
+    # the kernel (measured 6.3s -> 3.6s at sf0.1 when widened to ~25k events
+    # per partition; still data-proportional, capped at the cluster knob).
+    from ..config import shuffle_partitions_for_rows
+
+    n_ev = _rows_of(sf_dir, "events")
     agg = interval_agg(ev, iv, "ts", "s", "e", val_col="cents",
                        key_col="o_orderkey", bucket_us=8 * _DAY_US,
-                       num_partitions=_nparts_for(sf_dir, "events"))
+                       num_partitions=shuffle_partitions_for_rows(
+                           n_ev, rows_per_partition=25_000) if n_ev else _nparts())
     return agg.map_batches(
         lambda b: pa.table({"o_orderkey": pc.cast(b.column("o_orderkey"), I64),
                             "n_events": pc.cast(b.column("n_events"), I64),
