@@ -11,7 +11,11 @@ nondeterminism anywhere).
 
 Layout:
     out_dir/part-{pid:05d}.parquet      completed partition data
-    out_dir/_manifest/{pid:05d}.json    lineage: pid, rows, checksum, inputs
+    out_dir/_manifest/{pid:05d}.json    lineage: pid, rows, bytes, checksum, inputs
+    out_dir/_metrics/{pid:05d}.json     operational metrics: write_ms, attempt,
+                                        host (run-dependent; OUTSIDE the
+                                        determinism contract, never read by
+                                        the resume anti-join)
 """
 
 from __future__ import annotations
@@ -99,6 +103,9 @@ def write_partition_group(group: pa.Table, out_dir: str, input_desc: str = "") -
     rewrites identical content. Arrow end to end — canonical order via
     Table.sort_by, checksum via _checksum; the sink stage copies no batch
     into pandas."""
+    import time
+
+    t_start = time.perf_counter()
     pid = int(group.column("partition_id")[0].as_py())
     data = group.drop_columns(["partition_id"])
     data = data.sort_by([(c, "ascending") for c in data.column_names])
@@ -114,15 +121,36 @@ def write_partition_group(group: pa.Table, out_dir: str, input_desc: str = "") -
     manifest = {
         "partition_id": pid,
         "rows": len(data),
-        "checksum": _checksum(data),
+        "bytes": os.path.getsize(final),  # parquet bytes are deterministic
+        "checksum": _checksum(data),      # given identical content + writer
         "input": input_desc,
     }
     mtmp = f"{out_dir}/_manifest/.{pid:05d}.{attempt}.tmp"
     with open(mtmp, "w") as f:
         json.dump(manifest, f, sort_keys=True)
     os.replace(mtmp, f"{out_dir}/_manifest/{pid:05d}.json")
+    # Operational per-partition METRICS sidecar (north rule: "per-partition
+    # lineage + metrics"): wall time / attempt / host are run-dependent by
+    # nature, so they live OUTSIDE the _manifest determinism contract
+    # (manifests converge bit-identically across retries; metrics are
+    # last-attempt-wins diagnostics and never feed the resume anti-join).
+    import socket
+    import time
+
+    metrics = {
+        "partition_id": pid,
+        "write_ms": round((time.perf_counter() - t_start) * 1000.0, 3),
+        "attempt": attempt,
+        "host": socket.gethostname(),
+    }
+    os.makedirs(f"{out_dir}/_metrics", exist_ok=True)
+    xtmp = f"{out_dir}/_metrics/.{pid:05d}.{attempt}.tmp"
+    with open(xtmp, "w") as f:
+        json.dump(metrics, f, sort_keys=True)
+    os.replace(xtmp, f"{out_dir}/_metrics/{pid:05d}.json")
     return pa.table({"partition_id": pa.array([pid], pa.int64()),
                      "rows": pa.array([len(data)], pa.int64()),
+                     "bytes": pa.array([manifest["bytes"]], pa.int64()),
                      "checksum": pa.array([manifest["checksum"]], pa.int64()),
                      "input": pa.array([input_desc], pa.string())})
 

@@ -69,8 +69,13 @@ def test_manifest_lineage_fields(ray_session, tmp_out):
     C.checkpointed_write(_ds(ray_session), tmp_out, input_desc="corpus@sf0.001").to_pandas()
     with open(f"{tmp_out}/_manifest/00000.json") as f:
         m = json.load(f)
-    assert set(m) == {"partition_id", "rows", "checksum", "input"}
+    assert set(m) == {"partition_id", "rows", "bytes", "checksum", "input"}
     assert m["input"] == "corpus@sf0.001"
+    assert m["bytes"] > 0
+    with open(f"{tmp_out}/_metrics/00000.json") as f:
+        x = json.load(f)
+    assert set(x) == {"partition_id", "write_ms", "attempt", "host"}
+    assert x["write_ms"] >= 0
 
 
 def test_hilbert_partition_ranges():
