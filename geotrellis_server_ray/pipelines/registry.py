@@ -4734,6 +4734,49 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
 FROM s"""
 
 
+MIX_BUDGET = 800  # per-source token budget (binds at every test sf)
+
+
+def q_token_budget_mix(sf_dir: str):
+    """Data-MIXING selection: take documents per SOURCE, in doc_id order,
+    while the source's running token total still fits a fixed budget (the
+    per-source token-quota step of assembling a training mixture; only
+    fully-fitting documents are kept). Built on the KEYED distributed
+    prefix scan (stages/scan.prefix_sum(key_col=...)): rows range-partition
+    by doc_id — never by source, so one dominant source cannot skew a
+    partition — and only P x n_sources totals visit the driver. Output
+    (doc_id, source, n_tokens, prev_tokens) for the kept docs."""
+    from ..stages.scan import prefix_sum
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(T.token_count_batch, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: b.select(["doc_id", "source", "n_tokens"]),
+                        batch_format="pyarrow")
+    ds = prefix_sum(ds, "doc_id", "n_tokens", out_col="prev_tokens",
+                    key_col="source")
+    return ds.map_batches(
+        lambda b: b.filter(pc.less_equal(
+            pc.add(b.column("prev_tokens"), b.column("n_tokens")),
+            pa.scalar(MIX_BUDGET))),
+        batch_format="pyarrow")
+
+
+def sql_token_budget_mix() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tokens
+  FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, n_tokens,
+       CAST(prev_tokens AS BIGINT) AS prev_tokens
+FROM s WHERE prev_tokens + n_tokens <= {MIX_BUDGET}"""
+
+
 SCRUB_W = 8  # tokens per scrub segment (the corpus has no sentence bounds)
 
 
@@ -4854,6 +4897,7 @@ QUERIES: dict[str, tuple] = {
     "sequence_pack": (q_sequence_pack, sql_sequence_pack),
     "passage_scrub": (q_passage_scrub, sql_passage_scrub),
     "cms_sketch": (q_cms_sketch, sql_cms_sketch),
+    "token_budget_mix": (q_token_budget_mix, sql_token_budget_mix),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

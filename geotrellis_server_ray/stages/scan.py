@@ -45,14 +45,22 @@ def _range_part(order: np.ndarray, lo: int, hi: int, nparts: int) -> np.ndarray:
 
 
 def prefix_sum(ds, order_col: str, val_col: str, out_col: str = "prev",
-               num_partitions: int | None = None):
+               num_partitions: int | None = None, key_col: str | None = None):
     """Append ``out_col`` = exclusive prefix sum of ``val_col`` in
     ``order_col`` order (int64-exact). ``order_col`` must be integral and
     UNIQUE per row — ties would make "earlier" ambiguous (the SQL
     equivalent is SUM() OVER (ORDER BY order_col ROWS BETWEEN UNBOUNDED
     PRECEDING AND 1 PRECEDING)). Range partitioning keys on the order
     value itself, so the per-partition sort sees only its own contiguous
-    key range and partials compose exactly."""
+    key range and partials compose exactly.
+
+    ``key_col`` makes the scan KEYED: an independent running sum per key
+    (SUM() OVER (PARTITION BY key ORDER BY order ...)). Rows still range-
+    partition by the ORDER column — NOT by key — so a key holding half the
+    corpus cannot skew a partition; pass 1 instead reduces to one total
+    per (partition, key) and the driver's exclusive prefix runs per key
+    over P rows. Driver state is O(P x K): the key dimension must be
+    driver-bounded (data sources, languages, shards — not doc ids)."""
     if num_partitions is None:
         from ..config import shuffle_partitions
 
@@ -65,36 +73,64 @@ def prefix_sum(ds, order_col: str, val_col: str, out_col: str = "prev",
 
     parted = ds.map_batches(add_part, batch_format="pyarrow")
 
-    # pass 1: one int64 total per partition; P rows total -> driver.
+    # pass 1: one int64 total per partition (x key); P (x K) rows -> driver.
+    tot_keys = ["_part"] + ([key_col] if key_col else [])
+
     def part_totals(b: pa.Table) -> pa.Table:
-        g = b.group_by(["_part"]).aggregate([(val_col, "sum")])
-        return g.rename_columns(["_part", "tot"])
+        g = b.group_by(tot_keys).aggregate([(val_col, "sum")])
+        return g.rename_columns(tot_keys + ["tot"])
 
     totals = parted.map_batches(part_totals, batch_format="pyarrow").repartition(1).map_batches(
-        lambda b: b.group_by(["_part"]).aggregate([("tot", "sum")]).rename_columns(["_part", "tot"]),
+        lambda b: b.group_by(tot_keys).aggregate([("tot", "sum")]).rename_columns(tot_keys + ["tot"]),
         batch_format="pyarrow",
     ).take_all()
-    tot = np.zeros(num_partitions, np.int64)
-    for r in totals:
-        tot[int(r["_part"])] = int(r["tot"])
-    offsets = np.zeros(num_partitions, np.int64)
-    np.cumsum(tot[:-1], out=offsets[1:])  # exclusive prefix over partitions
+    if key_col is None:
+        tot = np.zeros(num_partitions, np.int64)
+        for r in totals:
+            tot[int(r["_part"])] = int(r["tot"])
+        offsets = np.zeros(num_partitions, np.int64)
+        np.cumsum(tot[:-1], out=offsets[1:])  # exclusive prefix over partitions
+        key_offsets = None
+    else:
+        key_offsets = {}
+        for r in totals:
+            key_offsets.setdefault(r[key_col], np.zeros(num_partitions, np.int64))[
+                int(r["_part"])] = int(r["tot"])
+        for k, tot in key_offsets.items():
+            offs = np.zeros(num_partitions, np.int64)
+            np.cumsum(tot[:-1], out=offs[1:])
+            key_offsets[k] = offs
+        offsets = None
 
     # pass 2: per-partition sort + local exclusive cumsum + offset. The
-    # offsets array is O(P) and ships inside the task closure.
-    def scan_part(g: pa.Table, *, offs: np.ndarray) -> pa.Table:
+    # offsets array is O(P) (x K) and ships inside the task closure.
+    def scan_part(g: pa.Table, *, offs, koffs) -> pa.Table:
         p = int(g.column("_part")[0].as_py())
         order = g.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
         val = g.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        ix = np.argsort(order, kind="stable")
         prev = np.empty(len(val), np.int64)
-        run = np.zeros(len(val) + 1, np.int64)
-        np.cumsum(val[ix], out=run[1:])
-        prev[ix] = offs[p] + run[:-1]
+        if koffs is None:
+            ix = np.argsort(order, kind="stable")
+            run = np.zeros(len(val) + 1, np.int64)
+            np.cumsum(val[ix], out=run[1:])
+            prev[ix] = offs[p] + run[:-1]
+        else:
+            keys = g.column(key_col).to_pylist()
+            uniq, codes = np.unique(np.asarray(keys, dtype=object), return_inverse=True)
+            ix = np.lexsort((order, codes))  # sort by (key, order)
+            run = np.zeros(len(val) + 1, np.int64)
+            np.cumsum(val[ix], out=run[1:])
+            c_sorted = codes[ix]
+            # reset the running sum at each key segment start
+            seg_starts = np.flatnonzero(np.concatenate(([True], c_sorted[1:] != c_sorted[:-1])))
+            base = np.repeat(run[seg_starts], np.diff(np.concatenate((seg_starts, [len(val)]))))
+            # every key in pass 2 was reduced in pass 1 over the same rows
+            off_of_key = np.array([koffs[k][p] for k in uniq], np.int64)
+            prev[ix] = off_of_key[c_sorted] + (run[:-1] - base)
         return g.drop_columns(["_part"]).append_column(out_col, pa.array(prev))
 
     return parted.groupby("_part").map_groups(
-        partial(scan_part, offs=offsets), batch_format="pyarrow")
+        partial(scan_part, offs=offsets, koffs=key_offsets), batch_format="pyarrow")
 
 
 def pack_sequences(ds, order_col: str, tokens_col: str, capacity: int,

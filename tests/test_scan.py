@@ -60,3 +60,39 @@ def test_pack_sequences_layout(ray_session):
     # start (concatenate-then-chunk: offset + value spans the boundary).
     total = int(val.sum())
     assert out["seq_id"].max() == (total - 1) // cap if total else True
+
+
+def test_keyed_prefix_sum_skewed_key(ray_session):
+    """Keyed scan: independent running sums per key, exact under heavy key
+    skew (one key holds 90% of rows) because partitioning follows the ORDER
+    column, not the key. Verified against a serial per-key replay."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.scan import prefix_sum
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    order = np.arange(n, dtype=np.int64)
+    rng.shuffle(order)                       # rows arrive in scrambled order
+    key = np.where(rng.rand(n) < 0.9, "big", "small")
+    val = rng.randint(1, 100, n).astype(np.int64)
+    t = pa.table({"o": pa.array(order), "k": pa.array(key), "v": pa.array(val)})
+
+    out = prefix_sum(rd.from_arrow(t), "o", "v", out_col="prev",
+                     key_col="k", num_partitions=7).to_pandas()
+    out = out.sort_values("o").reset_index(drop=True)
+
+    # serial replay
+    import collections
+    run = collections.Counter()
+    ix = np.argsort(order, kind="stable")
+    want = np.empty(n, np.int64)
+    for i in ix:
+        want[i] = run[key[i]]
+        run[key[i]] += val[i]
+    got = out.set_index("o")["prev"]
+    o_sorted = np.sort(order)
+    assert (got.loc[o_sorted].to_numpy() ==
+            want[np.argsort(order, kind="stable")]).all()
