@@ -728,7 +728,12 @@ def explode_token_segments(batch: pa.Table, id_col: str = "doc_id",
     one ``binary_join``. Tokenization is an exact single-space split so a
     SQL oracle's ``string_split(text, ' ')`` sees identical tokens."""
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    toks = pc.split_pattern(batch.column(text_col), " ")
+    texts = batch.column(text_col)
+    if pa.types.is_large_string(texts.type):
+        # binary_join has no list<large_string> kernel; a block is well under
+        # the 2 GiB int32-offset ceiling, so the narrow cast is always safe
+        texts = pc.cast(texts, pa.string())
+    toks = pc.split_pattern(texts, " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.values

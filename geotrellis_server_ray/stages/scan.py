@@ -115,8 +115,13 @@ def prefix_sum(ds, order_col: str, val_col: str, out_col: str = "prev",
             np.cumsum(val[ix], out=run[1:])
             prev[ix] = offs[p] + run[:-1]
         else:
-            keys = g.column(key_col).to_pylist()
-            uniq, codes = np.unique(np.asarray(keys, dtype=object), return_inverse=True)
+            # dictionary-encode keeps Python objects to the K uniques; the
+            # per-row path stays in numpy codes
+            kc = g.column(key_col)
+            dcol = pc.dictionary_encode(kc.combine_chunks() if isinstance(
+                kc, pa.ChunkedArray) else kc)
+            codes = dcol.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = dcol.dictionary.to_pylist()
             ix = np.lexsort((order, codes))  # sort by (key, order)
             run = np.zeros(len(val) + 1, np.int64)
             np.cumsum(val[ix], out=run[1:])

@@ -216,3 +216,16 @@ def test_explode_token_segments_empty_and_offsets():
     out = explode_token_segments(sliced, w=2)
     assert out.column("seg").to_pylist() == ["u v", "w"]
     assert out.column("doc_id").to_pylist() == [8, 8]
+
+
+def test_explode_token_segments_large_string():
+    """large_string input is narrowed to string (binary_join has no
+    list<large_string> kernel) and produces identical segments."""
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.dedup import explode_token_segments
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["a b c d e"], pa.large_string())})
+    out = explode_token_segments(t, w=2)
+    assert out.column("seg").to_pylist() == ["a b", "c d", "e"]
