@@ -104,6 +104,33 @@ def run_bench() -> dict:
     return out
 
 
+def run_query_child(name: str) -> dict:
+    """Child mode for --scaling-query: time ONE registry query (warm + best
+    of 2) in this process's fresh Ray session. The per-query twin of the
+    flagship child — used to evidence scaling on shuffle-heavy pipelines,
+    not just the exchange-free headline job."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    from geotrellis_server_ray.pipelines.registry import queries
+
+    fn = queries()[name]
+    _consume(fn(SF_DIR))  # warm (worker pool + page cache)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = _consume(fn(SF_DIR))
+        best = min(best, time.perf_counter() - t0)
+    out = {"metric": f"query_bench:{name}", "value": round(best, 3),
+           "unit": "sec", "rows": n, "sf": SF_DIR, "num_cpus": NUM_CPUS}
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     # Default N=2 vs 4N=8: this VM advertises 32 vCPUs but a multiprocessing
     # busy-loop capacity probe measures only ~17 effective cores (host
@@ -112,6 +139,7 @@ def run_scaling() -> dict:
     # both levels inside the linear hardware region.
     lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("RAY_GRAFT_SCALE_HI", "8"))
+    query = os.environ.get("GRAFT_SCALE_QUERY", "")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0")
@@ -126,17 +154,22 @@ def run_scaling() -> dict:
     r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
     r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "cpus_lo": lo,
         "cpus_hi": hi,
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],
-        "docs": r_lo["docs"],
-        "docs_per_sec_lo": r_lo["docs_per_sec"],
-        "docs_per_sec_hi": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
     }
+    if query:
+        out["query"] = query
+    for k in ("docs", "docs_per_sec"):
+        if k in r_lo:
+            out[k + ("_lo" if k.endswith("sec") else "")] = r_lo[k]
+    if "docs_per_sec" in r_hi:
+        out["docs_per_sec_hi"] = r_hi["docs_per_sec"]
+    return out
 
 
 def run_cc() -> dict:
@@ -201,9 +234,14 @@ def run_cc() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-query" in sys.argv:
+        os.environ["GRAFT_SCALE_QUERY"] = sys.argv[sys.argv.index("--scaling-query") + 1]
+        print(json.dumps(run_scaling()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--cc" in sys.argv:
         print(json.dumps(run_cc()))
+    elif os.environ.get("GRAFT_SCALE_QUERY"):
+        print(json.dumps(run_query_child(os.environ["GRAFT_SCALE_QUERY"])))
     else:
         print(json.dumps(run_bench()))
