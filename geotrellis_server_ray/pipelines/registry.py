@@ -4158,22 +4158,16 @@ WHERE (CAST(doc_id AS HUGEINT) * {C} % {_M64}) // {1 << 33}
 KM_K, KM_ITERS = 8, 3
 
 
-def q_kmeans_embed(sf_dir: str):
-    """Distributed Lloyd's k-means (k=8, 3 update rounds) over the quantized
-    embedding lattice (stages/cluster.py): init = the k lowest vec_ids, each
-    iteration one streaming pass emitting k x d per-block partials reduced by
-    a combiner tree; the driver holds only the k x d centroid matrix. Every
-    compare is exact int64 and the centroid division is a single replayable
-    double op, so the final assignment is bit-stable vs the oracle's
-    iterated-CTE replay. Output (vec_id, cluster)."""
+def _kmeans_lattice_centroids(sf_dir: str):
+    """Shared Lloyd's trainer: quantize ONCE into a materialized int64
+    lattice (spill-backed object store) — Lloyd rounds then stream over
+    cached Arrow blocks instead of re-reading + re-decoding + re-quantizing
+    the parquet every round (the pagerank-edges precedent; 5 corpus reads
+    -> 1). Returns (lattice Dataset, final k x d int64 centroid matrix)."""
     from functools import partial as _p
 
     from ..stages import cluster as CL
 
-    # quantize ONCE into a materialized int64 lattice (spill-backed object
-    # store) — Lloyd rounds then stream over cached Arrow blocks instead of
-    # re-reading + re-decoding + re-quantizing the parquet every round (the
-    # pagerank-edges precedent; 5 corpus reads -> 1)
     lattice = read(sf_dir, "embeddings", ["vec_id", "embedding"],
                    proportional_blocks=True) \
         .map_batches(CL.quantize_to_table, batch_format="pyarrow") \
@@ -4190,7 +4184,22 @@ def q_kmeans_embed(sf_dir: str):
         rows = grouped_sums(partials, ["cluster", "dim"], ["s", "n"],
                             small_key_space=True).take_all()
         cent = CL.update_centroids(rows, cent)
+    return lattice, cent
 
+
+def q_kmeans_embed(sf_dir: str):
+    """Distributed Lloyd's k-means (k=8, 3 update rounds) over the quantized
+    embedding lattice (stages/cluster.py): init = the k lowest vec_ids, each
+    iteration one streaming pass emitting k x d per-block partials reduced by
+    a combiner tree; the driver holds only the k x d centroid matrix. Every
+    compare is exact int64 and the centroid division is a single replayable
+    double op, so the final assignment is bit-stable vs the oracle's
+    iterated-CTE replay. Output (vec_id, cluster)."""
+    from functools import partial as _p
+
+    from ..stages import cluster as CL
+
+    lattice, cent = _kmeans_lattice_centroids(sf_dir)
     return lattice.map_batches(
         _p(CL.assign_lattice, cent=cent), batch_format="pyarrow")
 
@@ -4734,6 +4743,109 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
 FROM s"""
 
 
+SEM_TAU_NUM, SEM_TAU_DEN = 9801, 10000  # tau^2 = 0.99^2 as an exact ratio
+SEM_QUANT = 256  # 8-bit dedup lattice: dot <= 64*256^2 = 2^22, so
+#                  10^4 * dot^2 and 9801 * nn_i * nn_j both stay under 2^59
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means clusters as
+    semantic dedup buckets — train Lloyd's on the base corpus (the shared
+    integer-lattice trainer), assign every vector (base + planted copies, the
+    embedding_neardup fixture idiom), then WITHIN each cluster keep only the
+    first (min vec_id) of any group whose pairwise cosine meets tau = 0.99.
+    The cosine test runs on an op-local 8-bit lattice so the comparison
+    10000*dot^2 >= 9801*|u|^2*|v|^2 (and dot > 0) is EXACT int64 end to end —
+    the contract is defined on the lattice, so the SQL replay is bit-stable.
+
+    Scale shape: one streaming assign pass + ONE groupby(cluster) exchange;
+    within-cluster work is the O(n_c^2) pairwise pass that IS the SemDeDup
+    algorithm — cluster count k is the knob bounding n_c, exactly as in the
+    paper. Output: surviving (vec_id, cluster)."""
+    from ..stages import cluster as CL
+
+    _, cent = _kmeans_lattice_centroids(sf_dir)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids % EMB_PLANT_STRIDE == 0
+        dup = b.filter(pa.array(keep))
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"), "vec_id",
+            pc.cast(pc.add(dup.column("vec_id"), pa.scalar(EMB_PLANT_OFFSET)),
+                    b.column("vec_id").type))
+        return pa.concat_tables([b, dup])
+
+    def assign_and_q8(b: pa.Table) -> pa.Table:
+        ids, V20 = CL.quantize_batch(b)
+        cl = CL.nearest_cluster(V20, cent) if len(ids) else np.array([], np.int64)
+        flat = b.column("embedding").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False)
+        v8 = np.floor(flat.astype(np.float64) * SEM_QUANT + 0.5).astype(np.int64)
+        d = v8.size // len(ids) if len(ids) else 1
+        return pa.table({
+            "vec_id": pa.array(ids), "cluster": pa.array(cl),
+            "v8": pa.FixedSizeListArray.from_arrays(pa.array(v8), d)})
+
+    ds = ds.map_batches(plant, batch_format="pyarrow") \
+        .map_batches(assign_and_q8, batch_format="pyarrow")
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = g.column("v8").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        V = flat.reshape(n, -1)
+        order = np.argsort(ids, kind="stable")
+        ids, V = ids[order], V[order]
+        D = V @ V.T
+        nn = np.einsum("nd,nd->n", V, V)
+        near = (D > 0) & (SEM_TAU_DEN * D * D >= SEM_TAU_NUM * np.outer(nn, nn))
+        dup = np.triu(near, k=1).any(axis=0)  # near some EARLIER (smaller id)
+        cl = g.column("cluster").to_numpy(zero_copy_only=False)[order]
+        return pa.table({"vec_id": pa.array(ids[~dup]),
+                         "cluster": pa.array(cl[~dup].astype(np.int64))})
+
+    out = ds.groupby("cluster").map_groups(dedup_cluster, batch_format="pyarrow")
+    return _cast_cols(out, {"vec_id": I64, "cluster": I64})
+
+
+def sql_semantic_dedup() -> str:
+    return f"""
+WITH a_base AS ({sql_kmeans_embed()}),
+a AS (
+  SELECT vec_id, cluster FROM a_base
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET}, cluster FROM a_base
+  WHERE vec_id % {EMB_PLANT_STRIDE} = 0),
+q8_base AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(unnest(embedding) * {SEM_QUANT}.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+q8 AS (
+  SELECT vec_id, dim, v FROM q8_base
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET}, dim, v FROM q8_base
+  WHERE vec_id % {EMB_PLANT_STRIDE} = 0),
+nn AS (SELECT vec_id, sum(v * v) AS n2 FROM q8 GROUP BY 1),
+p AS (
+  SELECT a1.vec_id AS u, a2.vec_id AS w
+  FROM a a1 JOIN a a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id),
+d AS (
+  SELECT p.u, p.w, sum(x.v * y.v) AS dot
+  FROM p JOIN q8 x ON x.vec_id = p.u
+         JOIN q8 y ON y.vec_id = p.w AND y.dim = x.dim
+  GROUP BY 1, 2),
+dups AS (
+  SELECT DISTINCT d.w FROM d
+  JOIN nn n1 ON n1.vec_id = d.u JOIN nn n2 ON n2.vec_id = d.w
+  WHERE d.dot > 0
+    AND {SEM_TAU_DEN} * d.dot * d.dot >= {SEM_TAU_NUM} * n1.n2 * n2.n2)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.cluster AS BIGINT) AS cluster
+FROM a WHERE a.vec_id NOT IN (SELECT w FROM dups)"""
+
+
 MIX_BUDGET = 800  # per-source token budget (binds at every test sf)
 
 
@@ -4898,6 +5010,7 @@ QUERIES: dict[str, tuple] = {
     "passage_scrub": (q_passage_scrub, sql_passage_scrub),
     "cms_sketch": (q_cms_sketch, sql_cms_sketch),
     "token_budget_mix": (q_token_budget_mix, sql_token_budget_mix),
+    "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

@@ -200,3 +200,31 @@ def test_cms_partials_merge_and_guarantee():
     est = cms_point_estimate(whole, toks)
     assert all(int(e) >= true[t] for e, t in zip(est, toks))
     assert int(est[toks.index("a")]) == true["a"]  # no collision at this size
+
+
+def test_semantic_dedup_tau_boundary(ray_session):
+    """The integer-lattice cosine test is exact at the tau boundary:
+    v=[100,0...] vs [99,14,0...] has cos^2 = 9801/(9801+196)*... — craft
+    pairs just above and just below tau=0.99 and check keep/drop, plus the
+    negative-dot guard (antipodal vectors are never 'near')."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.pipelines.registry import (
+        SEM_QUANT, SEM_TAU_DEN, SEM_TAU_NUM)
+
+    # replicate the in-cluster rule directly (the group kernel's math)
+    def near(u, w):
+        dot = int(np.dot(u, w)); n1 = int(np.dot(u, u)); n2 = int(np.dot(w, w))
+        return dot > 0 and SEM_TAU_DEN * dot * dot >= SEM_TAU_NUM * n1 * n2
+
+    base = np.zeros(64, np.int64); base[0] = 1000
+    exact = base.copy()
+    above = base.copy(); above[1] = 100   # cos = 1000/sqrt(1010000) ~ 0.99504
+    below = base.copy(); below[1] = 200   # cos ~ 0.9806
+    anti = -base
+    assert near(base, exact)
+    assert near(base, above)
+    assert not near(base, below)
+    assert not near(base, anti)          # dot < 0: never near, even |cos|=1
