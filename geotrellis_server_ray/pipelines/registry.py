@@ -4743,6 +4743,143 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
 FROM s"""
 
 
+CUR_BUDGET = 400  # composite pipeline per-source budget (binds at every sf)
+
+
+def q_curation_pipeline(sf_dir: str):
+    """The END-TO-END curation flow as ONE streaming Dataset pipeline —
+    the composition a real training-data run executes, demonstrating that
+    the engine's stages chain without materialization between them:
+
+      quality+language filter (fused map chain, no shuffle)
+      -> corpus-wide exact dedup, keep min doc_id per identical text
+         (ONE text-hash exchange, exact-text adjacent compare)
+      -> C4 duplicate-span scrub with source metadata riding the segments
+         (segment-hash exchange + doc-hash reassembly)
+      -> per-source token-budget mix over the SCRUBBED token counts
+         (keyed distributed prefix scan).
+
+    Four hash exchanges total, all data-proportional; every stage streams
+    blocks with backpressure; the only driver state is the scan's P x
+    n_sources totals. Output: the final mixture
+    (doc_id, source, n_kept, n_tokens, prev_tokens)."""
+    from ..stages.dedup import (explode_token_segments, keep_first_segments,
+                                reassemble_segments)
+    from ..stages.focal import add_key_partition
+    from ..stages.scan import prefix_sum
+
+    np_ = _nparts_for(sf_dir, "documents")
+    ds = read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(T.quality_batch, batch_format="pyarrow")
+    ds = ds.map_batches(T.LangId(), batch_format="pyarrow")
+
+    def filt(b: pa.Table) -> pa.Table:
+        na = b.column("n_alpha").to_numpy(zero_copy_only=False)
+        nc = b.column("n_chars_obs").to_numpy(zero_copy_only=False)
+        lang = pc.equal(b.column("lang_pred"), pa.scalar("en")) \
+            .to_numpy(zero_copy_only=False)
+        keep = (na * 2 >= nc) & lang
+        return b.filter(pa.array(keep)).select(["doc_id", "source", "text"])
+
+    ds = ds.map_batches(filt, batch_format="pyarrow")
+
+    ds = ds.map_batches(
+        partial(add_key_partition, key_cols=["text"], num_partitions=np_),
+        batch_format="pyarrow")
+
+    def keep_min_per_text(g: pa.Table) -> pa.Table:
+        cols = ["doc_id", "source", "text"]
+        if len(g) == 0:
+            return g.select(cols)
+        g = g.sort_by([("text", "ascending"), ("doc_id", "ascending")])
+        txt = g.column("text")
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        first = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            eq = pc.equal(txt.slice(1), txt.slice(0, len(g) - 1))
+            first[1:] = ~eq.fill_null(False).to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(first)).select(cols)
+
+    ds = ds.groupby("part").map_groups(keep_min_per_text, batch_format="pyarrow")
+
+    segs = ds.map_batches(
+        partial(explode_token_segments, w=SCRUB_W, carry_cols=("source",)),
+        batch_format="pyarrow")
+    segs = segs.map_batches(
+        partial(add_key_partition, key_cols=["seg"], num_partitions=np_),
+        batch_format="pyarrow")
+    kept = segs.groupby("part").map_groups(
+        partial(keep_first_segments, carry_cols=("source",)),
+        batch_format="pyarrow")
+    kept = kept.map_batches(
+        partial(add_key_partition, key_cols=["doc_id"], num_partitions=np_),
+        batch_format="pyarrow")
+    docs = kept.groupby("part").map_groups(
+        partial(reassemble_segments, carry_cols=("source",)),
+        batch_format="pyarrow")
+
+    docs = docs.map_batches(partial(T.token_count_batch, text_col="text_scrubbed"),
+                            batch_format="pyarrow")
+    docs = docs.map_batches(
+        lambda b: b.select(["doc_id", "source", "n_kept", "n_tokens"]),
+        batch_format="pyarrow")
+    docs = prefix_sum(docs, "doc_id", "n_tokens", out_col="prev_tokens",
+                      key_col="source")
+    out = docs.map_batches(
+        lambda b: b.filter(pc.less_equal(
+            pc.add(b.column("prev_tokens"), b.column("n_tokens")),
+            pa.scalar(CUR_BUDGET))),
+        batch_format="pyarrow")
+    return _cast_cols(out, {"doc_id": I64, "n_kept": I64, "n_tokens": I64,
+                            "prev_tokens": I64})
+
+
+def sql_curation_pipeline() -> str:
+    lang_sql = sql_lang_id().strip()
+    return f"""
+WITH lang AS ({lang_sql}),
+fdocs AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN lang l ON l.doc_id = d.doc_id
+  WHERE l.lang_pred = 'en'
+    AND 2 * (length(d.text) - length(regexp_replace(d.text, '[A-Za-z]', '', 'g')))
+        >= length(d.text)),
+ded AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM fdocs) WHERE rn = 1),
+toks AS (
+  SELECT doc_id, source, p, string_split(text, ' ')[p] AS tok
+  FROM ded,
+       LATERAL unnest(generate_series(1, len(string_split(text, ' ')))) AS u(p)),
+seg AS (
+  SELECT doc_id, any_value(source) AS source, (p - 1) // {SCRUB_W} AS seg_no,
+         string_agg(tok, ' ' ORDER BY p) AS seg
+  FROM toks GROUP BY doc_id, (p - 1) // {SCRUB_W}),
+ranked AS (
+  SELECT doc_id, source, seg_no, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+  FROM seg),
+scrub AS (
+  SELECT doc_id, any_value(source) AS source, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_no) AS text_scrubbed
+  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+t AS (
+  SELECT doc_id, source, n_kept,
+         CAST(len(string_split(text_scrubbed, ' ')) AS BIGINT) AS n_tokens
+  FROM scrub),
+s AS (
+  SELECT doc_id, source, n_kept, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tokens
+  FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_kept AS BIGINT) AS n_kept, n_tokens,
+       CAST(prev_tokens AS BIGINT) AS prev_tokens
+FROM s WHERE prev_tokens + n_tokens <= {CUR_BUDGET}"""
+
+
 SEM_TAU_NUM, SEM_TAU_DEN = 9801, 10000  # tau^2 = 0.99^2 as an exact ratio
 SEM_QUANT = 256  # 8-bit dedup lattice: dot <= 64*256^2 = 2^22, so
 #                  10^4 * dot^2 and 9801 * nn_i * nn_j both stay under 2^59
@@ -5011,6 +5148,7 @@ QUERIES: dict[str, tuple] = {
     "cms_sketch": (q_cms_sketch, sql_cms_sketch),
     "token_budget_mix": (q_token_budget_mix, sql_token_budget_mix),
     "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
+    "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),

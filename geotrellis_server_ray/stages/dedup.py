@@ -714,7 +714,8 @@ def decontaminate(docs_ds, pred, id_col: str = "doc_id", text_col: str = "text",
 
 
 def explode_token_segments(batch: pa.Table, id_col: str = "doc_id",
-                           text_col: str = "text", w: int = 8) -> pa.Table:
+                           text_col: str = "text", w: int = 8,
+                           carry_cols: tuple = ()) -> pa.Table:
     """Explode each document into NON-overlapping ``w``-token segments (the
     C4 'span' unit: C4 removed all but one of any three-sentence span that
     occurred more than once; this corpus has no sentence boundaries, so the
@@ -742,9 +743,12 @@ def explode_token_segments(batch: pa.Table, id_col: str = "doc_id",
     s_i = -(-n_i // w)                       # ceil: segments per doc
     total = int(s_i.sum())
     if total == 0:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         "seg_no": pa.array([], pa.int64()),
-                         "seg": pa.array([], pa.string())})
+        cols = {id_col: pa.array([], pa.int64()),
+                "seg_no": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.string())}
+        for c in carry_cols:
+            cols[c] = batch.column(c).slice(0, 0)
+        return pa.table(cols)
     doc_of = np.repeat(np.arange(len(n_i), dtype=np.int64), s_i)
     seg_no = np.arange(total, dtype=np.int64) \
         - np.repeat(np.cumsum(s_i) - s_i, s_i)
@@ -754,20 +758,25 @@ def explode_token_segments(batch: pa.Table, id_col: str = "doc_id",
     new_offs = np.append(seg_start, offs[-1]).astype(np.int32)
     seg_list = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), flat)
     seg = pc.binary_join(seg_list, " ")
-    return pa.table({id_col: pa.array(ids[doc_of]),
-                     "seg_no": pa.array(seg_no),
-                     "seg": seg})
+    cols = {id_col: pa.array(ids[doc_of]),
+            "seg_no": pa.array(seg_no),
+            "seg": seg}
+    for c in carry_cols:  # per-doc metadata rides the segment rows
+        cols[c] = batch.column(c).take(pa.array(doc_of))
+    return pa.table(cols)
 
 
-def keep_first_segments(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+def keep_first_segments(t: pa.Table, id_col: str = "doc_id",
+                        carry_cols: tuple = ()) -> pa.Table:
     """Per-partition keep-first: among rows whose ``seg`` text is identical,
     keep ONLY the corpus-first occurrence (min (doc_id, seg_no)). Callers
     hash-partition by the segment text first, so every occurrence of a given
     segment is co-located and the survivor set is globally exact — dedup is
     on the EXACT text (Arrow string sort + adjacent-equality), never on a
     hash, so there is no collision risk to guard."""
+    keep_cols = [id_col, "seg_no", "seg", *carry_cols]
     if len(t) == 0:
-        return t.select([id_col, "seg_no", "seg"])
+        return t.select(keep_cols)
     t = t.sort_by([("seg", "ascending"), (id_col, "ascending"),
                    ("seg_no", "ascending")])
     seg = t.column("seg").combine_chunks() if isinstance(t.column("seg"), pa.ChunkedArray) else t.column("seg")
@@ -775,19 +784,24 @@ def keep_first_segments(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
     if len(t) > 1:
         eq = pc.equal(seg.slice(1), seg.slice(0, len(t) - 1))
         first[1:] = ~eq.fill_null(False).to_numpy(zero_copy_only=False)
-    return t.filter(pa.array(first)).select([id_col, "seg_no", "seg"])
+    return t.filter(pa.array(first)).select(keep_cols)
 
 
 def reassemble_segments(t: pa.Table, id_col: str = "doc_id",
-                        text_out: str = "text_scrubbed") -> pa.Table:
+                        text_out: str = "text_scrubbed",
+                        carry_cols: tuple = ()) -> pa.Table:
     """Per-partition reassembly: sort surviving segments by (doc, seg_no)
     and join each document's remainder back into one string. Documents whose
     every segment was scrubbed produce no row (inner-join semantics, same as
     the SQL oracle's GROUP BY over survivors)."""
     if len(t) == 0:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         "n_kept": pa.array([], pa.int64()),
-                         text_out: pa.array([], pa.string())})
+        cols = {id_col: pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                text_out: pa.array([], pa.string())}
+        for c in carry_cols:
+            cols[c] = t.column(c).slice(0, 0) if c in t.column_names \
+                else pa.array([], pa.string())
+        return pa.table(cols)
     t = t.sort_by([(id_col, "ascending"), ("seg_no", "ascending")])
     ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     nb = np.ones(len(t), dtype=bool)
@@ -798,6 +812,9 @@ def reassemble_segments(t: pa.Table, id_col: str = "doc_id",
     offs = np.append(starts, len(t)).astype(np.int32)
     doc_list = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), seg)
     joined = pc.binary_join(doc_list, " ")
-    return pa.table({id_col: pa.array(ids[starts]),
-                     "n_kept": pa.array(counts.astype(np.int64)),
-                     text_out: joined})
+    cols = {id_col: pa.array(ids[starts]),
+            "n_kept": pa.array(counts.astype(np.int64)),
+            text_out: joined}
+    for c in carry_cols:  # per-doc metadata: constant within a doc group
+        cols[c] = t.column(c).take(pa.array(starts))
+    return pa.table(cols)

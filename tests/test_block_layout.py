@@ -27,6 +27,8 @@ LAYOUT_SENSITIVE = [
     "tfidf_topk",
     "exact_dedup",
     "cms_sketch",
+    "token_budget_mix",
+    "curation_pipeline",
 ]
 
 
