@@ -65,6 +65,13 @@ def prefix_sum(ds, order_col: str, val_col: str, out_col: str = "prev",
         from ..config import shuffle_partitions
 
         num_partitions = shuffle_partitions()
+    # The scan is inherently multi-pass (min/max, partition totals, the scan
+    # itself); materialize the input ONCE so the passes stream from cached
+    # object-store blocks (spill-backed) instead of re-executing the whole
+    # upstream chain per pass — callers project to the scan columns first,
+    # so the resident copy is narrow (measured: the curation composite's
+    # 3-exchange upstream ran 3x before this, 8.6 s -> 3.4 s at sf0.1).
+    ds = ds.materialize()
     lo, hi = _minmax(ds, order_col)
 
     def add_part(b: pa.Table) -> pa.Table:
