@@ -29,6 +29,8 @@ LAYOUT_SENSITIVE = [
     "cms_sketch",
     "token_budget_mix",
     "curation_pipeline",
+    "kmeans_embed",
+    "semantic_dedup",
 ]
 
 
