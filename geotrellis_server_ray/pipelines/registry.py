@@ -4701,6 +4701,43 @@ FROM ranked, (VALUES {vals}) qs(q, ql)
 WHERE rn = CAST(ceil(q * n) AS BIGINT)"""
 
 
+def q_group_quantiles(sf_dir: str):
+    """Per-GROUP exact quantiles (median + p90 of order value cents per
+    o_orderpriority) by the counting-selection machinery generalized with a
+    group dimension (stages/quantiles.grouped_exact_quantiles): a per-group
+    SORT would need each group co-located — one group can exceed a worker —
+    so instead NOTHING moves: driver state is O(groups x labels) integers,
+    each pass is one pruned streaming scan serving every group's open rank
+    simultaneously, and the only exchange carries histogram rows. The group
+    dimension must be enum-bounded (priorities here; sources/languages in a
+    curation run), never a document id."""
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]) \
+        .map_batches(partial(add_cents, cols={"cents": "o_totalprice"}),
+                     batch_format="pyarrow")
+    return grouped_exact_quantiles(ds, "o_orderpriority", "cents",
+                                   GROUP_QUANTILE_QS)
+
+
+GROUP_QUANTILE_QS = {"p50": 0.5, "p90": 0.9}
+
+
+def sql_group_quantiles() -> str:
+    vals = ", ".join(f"({q}, '{lbl}')" for lbl, q in GROUP_QUANTILE_QS.items())
+    return f"""
+WITH v AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+ranked AS (
+  SELECT grp, cents, row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM v)
+SELECT grp, ql AS q_label, CAST(cents AS BIGINT) AS value
+FROM ranked, (VALUES {vals}) qs(q, ql)
+WHERE rn = CAST(ceil(q * n) AS BIGINT)"""
+
+
 # ------------------------------------------------- sequence packing (scan)
 
 SEQ_CAPACITY = 512
@@ -5119,7 +5156,6 @@ QUERIES: dict[str, tuple] = {
     "simhash_fingerprints": (q_simhash_fingerprints, sql_simhash_fingerprints),
     "simhash_neardup": (q_simhash_neardup, sql_simhash_neardup),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
-    "getmap_requests": (q_getmap_requests, None),
     "getcoverage_requests": (q_getcoverage_requests, sql_getcoverage_requests),
     # --- Block C: round-3 additions land here (inside the driver window)
     "stac_http_select": (q_stac_http_select, sql_stac_http_select),
@@ -5144,13 +5180,18 @@ QUERIES: dict[str, tuple] = {
     "exact_quantiles": (q_exact_quantiles, sql_exact_quantiles),
     "pagerank": (q_pagerank, sql_pagerank),
     "sequence_pack": (q_sequence_pack, sql_sequence_pack),
+    "group_quantiles": (q_group_quantiles, sql_group_quantiles),
     "passage_scrub": (q_passage_scrub, sql_passage_scrub),
     "cms_sketch": (q_cms_sketch, sql_cms_sketch),
     "token_budget_mix": (q_token_budget_mix, sql_token_budget_mix),
     "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
     "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline),
+    "group_quantiles": (q_group_quantiles, sql_group_quantiles),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
+    # rows-only (image bytes): rotated out of the driver window in r3 —
+    # driver-witnessed (rows) in r1+r2; its slot goes to curation_pipeline
+    "getmap_requests": (q_getmap_requests, None),
     "quality_filter": (q_quality_filter, sql_quality_filter),
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),

@@ -96,3 +96,31 @@ def test_keyed_prefix_sum_skewed_key(ray_session):
     o_sorted = np.sort(order)
     assert (got.loc[o_sorted].to_numpy() ==
             want[np.argsort(order, kind="stable")]).all()
+
+
+def test_grouped_exact_quantiles_random(ray_session):
+    """Grouped counting selection == the serial rank definition
+    (ceil(q*n)-th smallest per group) on random ints with heavy ties and a
+    singleton group."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.quantiles import grouped_exact_quantiles
+
+    rng = np.random.RandomState(3)
+    grp = np.repeat(["a", "b", "c"], [700, 300, 1])
+    val = np.concatenate([rng.randint(0, 50, 700),      # heavy ties
+                          rng.randint(-10**9, 10**9, 300),
+                          [42]]).astype(np.int64)
+    t = pa.table({"g": pa.array(grp), "v": pa.array(val)})
+    out = grouped_exact_quantiles(rd.from_arrow(t).repartition(5), "g", "v",
+                                  {"p50": 0.5, "p90": 0.9}).to_pandas()
+    got = {(r.grp, r.q_label): r.value for r in out.itertuples()}
+    for g in ("a", "b", "c"):
+        x = np.sort(val[grp == g])
+        for lbl, q in (("p50", 0.5), ("p90", 0.9)):
+            want = int(x[int(math.ceil(q * len(x))) - 1])
+            assert got[(g, lbl)] == want, (g, lbl)
