@@ -139,13 +139,13 @@ def _hist_batch_grouped(b: pa.Table, col: str, group_col: str,
     """Per-block counts per ACTIVE (rid, group, lo, hi): the grouped twin of
     _hist_batch — the group filter composes with the range filter, so one
     pruned scan serves every group's still-open rank simultaneously."""
+    import pyarrow.compute as pc
+
     v = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
     gcol = b.column(group_col)
     gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
     rids, bks, cts = [], [], []
     for rid, gval, lo, hi in ranges:
-        import pyarrow.compute as pc
-
         gm = pc.equal(gcol, pa.scalar(gval)).to_numpy(zero_copy_only=False)
         x = v[gm & (v >= lo) & (v <= hi)]
         if len(x) == 0:

@@ -31,6 +31,7 @@ LAYOUT_SENSITIVE = [
     "curation_pipeline",
     "kmeans_embed",
     "semantic_dedup",
+    "group_quantiles",
 ]
 
 
