@@ -131,7 +131,7 @@ def run_query_child(name: str) -> dict:
     return out
 
 
-def run_scaling() -> dict:
+def run_scaling(query: str = "") -> dict:
     # Default N=2 vs 4N=8: this VM advertises 32 vCPUs but a multiprocessing
     # busy-loop capacity probe measures only ~17 effective cores (host
     # oversubscription; see BASELINE.md for the full 2/4/8/16/32 ladder), so
@@ -139,10 +139,11 @@ def run_scaling() -> dict:
     # both levels inside the linear hardware region.
     lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("RAY_GRAFT_SCALE_HI", "8"))
-    query = os.environ.get("GRAFT_SCALE_QUERY", "")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0")
+        if query:  # child dispatches on the PRIVATE marker, set only here —
+            env["_GRAFT_SCALE_QUERY_CHILD"] = query  # never via os.environ
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
@@ -235,13 +236,12 @@ def run_cc() -> dict:
 
 if __name__ == "__main__":
     if "--scaling-query" in sys.argv:
-        os.environ["GRAFT_SCALE_QUERY"] = sys.argv[sys.argv.index("--scaling-query") + 1]
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(sys.argv[sys.argv.index("--scaling-query") + 1])))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--cc" in sys.argv:
         print(json.dumps(run_cc()))
-    elif os.environ.get("GRAFT_SCALE_QUERY"):
-        print(json.dumps(run_query_child(os.environ["GRAFT_SCALE_QUERY"])))
+    elif os.environ.get("_GRAFT_SCALE_QUERY_CHILD"):
+        print(json.dumps(run_query_child(os.environ["_GRAFT_SCALE_QUERY_CHILD"])))
     else:
         print(json.dumps(run_bench()))

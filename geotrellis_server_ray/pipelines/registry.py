@@ -4340,15 +4340,15 @@ def sql_cms_sketch() -> str:
     from ..stages.sketch import CMS_ROW_C, CMS_W_BITS
 
     M32 = 1 << 32
-    pw_list = "[" + ", ".join(str(int(_POW_TABLE[j])) for j in range(64)) + "]"
-    # token polynomial replay (passage-dedup identity), with a LOUD guard:
-    # a token longer than the emitted power table errors instead of
-    # silently NULLing out of the sum (ADVICE r2 on simhash's oracle).
+    # full 4096-entry power table + modular index wrap — the engine masks
+    # polynomial exponents to 12 bits, so this replay is exact for EVERY
+    # token length (the simhash-oracle idiom; a truncated 64-entry list
+    # would silently NULL past 64 chars — ADVICE r2)
+    pw_list = "[" + ", ".join(str(int(v)) for v in _POW_TABLE.tolist()) + "]"
     tok_hash = (
-        f"CASE WHEN length(tok) > 64 THEN error('cms oracle: token > 64 chars')"
-        f" ELSE COALESCE((SELECT sum(CAST(ascii(substr(tok, i, 1)) AS HUGEINT)"
-        f" * ({pw_list})[length(tok) - i + 1] % {_M64})"
-        f" FROM unnest(generate_series(1, length(tok))) AS u(i)), 0) % {_M64} END"
+        f"COALESCE((SELECT sum(CAST(ascii(substr(tok, i, 1)) AS HUGEINT)"
+        f" * p[(length(tok) - i) % {len(_POW_TABLE)} + 1] % {_M64})"
+        f" FROM unnest(generate_series(1, length(tok))) AS u(i)), 0) % {_M64}"
     )
 
     def mulmod(ref: str, c: int) -> str:
@@ -4359,10 +4359,9 @@ def sql_cms_sketch() -> str:
         f"WHEN {i} THEN {mulmod('th', c)} // {1 << (64 - CMS_W_BITS)}"
         for i, c in enumerate(CMS_ROW_C))
     return f"""
-WITH toks AS (
-  SELECT string_split(lower(text), ' ')[p] AS tok
-  FROM documents,
-       LATERAL unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS u(p)),
+WITH pw AS (SELECT {pw_list} AS p),
+toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok, p FROM documents, pw),
 tokh AS (SELECT {tok_hash} AS th FROM toks),
 cells AS (
   SELECT r.i AS row, CASE r.i {col_case} END AS col
@@ -4674,17 +4673,11 @@ def q_exact_quantiles(sf_dir: str):
     shuffle, the driver never holds a data value. The oracle states the
     same rank semantics directly (row_number over ORDER BY = k)."""
     from ..stages.quantiles import exact_quantiles
-    from ..config import parquet_rows
-    import os
 
-    path = f"{sf_dir}/lineitem.parquet"
-    n = parquet_rows(path) if os.path.exists(path) else None
     ds = read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
         partial(add_cents, cols={"cents": "l_extendedprice"}),
         batch_format="pyarrow")
-    if n is None:
-        n = ds.count()
-    return exact_quantiles(ds, "cents", QUANTILE_QS, n)
+    return exact_quantiles(ds, "cents", QUANTILE_QS)
 
 
 def sql_exact_quantiles() -> str:
@@ -4824,20 +4817,12 @@ def q_curation_pipeline(sf_dir: str):
         partial(add_key_partition, key_cols=["text"], num_partitions=np_),
         batch_format="pyarrow")
 
-    def keep_min_per_text(g: pa.Table) -> pa.Table:
-        cols = ["doc_id", "source", "text"]
-        if len(g) == 0:
-            return g.select(cols)
-        g = g.sort_by([("text", "ascending"), ("doc_id", "ascending")])
-        txt = g.column("text")
-        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
-        first = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            eq = pc.equal(txt.slice(1), txt.slice(0, len(g) - 1))
-            first[1:] = ~eq.fill_null(False).to_numpy(zero_copy_only=False)
-        return g.filter(pa.array(first)).select(cols)
+    from ..stages.dedup import keep_first_rows
 
-    ds = ds.groupby("part").map_groups(keep_min_per_text, batch_format="pyarrow")
+    ds = ds.groupby("part").map_groups(
+        partial(keep_first_rows, dedup_col="text", tiebreak_cols=["doc_id"],
+                keep_cols=["doc_id", "source", "text"]),
+        batch_format="pyarrow")
 
     segs = ds.map_batches(
         partial(explode_token_segments, w=SCRUB_W, carry_cols=("source",)),
@@ -5186,7 +5171,6 @@ QUERIES: dict[str, tuple] = {
     "token_budget_mix": (q_token_budget_mix, sql_token_budget_mix),
     "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
     "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline),
-    "group_quantiles": (q_group_quantiles, sql_group_quantiles),
     # --- remaining pre-window fill (r2-green, less long-stable)
     "fact_fact_join": (q_fact_fact_join, sql_fact_fact_join),
     # rows-only (image bytes): rotated out of the driver window in r3 —

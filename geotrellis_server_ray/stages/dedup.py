@@ -766,25 +766,33 @@ def explode_token_segments(batch: pa.Table, id_col: str = "doc_id",
     return pa.table(cols)
 
 
-def keep_first_segments(t: pa.Table, id_col: str = "doc_id",
-                        carry_cols: tuple = ()) -> pa.Table:
-    """Per-partition keep-first: among rows whose ``seg`` text is identical,
-    keep ONLY the corpus-first occurrence (min (doc_id, seg_no)). Callers
-    hash-partition by the segment text first, so every occurrence of a given
-    segment is co-located and the survivor set is globally exact — dedup is
-    on the EXACT text (Arrow string sort + adjacent-equality), never on a
-    hash, so there is no collision risk to guard."""
-    keep_cols = [id_col, "seg_no", "seg", *carry_cols]
+def keep_first_rows(t: pa.Table, dedup_col: str, tiebreak_cols: list[str],
+                    keep_cols: list[str]) -> pa.Table:
+    """Per-partition keep-first on EXACT column value: sort by
+    (dedup_col, *tiebreak_cols) and keep only the first row of each distinct
+    ``dedup_col`` value (Arrow sort + adjacent-equality — dedup compares the
+    exact value, never a hash, so there is no collision risk to guard).
+    Callers hash-partition by ``dedup_col`` first so every occurrence
+    co-locates and the survivor set is globally exact."""
     if len(t) == 0:
         return t.select(keep_cols)
-    t = t.sort_by([("seg", "ascending"), (id_col, "ascending"),
-                   ("seg_no", "ascending")])
-    seg = t.column("seg").combine_chunks() if isinstance(t.column("seg"), pa.ChunkedArray) else t.column("seg")
+    t = t.sort_by([(dedup_col, "ascending")]
+                  + [(c, "ascending") for c in tiebreak_cols])
+    v = t.column(dedup_col)
+    v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
     first = np.ones(len(t), dtype=bool)
     if len(t) > 1:
-        eq = pc.equal(seg.slice(1), seg.slice(0, len(t) - 1))
+        eq = pc.equal(v.slice(1), v.slice(0, len(t) - 1))
         first[1:] = ~eq.fill_null(False).to_numpy(zero_copy_only=False)
     return t.filter(pa.array(first)).select(keep_cols)
+
+
+def keep_first_segments(t: pa.Table, id_col: str = "doc_id",
+                        carry_cols: tuple = ()) -> pa.Table:
+    """Segment-level keep-first: among rows whose ``seg`` text is identical,
+    keep ONLY the corpus-first occurrence (min (doc_id, seg_no))."""
+    return keep_first_rows(t, "seg", [id_col, "seg_no"],
+                           [id_col, "seg_no", "seg", *carry_cols])
 
 
 def reassemble_segments(t: pa.Table, id_col: str = "doc_id",

@@ -26,106 +26,18 @@ import pyarrow as pa
 NB = 4096  # buckets per narrowing pass
 
 
-def _minmax_batch(b: pa.Table, col: str) -> pa.Table:
-    v = b.column(col).to_numpy(zero_copy_only=False)
-    if len(v) == 0:
-        return pa.table({"mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())})
-    return pa.table({"mn": pa.array([int(v.min())]), "mx": pa.array([int(v.max())])})
-
-
-def _hist_batch(b: pa.Table, col: str, ranges: list[tuple[int, int, int]]) -> pa.Table:
-    """Per-block counts: rows (rid, bucket, cnt) for each active range
-    (rid, lo, hi); bucket = (v - lo) * NB // (hi - lo + 1), exact int64
-    (v - lo < 2^40 for cents-scale domains, * NB < 2^52)."""
-    v = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
-    rids, bks, cts = [], [], []
-    for rid, lo, hi in ranges:
-        x = v[(v >= lo) & (v <= hi)]
-        if len(x) == 0:
-            continue
-        width = hi - lo + 1
-        bk = (x - lo) * NB // width if width > NB else x - lo
-        cnt = np.bincount(bk)
-        nz = np.nonzero(cnt)[0]
-        rids.append(np.full(len(nz), rid, np.int64))
-        bks.append(nz.astype(np.int64))
-        cts.append(cnt[nz].astype(np.int64))
-    if not rids:
-        return pa.table({"rid": pa.array([], pa.int64()),
-                         "bucket": pa.array([], pa.int64()),
-                         "cnt": pa.array([], pa.int64())})
-    return pa.table({"rid": pa.array(np.concatenate(rids)),
-                     "bucket": pa.array(np.concatenate(bks)),
-                     "cnt": pa.array(np.concatenate(cts))})
-
-
-def exact_quantiles(ds, col: str, qs: dict[str, float], n: int) -> pa.Table:
+def exact_quantiles(ds, col: str, qs: dict[str, float],
+                    n: int | None = None) -> pa.Table:
     """(label, value) rows: value = the ceil(q*n)-th smallest of ds[col].
-    ds is re-executed once per narrowing pass (2-3 for money-scale domains);
-    callers with a hot cache can pass a materialized single-column view."""
-    from ..pipelines.relational import grouped_sums
-
-    mm = ds.map_batches(partial(_minmax_batch, col=col),
-                        batch_format="pyarrow").take_all()
-    lo0 = min(r["mn"] for r in mm)
-    hi0 = max(r["mx"] for r in mm)
-
-    # state per label: remaining rank WITHIN [lo, hi] (1-based), bounds
-    state = {lbl: [int(math.ceil(q * n)), lo0, hi0] for lbl, q in qs.items()}
-    out: dict[str, int] = {}
-    while len(out) < len(state):
-        active: dict[int, tuple[int, int]] = {}
-        rid_of: dict[str, int] = {}
-        for lbl, (k, lo, hi) in state.items():
-            if lbl in out:
-                continue
-            if lo == hi:
-                out[lbl] = lo
-                continue
-            key = (lo, hi)
-            rid = next((i for i, r in active.items() if r == key), None)
-            if rid is None:
-                rid = len(active)
-                active[rid] = key
-            rid_of[lbl] = rid
-        if not active:
-            break
-        ranges = [(rid, lo, hi) for rid, (lo, hi) in active.items()]
-        # rid x bucket <= labels x NB keys — dimension-bounded, never
-        # corpus-scaled, so the partials coalesce through the combiner tree
-        # instead of paying a cluster-wide hash aggregate per pass
-        hist = grouped_sums(
-            ds.map_batches(partial(_hist_batch, col=col, ranges=ranges),
-                           batch_format="pyarrow"),
-            ["rid", "bucket"], ["cnt"], small_key_space=True)
-        counts: dict[int, dict[int, int]] = {rid: {} for rid in active}
-        for r in hist.take_all():
-            counts[r["rid"]][r["bucket"]] = r["cnt"]
-        for lbl, rid in rid_of.items():
-            k, lo, hi = state[lbl]
-            width = hi - lo + 1
-            acc = 0
-            for bk in sorted(counts[rid]):
-                c = counts[rid][bk]
-                if acc + c >= k:
-                    if width <= NB:
-                        out[lbl] = lo + bk
-                    else:
-                        # exact preimage of bucket bk: v - lo in
-                        # [ceil(bk*w/NB), ceil((bk+1)*w/NB) - 1] — ceil, not
-                        # floor, or the next pass double-counts a value
-                        # already accumulated in acc
-                        b_lo = lo + (bk * width + NB - 1) // NB
-                        b_hi = lo + (((bk + 1) * width + NB - 1) // NB) - 1
-                        state[lbl] = [k - acc, b_lo, b_hi]
-                    break
-                acc += c
-            else:  # rank beyond range population: degenerate input
-                out[lbl] = hi
-    return pa.table({
-        "q_label": pa.array(sorted(out)),
-        "value": pa.array([out[lbl] for lbl in sorted(out)], pa.int64()),
-    })
+    Delegates to the grouped selection with one constant group (the grouped
+    path's pass 0 computes min/max AND count in the same single scan, so
+    ``n`` is no longer needed and is accepted only for API compatibility)."""
+    tagged = ds.map_batches(
+        lambda b: b.append_column("_g", pa.nulls(len(b), pa.string())
+                                  .fill_null("_all")),
+        batch_format="pyarrow")
+    out = grouped_exact_quantiles(tagged, "_g", col, qs)
+    return out.select(["q_label", "value"]).sort_by("q_label")
 
 
 def _grouped_minmax_count(b: pa.Table, col: str, group_col: str) -> pa.Table:
@@ -178,6 +90,12 @@ def grouped_exact_quantiles(ds, group_col: str, col: str,
     and the only exchange carries (rid, bucket, cnt) histogram rows.
     Returns (group, q_label, value) rows."""
     from ..pipelines.relational import grouped_sums
+
+    # The selection is multi-pass (min/max/count + 2-3 narrowing passes):
+    # materialize the projected input ONCE so every pass streams from cached
+    # spill-backed blocks instead of re-executing the caller's upstream
+    # chain per pass (the prefix_sum precedent in stages/scan.py).
+    ds = ds.materialize()
 
     # grouped min/max/count via per-batch partials + one small combine
     parts = ds.map_batches(partial(_grouped_minmax_count, col=col,
@@ -233,6 +151,10 @@ def grouped_exact_quantiles(ds, group_col: str, col: str,
                     if width <= NB:
                         out[key] = lo + bk
                     else:
+                        # exact preimage of bucket bk: v - lo in
+                        # [ceil(bk*w/NB), ceil((bk+1)*w/NB) - 1] — ceil, not
+                        # floor, or the next pass double-counts a value
+                        # already accumulated in acc
                         b_lo = lo + (bk * width + NB - 1) // NB
                         b_hi = lo + (((bk + 1) * width + NB - 1) // NB) - 1
                         state[key] = [k - acc, b_lo, b_hi]

@@ -75,6 +75,10 @@ def prefix_sum(ds, order_col: str, val_col: str, out_col: str = "prev",
     lo, hi = _minmax(ds, order_col)
 
     def add_part(b: pa.Table) -> pa.Table:
+        if key_col is not None and b.column(key_col).null_count:
+            # fail loudly at first touch: a null key would dictionary-encode
+            # to a null index downstream and surface as an opaque IndexError
+            raise ValueError(f"prefix_sum: key_col {key_col!r} contains nulls")
         order = b.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
         return b.append_column("_part", pa.array(_range_part(order, lo, hi, num_partitions)))
 

@@ -103,6 +103,7 @@ def write_partition_group(group: pa.Table, out_dir: str, input_desc: str = "") -
     rewrites identical content. Arrow end to end — canonical order via
     Table.sort_by, checksum via _checksum; the sink stage copies no batch
     into pandas."""
+    import socket
     import time
 
     t_start = time.perf_counter()
@@ -134,9 +135,6 @@ def write_partition_group(group: pa.Table, out_dir: str, input_desc: str = "") -
     # nature, so they live OUTSIDE the _manifest determinism contract
     # (manifests converge bit-identically across retries; metrics are
     # last-attempt-wins diagnostics and never feed the resume anti-join).
-    import socket
-    import time
-
     metrics = {
         "partition_id": pid,
         "write_ms": round((time.perf_counter() - t_start) * 1000.0, 3),
