@@ -4958,10 +4958,22 @@ def q_semantic_dedup(sf_dir: str):
         V = flat.reshape(n, -1)
         order = np.argsort(ids, kind="stable")
         ids, V = ids[order], V[order]
-        D = V @ V.T
-        nn = np.einsum("nd,nd->n", V, V)
-        near = (D > 0) & (SEM_TAU_DEN * D * D >= SEM_TAU_NUM * np.outer(nn, nn))
-        dup = np.triu(near, k=1).any(axis=0)  # near some EARLIER (smaller id)
+        # BLAS matmul in float64 is EXACT here (|v8| <= 256, d = 64 -> every
+        # dot <= 2^22 << 2^53) and ~50x the int64 path; the threshold
+        # arithmetic converts back to int64 (10^4*dot^2 <= 2^58 needs it).
+        # Column-blocked so peak memory is n x B, not n x n (16k-vector
+        # clusters at the 64x datapoint would need a 2 GiB dense D).
+        Vf = V.astype(np.float64)
+        nn = np.einsum("nd,nd->n", V, V)  # int64, <= 2^22
+        dup = np.zeros(n, dtype=bool)
+        B = 2048
+        for j0 in range(1, n, B):
+            j1 = min(j0 + B, n)
+            D = np.rint(Vf[:j1] @ Vf[j0:j1].T).astype(np.int64)
+            near = (D > 0) & (SEM_TAU_DEN * D * D
+                              >= SEM_TAU_NUM * np.outer(nn[:j1], nn[j0:j1]))
+            near &= np.arange(j1)[:, None] < np.arange(j0, j1)[None, :]
+            dup[j0:j1] |= near.any(axis=0)  # near some EARLIER (smaller id)
         cl = g.column("cluster").to_numpy(zero_copy_only=False)[order]
         return pa.table({"vec_id": pa.array(ids[~dup]),
                          "cluster": pa.array(cl[~dup].astype(np.int64))})
