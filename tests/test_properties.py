@@ -235,3 +235,63 @@ def test_polar_stereo_roundtrip_property(lon, lat):
     lon2, lat2 = transform("EPSG:3413", "EPSG:4326", x, y)
     dl = abs((lon2[0] - lon + 180.0) % 360.0 - 180.0)
     assert dl < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+def test_explode_reassemble_roundtrip_property():
+    """For ANY text and ANY segment width: reassembling the exploded
+    segments (no dedup in between) reproduces the original text exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.dedup import (
+        explode_token_segments, reassemble_segments)
+
+    texts = st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts=texts, w=st.integers(min_value=1, max_value=5))
+    def run(texts, w):
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        segs = explode_token_segments(t, w=w)
+        out = reassemble_segments(segs).sort_by("doc_id")
+        assert out.column("text_scrubbed").to_pylist() == texts
+
+    run()
+
+
+def test_keep_first_rows_matches_pandas_property():
+    """keep_first_rows == pandas sort + drop_duplicates(keep='first') on
+    random multisets of short strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.dedup import keep_first_rows
+
+    rows = st.lists(st.tuples(st.text(alphabet="xy", min_size=0, max_size=3),
+                              st.integers(min_value=0, max_value=50)),
+                    min_size=0, max_size=40)
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows=rows)
+    def run(rows):
+        t = pa.table({"k": pa.array([r[0] for r in rows], pa.string()),
+                      "doc_id": pa.array([r[1] for r in rows], pa.int64())})
+        got = keep_first_rows(t, "k", ["doc_id"], ["doc_id", "k"]).to_pandas()
+        want = (pd.DataFrame(rows, columns=["k", "doc_id"])
+                .sort_values(["k", "doc_id"], kind="mergesort")
+                .drop_duplicates("k", keep="first")[["doc_id", "k"]]
+                .reset_index(drop=True))
+        got = got.sort_values(["k"]).reset_index(drop=True)
+        want = want.sort_values(["k"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        if len(got):  # empty frames differ only in inferred dtypes
+            assert got.equals(want)
+
+    run()
