@@ -4773,6 +4773,92 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
 FROM s"""
 
 
+BLOOM_SRC_MOD = 3  # build side: custkeys of every 3rd order
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Broadcast BLOOM-FILTER semi-join pruning (Bloom 1970) — the classic
+    pre-shuffle primitive: build a 64 Kbit filter over the build side's
+    keys (custkeys of every 3rd order), broadcast it once, and prune the
+    probe side (customer) with a vectorized membership test BEFORE any
+    exchange would run. No false negatives; false positives are a
+    deterministic function of the word table, and the oracle sets the SAME
+    bits (multiply-shift positions replayed in SQL), so even the FPs match
+    exactly. Contract: the surviving (c_custkey, c_nationkey) rows.
+
+    Scale shape: per-block <= 1,024-row word partials -> combiner-tree
+    bitwise OR -> an 8 KiB driver artifact shipped once per task (ray.put
+    at bigger filter sizes); the probe side streams with zero shuffles."""
+    from ..stages import sketch as SK
+
+    def build_side(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ok % BLOOM_SRC_MOD == 0)).select(["o_custkey"])
+
+    src = read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        build_side, batch_format="pyarrow")
+    partials = src.map_batches(partial(SK.bloom_partial_batch,
+                                       key_col="o_custkey"),
+                               batch_format="pyarrow")
+    rows = partials.map_batches(SK.bloom_combine_batch, batch_format="pyarrow") \
+        .repartition(1).map_batches(SK.bloom_combine_batch,
+                                    batch_format="pyarrow").take_all()
+    words = SK.bloom_merge_rows(rows)  # 8 KiB dense uint64 array
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return b.filter(pa.array(SK.bloom_contains(keys, words)))
+
+    out = read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        probe, batch_format="pyarrow")
+    return _cast_cols(out, {"c_custkey": I64, "c_nationkey": I64})
+
+
+def sql_bloom_semi_join() -> str:
+    from ..stages.sketch import BLOOM_K_C, BLOOM_M_BITS
+
+    M32 = 1 << 32
+    p2 = "[" + ", ".join(str(1 << b) for b in range(64)) + "]"  # HUGEINT list
+
+    def mulmod(ref: str, c: int) -> str:
+        return (f"(({ref} % {M32}) * {c} % {_M64}"
+                f" + (({ref} // {M32}) * {c % M32} % {M32}) * {M32}) % {_M64}")
+
+    def pos_case(ref: str) -> str:
+        return "CASE i " + " ".join(
+            f"WHEN {i} THEN {mulmod(ref, c)} // {1 << (64 - BLOOM_M_BITS)}"
+            for i, c in enumerate(BLOOM_K_C)) + " END"
+
+    # signed-int64 view of the single-bit word (1 << 63 wraps negative)
+    bit_signed = (f"CAST(CASE WHEN ({p2})[CAST(p % 64 AS BIGINT) + 1]"
+                  f" >= 9223372036854775808"
+                  f" THEN ({p2})[CAST(p % 64 AS BIGINT) + 1] - {_M64}"
+                  f" ELSE ({p2})[CAST(p % 64 AS BIGINT) + 1] END AS BIGINT)")
+    return f"""
+WITH ks AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE o_orderkey % {BLOOM_SRC_MOD} = 0),
+kpos AS (
+  SELECT CAST({pos_case('k')} AS BIGINT) AS p
+  FROM ks, (SELECT unnest(generate_series(0, {len(BLOOM_K_C) - 1})) AS i)),
+bits AS (
+  SELECT CAST(p // 64 AS BIGINT) AS word, bit_or({bit_signed}) AS bits
+  FROM kpos GROUP BY 1),
+cpos AS (
+  SELECT c_custkey, c_nationkey, i,
+         CAST({pos_case('c_custkey')} AS BIGINT) AS p
+  FROM customer, (SELECT unnest(generate_series(0, {len(BLOOM_K_C) - 1})) AS i)),
+hits AS (
+  SELECT c.c_custkey, c.c_nationkey, count(*) AS nhit
+  FROM cpos c JOIN bits b ON b.word = c.p // 64
+  WHERE (b.bits >> CAST(c.p % 64 AS BIGINT)) & 1 = 1
+  GROUP BY 1, 2)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey
+FROM hits WHERE nhit = {len(BLOOM_K_C)}"""
+
+
 CUR_BUDGET = 400  # composite pipeline per-source budget (binds at every sf)
 
 
@@ -5188,6 +5274,7 @@ QUERIES: dict[str, tuple] = {
     # rows-only (image bytes): rotated out of the driver window in r3 —
     # driver-witnessed (rows) in r1+r2; its slot goes to curation_pipeline
     "getmap_requests": (q_getmap_requests, None),
+    "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),

@@ -135,3 +135,71 @@ def cms_point_estimate(cells: pa.Table, tokens: list[str]) -> np.ndarray:
             col = ((th * np.uint64(c)) >> shift).astype(np.int64)
             est = np.minimum(est, grid[i, col])
     return est
+
+
+# ---- Bloom filter (Bloom 1970) -----------------------------------------
+# Register contract like HLL/CMS: the verified artifact is the exact word
+# table; membership has NO false negatives and deterministic, replayable
+# false positives (the SQL oracle sets the same bits, so even the FPs match).
+BLOOM_M_BITS = 16
+BLOOM_M = 1 << BLOOM_M_BITS          # 65,536 bits = 1,024 int64 words
+BLOOM_WORDS = BLOOM_M // 64
+BLOOM_K_C = CMS_ROW_C                # k=4 multiply-shift bit positions
+
+
+def bloom_positions(keys: np.ndarray) -> list[np.ndarray]:
+    """k bit positions per key: top M_BITS bits of (key * C_i mod 2^64)."""
+    shift = np.uint64(64 - BLOOM_M_BITS)
+    out = []
+    with np.errstate(over="ignore"):
+        for c in BLOOM_K_C:
+            out.append(((keys.astype(np.uint64) * np.uint64(c)) >> shift)
+                       .astype(np.int64))
+    return out
+
+
+def bloom_partial_batch(batch: pa.Table, key_col: str) -> pa.Table:
+    """Per-block partial Bloom filter: OR the k bit positions of every key
+    into a dense word array; emit only nonzero words ({word, bits} with the
+    uint64 word viewed as int64) — <= 1,024 rows per block regardless of
+    block size. Partials merge by bitwise OR (order-free, idempotent)."""
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
+    for pos in bloom_positions(keys):
+        np.bitwise_or.at(words, pos >> 6,
+                         np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+    nz = np.nonzero(words)[0]
+    return pa.table({"word": pa.array(nz.astype(np.int64)),
+                     "bits": pa.array(words[nz].view(np.int64))})
+
+
+def bloom_merge_rows(tables_rows) -> np.ndarray:
+    """OR (word, bits) partial rows into the dense uint64 word array."""
+    words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
+    for r in tables_rows:
+        words[int(r["word"])] |= np.uint64(np.int64(r["bits"]))
+    return words
+
+
+def bloom_contains(keys: np.ndarray, words: np.ndarray) -> np.ndarray:
+    """Vectorized membership: True iff ALL k bits are set (no false
+    negatives; false positives are a deterministic function of the words)."""
+    ok = np.ones(len(keys), dtype=bool)
+    for pos in bloom_positions(keys):
+        bit = (words[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) \
+            & np.uint64(1)
+        ok &= bit.astype(bool)
+    return ok
+
+
+def bloom_combine_batch(b: pa.Table) -> pa.Table:
+    """Bitwise-OR (word, bits) partial rows within one batch back to
+    <= BLOOM_WORDS nonzero rows — the combiner-tree step between per-block
+    partials and the final merge."""
+    words = np.zeros(BLOOM_WORDS, dtype=np.uint64)
+    idx = b.column("word").to_numpy(zero_copy_only=False).astype(np.int64)
+    bits = b.column("bits").to_numpy(zero_copy_only=False).view(np.uint64)
+    np.bitwise_or.at(words, idx, bits)
+    nz = np.nonzero(words)[0]
+    return pa.table({"word": pa.array(nz.astype(np.int64)),
+                     "bits": pa.array(words[nz].view(np.int64))})

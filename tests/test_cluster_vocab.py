@@ -228,3 +228,29 @@ def test_semantic_dedup_tau_boundary(ray_session):
     assert near(base, above)
     assert not near(base, below)
     assert not near(base, anti)          # dot < 0: never near, even |cos|=1
+
+
+def test_bloom_no_false_negatives_and_merge():
+    """Bloom membership never misses an inserted key; partials OR-merge to
+    the whole-set filter; a disjoint key range shows FPs stay rare at this
+    fill factor."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.sketch import (
+        bloom_combine_batch, bloom_contains, bloom_merge_rows,
+        bloom_partial_batch)
+
+    keys = np.arange(0, 20_000, 7, dtype=np.int64)     # ~2.9k keys
+    t = pa.table({"k": pa.array(keys)})
+    whole = bloom_partial_batch(t, "k")
+    h1 = bloom_partial_batch(pa.table({"k": pa.array(keys[:1000])}), "k")
+    h2 = bloom_partial_batch(pa.table({"k": pa.array(keys[1000:])}), "k")
+    merged = bloom_combine_batch(pa.concat_tables([h1, h2]))
+    assert merged.to_pydict() == whole.to_pydict()
+
+    words = bloom_merge_rows(whole.to_pylist())
+    assert bloom_contains(keys, words).all()            # no false negatives
+    probe = np.arange(1_000_000, 1_020_000, dtype=np.int64)  # disjoint
+    fp = bloom_contains(probe, words).mean()
+    assert fp < 0.05, fp                                # ~ (1-e^-kn/m)^k
