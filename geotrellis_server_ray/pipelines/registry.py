@@ -1746,9 +1746,7 @@ def sql_passage_dedup() -> str:
     # stays under 2^96.
     M32 = 1 << 32
 
-    def mulmod(ref: str, c: int) -> str:
-        return (f"(({ref} % {M32}) * {c} % {_M64}"
-                f" + (({ref} // {M32}) * {c % M32} % {M32}) * {M32}) % {_M64}")
+    mulmod = _sql_mulmod
 
     win_terms = " + ".join(
         mulmod(f"th[p + {j}]", cpow[PASSAGE_W - 1 - j]) for j in range(PASSAGE_W)
@@ -2007,6 +2005,17 @@ def q_doc_fingerprints(sf_dir: str):
 
 
 _M64 = 18446744073709551616  # 2^64
+
+
+def _sql_mulmod(ref: str, c: int) -> str:
+    """a*c mod 2^64 for DuckDB HUGEINT: both factors can be ~2^64, so a
+    direct product would overflow INT128; split the variable factor —
+    a*c mod 2^64 = (a_lo*c mod 2^64 + ((a_hi*(c mod 2^32)) mod 2^32) * 2^32)
+    mod 2^64 — every intermediate stays under 2^96. Shared by the passage /
+    HLL / CMS / Bloom oracle replays."""
+    M32 = 1 << 32
+    return (f"(({ref} % {M32}) * {c} % {_M64}"
+            f" + (({ref} // {M32}) * {c % M32} % {M32}) * {M32}) % {_M64}")
 _M48 = 281474976710656       # 2^48 (the engine's fingerprint mask + 1)
 
 
@@ -4288,10 +4297,7 @@ def sql_hll_registers() -> str:
                 f" * {M32}"
                 f" + xor(CAST({lo} AS BIGINT), CAST({slo} AS BIGINT)))")
 
-    def mulmod(ref: str, c: int) -> str:
-        # a*c mod 2^64 via sub-2^96 intermediates (passage-dedup identity)
-        return (f"(({ref} % {M32}) * {c} % {_M64}"
-                f" + (({ref} // {M32}) * {c % M32} % {M32}) * {M32}) % {_M64}")
+    mulmod = _sql_mulmod
 
     return f"""
 WITH z0 AS (
@@ -4351,9 +4357,7 @@ def sql_cms_sketch() -> str:
         f" FROM unnest(generate_series(1, length(tok))) AS u(i)), 0) % {_M64}"
     )
 
-    def mulmod(ref: str, c: int) -> str:
-        return (f"(({ref} % {M32}) * {c} % {_M64}"
-                f" + (({ref} // {M32}) * {c % M32} % {M32}) * {M32}) % {_M64}")
+    mulmod = _sql_mulmod
 
     col_case = " ".join(
         f"WHEN {i} THEN {mulmod('th', c)} // {1 << (64 - CMS_W_BITS)}"
@@ -4821,9 +4825,7 @@ def sql_bloom_semi_join() -> str:
     M32 = 1 << 32
     p2 = "[" + ", ".join(str(1 << b) for b in range(64)) + "]"  # HUGEINT list
 
-    def mulmod(ref: str, c: int) -> str:
-        return (f"(({ref} % {M32}) * {c} % {_M64}"
-                f" + (({ref} // {M32}) * {c % M32} % {M32}) * {M32}) % {_M64}")
+    mulmod = _sql_mulmod
 
     def pos_case(ref: str) -> str:
         return "CASE i " + " ".join(
@@ -5058,7 +5060,9 @@ def q_semantic_dedup(sf_dir: str):
             D = np.rint(Vf[:j1] @ Vf[j0:j1].T).astype(np.int64)
             near = (D > 0) & (SEM_TAU_DEN * D * D
                               >= SEM_TAU_NUM * np.outer(nn[:j1], nn[j0:j1]))
-            near &= np.arange(j1)[:, None] < np.arange(j0, j1)[None, :]
+            # rows < j0 are all strictly earlier; only the in-block B x B
+            # square needs the strict-upper-triangle mask
+            near[j0:] &= np.tri(j1 - j0, j1 - j0, k=-1, dtype=bool).T
             dup[j0:j1] |= near.any(axis=0)  # near some EARLIER (smaller id)
         cl = g.column("cluster").to_numpy(zero_copy_only=False)[order]
         return pa.table({"vec_id": pa.array(ids[~dup]),
