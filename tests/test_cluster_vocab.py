@@ -254,3 +254,29 @@ def test_bloom_no_false_negatives_and_merge():
     probe = np.arange(1_000_000, 1_020_000, dtype=np.int64)  # disjoint
     fp = bloom_contains(probe, words).mean()
     assert fp < 0.05, fp                                # ~ (1-e^-kn/m)^k
+
+
+def test_semantic_dedup_multiblock_cluster(ray_session, tmp_path):
+    """A 3000-vector single-cluster-dominated corpus forces the blocked
+    kernel through multiple 2048-column blocks; planted duplicate pairs
+    straddle block boundaries and exactly the even-id originals survive."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geotrellis_server_ray.pipelines.registry import QUERIES
+
+    rng = np.random.RandomState(11)
+    n, d = 3000, 64
+    E = rng.rand(n, d).astype(np.float32)
+    E[1::2] = E[0::2]  # every odd vec duplicates its even predecessor
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(E.reshape(-1)), d).cast(pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    out = QUERIES["semantic_dedup"][0](str(tmp_path)).to_pandas()
+    ids = set(out.vec_id)
+    assert len(out) == n // 2
+    assert all(i in ids for i in range(0, n, 2))
+    assert not any(i in ids for i in range(1, n, 2))
