@@ -332,10 +332,22 @@ def parse_proj4(s: str):
         # or +ellps/+datum merc is ELLIPSOIDAL Mercator (EPSG:3395 family),
         # which this engine does not implement — silently treating it as
         # 3857 would shift northings by up to ~21 km at mid-latitudes.
+        # ... and the explicit sphere radius must BE the WebMercator radius
+        # (6378137 m): a different sphere (+R=6371000 etc.) would silently
+        # shift every coordinate by ~0.1% if mapped to 3857 math.
+        _R3857 = 6378137.0
         if "R" in kv:
-            return "3857"
+            if float(kv["R"]) == _R3857:
+                return "3857"
+            raise ValueError(
+                f"spherical +proj=merc with R={kv['R']} is not WebMercator "
+                f"(R={_R3857:.0f}) — other sphere radii are not implemented")
         if "a" in kv and "b" in kv and float(kv["a"]) == float(kv["b"]):
-            return "3857"
+            if float(kv["a"]) == _R3857:
+                return "3857"
+            raise ValueError(
+                f"spherical +proj=merc with a=b={kv['a']} is not WebMercator "
+                f"(a={_R3857:.0f}) — other sphere radii are not implemented")
         raise ValueError(
             "only spherical +proj=merc (WebMercator; give +a=+b or +R) is "
             "supported — ellipsoidal Mercator is not implemented")

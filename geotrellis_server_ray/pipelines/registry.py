@@ -1344,7 +1344,14 @@ def q_ngram_jaccard_pairs(sf_dir: str):
                                   btbl.column("id_b").to_pylist(),
                                   btbl.column("flag").to_pylist(),
                                   btbl.column("blob").to_pylist()):
-            blocks.setdefault((mn, mx), {})[fl] = bl
+            span = blocks.setdefault((mn, mx), {})
+            if fl in span:
+                # two distinct blocks share an identical (min,max) span —
+                # only possible with duplicated doc_id values, which also
+                # means the ranges are NOT disjoint; don't let the dict-key
+                # aliasing swallow the collision (r3 ADVICE)
+                return None
+            span[fl] = bl
         spans = sorted(blocks)
         disjoint = all(spans[i][1] < spans[i + 1][0]
                        for i in range(len(spans) - 1))

@@ -62,8 +62,16 @@ def _hist_batch_grouped(b: pa.Table, col: str, group_col: str,
         x = v[gm & (v >= lo) & (v <= hi)]
         if len(x) == 0:
             continue
-        width = hi - lo + 1
-        bk = (x - lo) * NB // width if width > NB else x - lo
+        # Division-first bucketing, overflow-safe over the FULL int64 domain:
+        # (x - lo) can exceed 2^63 when the range spans both sign halves, so
+        # the offset is computed with uint64 wraparound subtraction (exact
+        # two's-complement difference), then divided by the Python-int-exact
+        # step = ceil(width/NB).  Multiply-first ((x-lo)*NB//width) would wrap
+        # int64 for widths beyond ~2^51.
+        width = hi - lo + 1            # Python int, exact
+        step = (width + NB - 1) // NB  # >= 1; buckets = ceil(width/step) <= NB
+        off = x.astype(np.uint64) - np.uint64(lo & 0xFFFFFFFFFFFFFFFF)
+        bk = (off // np.uint64(step)).astype(np.int64)
         cnt = np.bincount(bk)
         nz = np.nonzero(cnt)[0]
         rids.append(np.full(len(nz), rid, np.int64))
@@ -144,20 +152,19 @@ def grouped_exact_quantiles(ds, group_col: str, col: str,
         for key, rid in rid_of.items():
             k, lo, hi = state[key]
             width = hi - lo + 1
+            step = (width + NB - 1) // NB
             acc = 0
             for bk in sorted(counts[rid]):
                 c = counts[rid][bk]
                 if acc + c >= k:
-                    if width <= NB:
+                    if step == 1:
                         out[key] = lo + bk
                     else:
-                        # exact preimage of bucket bk: v - lo in
-                        # [ceil(bk*w/NB), ceil((bk+1)*w/NB) - 1] — ceil, not
-                        # floor, or the next pass double-counts a value
-                        # already accumulated in acc
-                        b_lo = lo + (bk * width + NB - 1) // NB
-                        b_hi = lo + (((bk + 1) * width + NB - 1) // NB) - 1
-                        state[key] = [k - acc, b_lo, b_hi]
+                        # exact preimage of bucket bk under division-first
+                        # bucketing: v - lo in [bk*step, (bk+1)*step - 1]
+                        # (all Python-int arithmetic, so exact at any width)
+                        state[key] = [k - acc, lo + bk * step,
+                                      min(hi, lo + (bk + 1) * step - 1)]
                     break
                 acc += c
             else:

@@ -234,7 +234,10 @@ def interval_join(events_ds, intervals_ds, ts_col: str, start_col: str,
 
     ev = events_ds.map_batches(ev_bucket, batch_format="pyarrow")
     iv = intervals_ds.map_batches(iv_replicate, batch_format="pyarrow")
-    kw = {"num_partitions": num_partitions} if num_partitions else {"num_partitions": 8}
+    if num_partitions is None:
+        from ..config import shuffle_partitions
+        num_partitions = shuffle_partitions()
+    kw = {"num_partitions": num_partitions}
     on = ("bucket", "_salt") if salt > 1 else ("bucket",)
     joined = ev.join(iv, join_type="inner", on=on, **kw)
 

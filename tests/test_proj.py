@@ -206,7 +206,10 @@ def test_merc_requires_explicit_sphere():
 
     assert parse_proj4("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0") == "3857"
     assert parse_proj4("+proj=merc +R=6378137") == "3857"
-    for bad in ("+proj=merc +ellps=WGS84", "+proj=merc +datum=WGS84", "+proj=merc"):
+    # r3 ADVICE: a NON-WebMercator sphere radius must be rejected, not
+    # silently treated as 6378137 m math (~0.1% coordinate shift)
+    for bad in ("+proj=merc +ellps=WGS84", "+proj=merc +datum=WGS84", "+proj=merc",
+                "+proj=merc +R=6371000", "+proj=merc +a=6371000 +b=6371000"):
         with pytest.raises(ValueError, match="spherical"):
             parse_proj4(bad)
 

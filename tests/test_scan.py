@@ -124,3 +124,31 @@ def test_grouped_exact_quantiles_random(ray_session):
         for lbl, q in (("p50", 0.5), ("p90", 0.9)):
             want = int(x[int(math.ceil(q * len(x))) - 1])
             assert got[(g, lbl)] == want, (g, lbl)
+
+
+def test_exact_quantiles_full_int64_domain(ray_session):
+    """Regression (r3 ADVICE): value ranges wider than ~2^51 wrapped the
+    multiply-first bucket id ((x-lo)*NB) in int64.  Division-first bucketing
+    with uint64 wraparound offsets must stay exact over the FULL int64
+    domain, including ranges spanning both sign halves."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.RandomState(7)
+    val = np.concatenate([
+        np.array([-2**63, 2**63 - 1, -2**62, 2**62, 0, 1, -1], np.int64),
+        rng.randint(-2**62, 2**62, 500, dtype=np.int64),
+    ])
+    t = pa.table({"v": pa.array(val)})
+    out = exact_quantiles(rd.from_arrow(t).repartition(4), "v",
+                          {"p01": 0.01, "p50": 0.5, "p99": 0.99}).to_pandas()
+    got = dict(zip(out["q_label"], out["value"]))
+    x = np.sort(val)
+    for lbl, q in (("p01", 0.01), ("p50", 0.5), ("p99", 0.99)):
+        want = int(x[int(math.ceil(q * len(x))) - 1])
+        assert got[lbl] == want, (lbl, got[lbl], want)
