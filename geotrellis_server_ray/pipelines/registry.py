@@ -2531,39 +2531,23 @@ FROM t"""
 
 # ------------------------------------------------------ semi / anti joins
 
-def _broadcast_key_set(sf_dir: str, table: str, col: str, filter_expr=None):
-    import pyarrow.parquet as pq
-    import ray
+def q_customers_without_orders(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """Anti-join: customers with NO order since 2000, fully distributed on
+    both sides (r3 fix: the build-side key set is now per-block distinct
+    partials -> combiner fold, never a driver parquet read; above the
+    broadcast gate it falls back to Ray's native hash left_anti join —
+    a Bloom filter could NOT serve this path, FPs would wrongly drop rows)."""
+    from .relational import semi_anti_join
 
-    t = pq.read_table(f"{sf_dir}/{table}.parquet")
-    if filter_expr is not None:
-        t = t.filter(filter_expr)
-    return ray.put(np.unique(t.column(col).to_numpy(zero_copy_only=False)))
-
-
-def _key_filter(key_set_ref, col: str, keep_in: bool):
-    def f(batch: pa.Table) -> pa.Table:
-        import ray
-
-        keys = ray.get(key_set_ref)
-        v = batch.column(col).to_numpy(zero_copy_only=False)
-        hit = np.isin(v, keys)
-        return batch.filter(pa.array(hit if keep_in else ~hit))
-
-    return f
-
-
-def q_customers_without_orders(sf_dir: str):
-    """Anti-join: broadcast the recent-orders key set, filter customers
-    against it (the guide's broadcast-key-set anti-join pattern — at 100TB
-    the set becomes a Bloom filter, same stage shape). Restricted to orders
-    since 2000 so the result is non-trivial."""
-    oref = _broadcast_key_set(
-        sf_dir, "orders", "o_custkey",
-        pc.greater_equal(pc.field("o_orderdate"), pa.scalar(np.datetime64("2000-01-01", "us"))),
-    )
+    build = read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column("o_orderdate"),
+            pa.scalar(np.datetime64("2000-01-01", "us"))))
+        .select(["o_custkey"]),
+        batch_format="pyarrow")
     ds = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return ds.map_batches(_key_filter(oref, "c_custkey", keep_in=False), batch_format="pyarrow")
+    return semi_anti_join(ds, "c_custkey", build, "o_custkey", anti=True,
+                          broadcast_limit=broadcast_limit)
 
 
 def sql_customers_without_orders() -> str:
@@ -2573,11 +2557,16 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
                   AND o.o_orderdate >= TIMESTAMP '2000-01-01')"""
 
 
-def q_parts_with_lineitems(sf_dir: str):
-    """Semi-join: parts that appear in at least one lineitem."""
-    lref = _broadcast_key_set(sf_dir, "lineitem", "l_partkey")
+def q_parts_with_lineitems(sf_dir: str, broadcast_limit: int = 2_000_000):
+    """Semi-join: parts that appear in at least one lineitem — distributed
+    distinct build + gated broadcast / native left_semi fallback (see
+    q_customers_without_orders)."""
+    from .relational import semi_anti_join
+
+    build = read(sf_dir, "lineitem", ["l_partkey"])
     ds = read(sf_dir, "part", ["p_partkey", "p_name"])
-    return ds.map_batches(_key_filter(lref, "p_partkey", keep_in=True), batch_format="pyarrow")
+    return semi_anti_join(ds, "p_partkey", build, "l_partkey", anti=False,
+                          broadcast_limit=broadcast_limit)
 
 
 def sql_parts_with_lineitems() -> str:
@@ -5227,6 +5216,11 @@ FROM ranked WHERE rn = 1 GROUP BY doc_id"""
 # round-3 additions. Block D (tail, pytest-parity-only this round) = the
 # long-stable flagship queries, green under the driver in BOTH prior rounds.
 QUERIES: dict[str, tuple] = {
+    # --- Block HEAD (standing rule, r3 VERDICT #1/#10): queries with NO green
+    # driver CORRECTNESS row in any prior round enter HERE, ahead of
+    # everything else; round-4 additions land here too. Enforced by
+    # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
     # --- Block A: driver-unwitnessed in r2 (registry positions 51-68)
     "checkpointed_write": (q_checkpointed_write, None),
     "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),
@@ -5285,7 +5279,6 @@ QUERIES: dict[str, tuple] = {
     # rows-only (image bytes): rotated out of the driver window in r3 —
     # driver-witnessed (rows) in r1+r2; its slot goes to curation_pipeline
     "getmap_requests": (q_getmap_requests, None),
-    "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
     "quality_filter": (q_quality_filter, sql_quality_filter),
     "minhash_dedup": (q_minhash_dedup, sql_minhash_dedup),
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
