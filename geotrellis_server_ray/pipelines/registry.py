@@ -1251,8 +1251,8 @@ def q_knn_media_ring(sf_dir: str):
 
     ds = geo.anchored_spans(sf_dir)
     out = knn(ds, _knn_queries(), k=KNN_K, ring_level=4, ring_k=2)
-    # the ring path returns a pandas frame (driver-merged partials)
-    return out.astype({"query_id": "int64", "rank": "int64", "span_idx": "int64"})
+    # the ring path now merges distributed like the non-ring path (r3 fix)
+    return _cast_cols(out, {"query_id": I64, "rank": I64, "span_idx": I64})
 
 
 def sql_knn_media() -> str:

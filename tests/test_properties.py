@@ -116,7 +116,7 @@ def test_knn_ring_pruned_equals_brute_force(ray_session):
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     for level, rk in [(2, 1), (4, 1), (6, 2)]:
         pruned = knn(rd.from_arrow(ds_tbl), queries, k=5, ring_level=level, ring_k=rk)
-        pruned = pruned.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pruned = pruned.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
         assert brute[["query_id", "rank", "doc_id", "span_idx"]].equals(
             pruned[["query_id", "rank", "doc_id", "span_idx"]]), (level, rk)
 
