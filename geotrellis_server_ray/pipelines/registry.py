@@ -1407,19 +1407,28 @@ LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b"""
 # ------------------------------------------------------- multimodal stages
 
 def q_media_meta(sf_dir: str):
-    """Multimodal plumbing end-to-end: corpus media spans -> MediaDecode
-    actor pool (deterministic fake decode; real codec path gated on import)
-    -> MediaResize. Schema and batch flow are the real thing; only the pixel
-    kernel is stubbed (no codec libs in this container)."""
+    """Multimodal decode end-to-end with REAL image bytes (r4: closes the r3
+    fake-decode honesty gap): corpus media spans -> real baseline-JPEG
+    payloads (the in-repo ITU-T81 encoder) -> MediaDecode actor pool
+    DECODING the bytes (width/height from the decoded array shape, pix_sum
+    the exact decoded pixel sum) -> MediaResize(32). The SQL oracle is
+    independent arithmetic, NOT a codec replay: images are 8x8-block
+    gradients whose blocks are DC-only, and the quality-75 DC quantizer step
+    equals the DCT DC gain, so decode is bit-exact per pixel (the property
+    is proven for all 256 gray values in tests/test_jpeg.py)."""
     from ..sources.corpus import corpus_dataset
-    from ..stages.media import MediaDecode, MediaResize
+    from ..stages.media import MediaDecode, MediaResize, media_span_payloads
 
     ds = corpus_dataset(sf_dir)
     ds = ds.map_batches(S.explode_spans, batch_format="pyarrow")
-    ds = ds.map_batches(MediaDecode, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
-    ds = ds.map_batches(MediaResize, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    ds = ds.map_batches(media_span_payloads, batch_format="pyarrow", batch_size=256)
+    ds = ds.map_batches(MediaDecode, batch_format="pyarrow", batch_size=256,
+                        concurrency=(1, 4), num_cpus=1)
+    ds = ds.map_batches(MediaResize, fn_constructor_kwargs={"max_side": 32},
+                        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
     ds = ds.map_batches(
-        lambda b: b.select(["doc_id", "span_idx", "width", "height", "n_frames", "out_width", "out_height"]),
+        lambda b: b.select(["doc_id", "span_idx", "width", "height", "pix_sum",
+                            "n_frames", "out_width", "out_height"]),
         batch_format="pyarrow",
     )
     return ds
@@ -1429,13 +1438,17 @@ def sql_media_meta() -> str:
     return f"""{SPANS}
 , m AS (
   SELECT doc_id, span_idx,
-         64 + (doc_idx * 7 + span_idx * 13) % 512 AS width,
-         64 + (doc_idx * 11 + span_idx * 3) % 512 AS height,
-         1 + (doc_idx + span_idx) % 24 AS n_frames
+         8 * (1 + (doc_idx * 7 + span_idx * 13) % 8) AS width,
+         8 * (1 + (doc_idx * 11 + span_idx * 3) % 8) AS height,
+         (doc_idx * 37 + span_idx * 101) % 256 AS seed
   FROM spans_flat WHERE is_media)
-SELECT doc_id, span_idx, width, height, n_frames,
-  GREATEST(1, (width * LEAST(GREATEST(width, height), 256)) // GREATEST(width, height)) AS out_width,
-  GREATEST(1, (height * LEAST(GREATEST(width, height), 256)) // GREATEST(width, height)) AS out_height
+SELECT doc_id, span_idx, width, height,
+  CAST(64 * list_aggregate(
+    list_transform(range(0, (width // 8) * (height // 8)),
+                   b -> (seed + 7 * b) % 256), 'sum') AS BIGINT) AS pix_sum,
+  CAST(1 AS BIGINT) AS n_frames,
+  GREATEST(1, (width * LEAST(GREATEST(width, height), 32)) // GREATEST(width, height)) AS out_width,
+  GREATEST(1, (height * LEAST(GREATEST(width, height), 32)) // GREATEST(width, height)) AS out_height
 FROM m"""
 
 
@@ -5221,6 +5234,8 @@ QUERIES: dict[str, tuple] = {
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
+    # media_meta's oracle was re-derived in r4 (real JPEG decode) -> re-witness
+    "media_meta": (q_media_meta, sql_media_meta),
     # --- Block A: driver-unwitnessed in r2 (registry positions 51-68)
     "checkpointed_write": (q_checkpointed_write, None),
     "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),
@@ -5299,7 +5314,6 @@ QUERIES: dict[str, tuple] = {
     "cell_counts_salted": (q_cell_counts_salted, sql_cell_counts_salted),
     "knn_media": (q_knn_media, sql_knn_media),
     "knn_media_ring": (q_knn_media_ring, sql_knn_media),
-    "media_meta": (q_media_meta, sql_media_meta),
     "frame_sample": (q_frame_sample, sql_frame_sample),
     "catalog_query_ogc": (q_catalog_query_ogc, sql_catalog_query_ogc),
     "mosaic_merge": (q_mosaic_merge, sql_mosaic_merge),

@@ -65,3 +65,41 @@ def test_determinism():
     rng = np.random.default_rng(9)
     img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
     assert encode_jpeg(img, 80) == encode_jpeg(img, 80)
+
+
+def test_constant_block_roundtrip_exact_all_values():
+    """The invariant behind the media_meta oracle: at quality 75 the luma DC
+    quantizer step (8) equals the orthonormal DCT's DC gain, so a constant
+    8x8 block round-trips EXACTLY for every gray value — and a block-gradient
+    image (each block constant) decodes pixel-identical."""
+    import numpy as np
+
+    from geotrellis_server_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    for v in range(256):
+        img = np.full((8, 8), v, np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=75))
+        assert out.shape == (8, 8) and (out == v).all(), v
+
+
+def test_block_gradient_roundtrip_and_synth_cache():
+    """media_span_payloads' exact synth-JPEG contract: decoded image of
+    _synth_jpeg(w, h, seed) has block b constant at (seed + 7b) % 256 and
+    pixel sum 64 * sum_b((seed + 7b) % 256); repeated calls hit the worker
+    cache (same object)."""
+    import numpy as np
+
+    from geotrellis_server_ray.functions.jpeg import decode_jpeg
+    from geotrellis_server_ray.stages.media import _synth_jpeg
+
+    for (w, h, seed) in [(8, 8, 0), (64, 64, 255), (24, 56, 131), (40, 16, 7)]:
+        data = _synth_jpeg(w, h, seed)
+        assert data is _synth_jpeg(w, h, seed)  # cached
+        arr = decode_jpeg(data)
+        assert arr.shape == (h, w)
+        nbx = w // 8
+        blocks = arr.reshape(h // 8, 8, nbx, 8).transpose(0, 2, 1, 3)
+        bidx = np.arange((h // 8) * nbx).reshape(h // 8, nbx)
+        want = (seed + 7 * bidx) % 256
+        assert (blocks == want[:, :, None, None]).all()
+        assert int(arr.sum(dtype=np.int64)) == int(64 * want.sum())
