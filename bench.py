@@ -69,37 +69,52 @@ def run_bench() -> dict:
     corpus_path = materialize_corpus(SF_DIR, REPEAT)
     geo.pip_joined(SF_DIR, corpus_path=corpus_path).count()  # warm (same job)
 
-    headline = float("inf")
-    for _ in range(2):
+    def time_flagship() -> tuple[float, int]:
         t0 = time.perf_counter()
         joined = geo.pip_joined(SF_DIR, corpus_path=corpus_path)
-        n_join_rows = joined.count()
-        headline = min(headline, time.perf_counter() - t0)
+        n = joined.count()
+        return time.perf_counter() - t0, n
+
+    headline = float("inf")
+    for _ in range(2):
+        dt, n_join_rows = time_flagship()
+        headline = min(headline, dt)
+
+    def summary(h: float) -> dict:
+        return {
+            "metric": "flagship_tile_pip_sec",
+            "value": round(h, 3),
+            "unit": "sec",
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "docs": n_docs,
+            "join_rows": n_join_rows,
+            "docs_per_sec": round(n_docs / h, 1),
+        }
+
+    # flagship summary FIRST (r3 VERDICT next #4: the driver's tail capture
+    # truncated the head of the single long metric line; this short line is
+    # un-truncatable insurance and the final line below is now compact)
+    print(json.dumps(summary(headline), separators=(",", ":")), flush=True)
 
     qtimes = {}
     if BENCH_QUERIES:
         # two interleaved passes, per-query min: the shared host steals CPU
         # in tens-of-seconds bursts, so consecutive reruns of one query are
         # correlated but the same query across two full passes is not —
-        # interleaving is the noise-robust shape at the same 2x cost
+        # interleaving is the noise-robust shape at the same 2x cost. The
+        # FLAGSHIP measurement interleaves with the passes too (r3's
+        # back-to-back pair gave the round-over-round driver regression).
         for _pass in range(int(os.environ.get("GRAFT_BENCH_PASSES", "2"))):
             for name, fn in queries().items():
                 t = time.perf_counter()
                 _consume(fn(SF_DIR))
                 dt = round(time.perf_counter() - t, 3)
                 qtimes[name] = min(qtimes.get(name, float("inf")), dt)
+            dt, _ = time_flagship()
+            headline = min(headline, dt)
 
-    out = {
-        "metric": "flagship_tile_pip_sec",
-        "value": round(headline, 3),
-        "unit": "sec",
-        "queries": qtimes,
-        "sf": SF_DIR,
-        "num_cpus": NUM_CPUS,
-        "docs": n_docs,
-        "join_rows": n_join_rows,
-        "docs_per_sec": round(n_docs / headline, 1),
-    }
+    out = {**summary(headline), "queries": qtimes}
     ray.shutdown()
     return out
 
@@ -244,4 +259,6 @@ if __name__ == "__main__":
     elif os.environ.get("_GRAFT_SCALE_QUERY_CHILD"):
         print(json.dumps(run_query_child(os.environ["_GRAFT_SCALE_QUERY_CHILD"])))
     else:
-        print(json.dumps(run_bench()))
+        # compact separators: the full line (incl. ~100 query timings) must
+        # fit the driver's ~2.8 KB tail window to parse (r3's parsed: null)
+        print(json.dumps(run_bench(), separators=(",", ":")))
