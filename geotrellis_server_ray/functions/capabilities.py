@@ -68,6 +68,24 @@ def wms_capabilities(layers: list[dict], service_title: str = "geotrellis_server
             dim = _sub(el, "Dimension", name="time", units="ISO8601",
                        default=lyr["time_positions"][0])
             dim.text = ",".join(lyr["time_positions"])
+        # Style + LegendURL blocks (style/LegendModel.scala:19-24 via
+        # CapabilitiesView.scala:169-176 / wms/package.scala:52-59): each
+        # style lists legends as LegendURL(width, height attrs; Format +
+        # xlink OnlineResource children). Style dicts: {name, title,
+        # legends: [{format, width, height, href}]}.
+        for st in lyr.get("styles", ()):
+            s_el = _sub(el, "Style")
+            _sub(s_el, "Name", st["name"])
+            _sub(s_el, "Title", st.get("title", st["name"]))
+            for lg in st.get("legends", ()):
+                l_el = _sub(s_el, "LegendURL",
+                            width=lg["width"], height=lg["height"])
+                _sub(l_el, "Format", lg["format"])
+                _sub(l_el, "OnlineResource", **{
+                    "xmlns:xlink": "http://www.w3.org/1999/xlink",
+                    "xlink:type": "simple",
+                    "xlink:href": lg["href"],
+                })
     return ET.tostring(root, encoding="unicode")
 
 

@@ -112,3 +112,97 @@ def time_slice(sources: pd.DataFrame, time_col: str, mode: str = "oldest") -> pd
     dom = OgcTimePositions.of([np.datetime64(t, "us") for t in ts.dropna()])
     pick = dom.default(mode)
     return sources[ts.values == pick]
+
+
+# ------------------------- positions <-> interval (OgcTimeFormat, r4 #7)
+
+_MS_DAY, _MS_H, _MS_M, _MS_S = 86_400_000, 3_600_000, 60_000, 1_000
+
+
+def period_iso(ms: int) -> str:
+    """Millisecond duration -> ISO-8601 period string, normalized to
+    standard days (PeriodDuration.of(Duration).normalizedStandardDays +
+    toString, OgcTime.scala:113-126): P<d>D[T<h>H<m>M<s[.fff]>S], P0D for
+    zero."""
+    ms = int(ms)
+    if ms == 0:
+        return "P0D"
+    days, rem = divmod(ms, _MS_DAY)
+    out = "P" + (f"{days}D" if days else "")
+    if rem:
+        h, rem = divmod(rem, _MS_H)
+        m, rem = divmod(rem, _MS_M)
+        out += "T"
+        if h:
+            out += f"{h}H"
+        if m:
+            out += f"{m}M"
+        if rem:
+            if rem % _MS_S == 0:
+                out += f"{rem // _MS_S}S"
+            else:
+                out += (f"{rem / _MS_S:.3f}".rstrip("0").rstrip(".")) + "S"
+    return out
+
+
+def period_ms(iso: str) -> int | None:
+    """ISO-8601 period -> milliseconds. Supports W/D and T-part H/M/S
+    (the only shapes computeIntervalPeriod produces); calendar-varying
+    years/months return None — the reference's toTimePositions is then not
+    taken and format() keeps the interval unchanged
+    (OgcTime.scala:170-179 getOrElse fallback)."""
+    import re
+
+    m = re.fullmatch(
+        r"P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+        r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?", iso.strip())
+    if m is None or m.group(1) or m.group(2):
+        return None
+    w, d, h, mi, s = m.group(3), m.group(4), m.group(5), m.group(6), m.group(7)
+    ms = (int(w or 0) * 7 + int(d or 0)) * _MS_DAY
+    ms += int(h or 0) * _MS_H + int(mi or 0) * _MS_M
+    ms += int(round(float(s or 0) * _MS_S))
+    return ms
+
+
+def compute_interval_period(times) -> str | None:
+    """OgcTimePositions.computeIntervalPeriod (OgcTime.scala:113-126): the
+    DISTINCT consecutive gaps of the sorted position list; exactly one
+    distinct gap -> its normalized period string, several -> None, a single
+    position (no gaps) -> None."""
+    arr = np.sort(np.asarray(list(times), dtype="datetime64[us]"))
+    if len(arr) < 2:
+        return None
+    gaps = np.unique(np.diff(arr).astype("timedelta64[ms]").astype(np.int64))
+    return period_iso(int(gaps[0])) if len(gaps) == 1 else None
+
+
+def positions_to_interval(p: OgcTimePositions) -> OgcTimeInterval:
+    """OgcTimePositions.toOgcTimeInterval (OgcTime.scala:128)."""
+    return OgcTimeInterval(p.times[0], p.times[-1],
+                           compute_interval_period(p.times))
+
+
+def interval_to_positions(iv: OgcTimeInterval):
+    """OgcTimeInterval.toTimePositions (OgcTime.scala:170-179): step from
+    start to end (inclusive) by the period; None when there is no period or
+    it is calendar-varying/zero."""
+    if iv.period is None:
+        return None
+    step = period_ms(iv.period)
+    if not step:
+        return None
+    s = np.datetime64(iv.start, "ms").astype(np.int64)
+    e = np.datetime64(iv.end, "ms").astype(np.int64)
+    ts = np.arange(s, e + 1, step, dtype=np.int64).astype("datetime64[ms]")
+    return OgcTimePositions.of(ts.astype("datetime64[us]"))
+
+
+def format_time(t, mode: str = "default"):
+    """OgcTime.format (OgcTime.scala:62-79): re-represent if possible.
+    mode = 'interval' | 'positions' | 'default'."""
+    if mode == "interval" and isinstance(t, OgcTimePositions):
+        return positions_to_interval(t)
+    if mode == "positions" and isinstance(t, OgcTimeInterval):
+        return interval_to_positions(t) or t
+    return t

@@ -2503,6 +2503,102 @@ SELECT event_type, CAST(count(DISTINCT ts) AS BIGINT) AS n_positions,
 FROM events GROUP BY event_type"""
 
 
+def _synth_time_domains() -> pa.Table:
+    """Fixed uniform-gap domains exercising computeIntervalPeriod's
+    inference branch (events' real gaps are ragged -> NULL period): daily,
+    90-minute, and 500 ms steps (the fraction-trim path)."""
+    mk = lambda s, step, n: np.arange(  # noqa: E731
+        np.datetime64(s, "us"), np.datetime64(s, "us") + step * n, step)
+    doms = [("__daily", mk("2020-01-01", np.timedelta64(1, "D"), 10)),
+            ("__min90", mk("2021-06-01T00:00", np.timedelta64(90, "m"), 8)),
+            ("__halfsec", mk("2022-03-01T12:00:00", np.timedelta64(500, "ms"), 5))]
+    return pa.table({
+        "event_type": pa.array(sum(([k] * len(v) for k, v in doms), []),
+                               pa.string()),
+        "ts": pa.array(np.concatenate([v for _, v in doms])
+                       .astype("datetime64[us]")),
+    })
+
+
+def q_time_period_inference(sf_dir: str):
+    """OgcTimeFormat positions->interval conversion with PERIOD INFERENCE
+    (r3 VERDICT next #7; OgcTime.scala:113-128 computeIntervalPeriod +
+    toOgcTimeInterval, OgcTimeFormat.scala:28-47): per event_type, the
+    distinct sorted position domain is summarized as its interval envelope
+    plus the inferred ISO-8601 period — the normalized single distinct gap,
+    or NULL when gaps are ragged or the domain is a single position.
+    Distinct partials -> one coalesced combine (event types are an enum);
+    three synthetic uniform domains exercise the inference branch."""
+    import ray.data as rd
+
+    from ..functions.ogctime import compute_interval_period, period_ms
+
+    ds = read(sf_dir, "events", ["event_type", "ts"]) \
+        .union(rd.from_arrow(_synth_time_domains()))
+
+    def partial_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["event_type", "ts"]).aggregate([])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        d = b.group_by(["event_type", "ts"]).aggregate([])
+        et = d.column("event_type").to_pylist()
+        ts = d.column("ts").to_numpy(zero_copy_only=False)
+        rows = []
+        for k in sorted(set(et)):
+            times = ts[np.asarray(et) == k]
+            iso = compute_interval_period(times)
+            rows.append((k, len(times), times.min(), times.max(), iso,
+                         period_ms(iso) if iso else None))
+        return pa.table({
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_positions": pa.array([r[1] for r in rows], I64),
+            "oldest": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "newest": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "period_iso": pa.array([r[4] for r in rows], pa.string()),
+            "period_ms": pa.array([r[5] for r in rows], I64),
+        })
+
+    return ds.map_batches(partial_distinct, batch_format="pyarrow") \
+        .repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+def sql_time_period_inference() -> str:
+    iso = """CASE WHEN gap1 = 0 THEN 'P0D' ELSE
+      'P' || CASE WHEN gap1 // 86400000 > 0
+                  THEN CAST(gap1 // 86400000 AS VARCHAR) || 'D' ELSE '' END ||
+      CASE WHEN gap1 % 86400000 > 0 THEN 'T' ||
+        CASE WHEN (gap1 % 86400000) // 3600000 > 0
+             THEN CAST((gap1 % 86400000) // 3600000 AS VARCHAR) || 'H' ELSE '' END ||
+        CASE WHEN (gap1 % 3600000) // 60000 > 0
+             THEN CAST((gap1 % 3600000) // 60000 AS VARCHAR) || 'M' ELSE '' END ||
+        CASE WHEN gap1 % 60000 > 0 THEN
+          CASE WHEN gap1 % 1000 = 0 THEN CAST((gap1 % 60000) // 1000 AS VARCHAR)
+               ELSE rtrim(rtrim(printf('%.3f', (gap1 % 60000) / 1000.0), '0'), '.')
+          END || 'S' ELSE '' END
+      ELSE '' END END"""
+    return f"""
+WITH synth AS (
+  SELECT '__daily' AS event_type,
+         unnest(range(TIMESTAMP '2020-01-01', TIMESTAMP '2020-01-11', INTERVAL 1 DAY)) AS ts
+  UNION ALL
+  SELECT '__min90', unnest(range(TIMESTAMP '2021-06-01 00:00:00', TIMESTAMP '2021-06-01 12:00:00', INTERVAL 90 MINUTE))
+  UNION ALL
+  SELECT '__halfsec', unnest(range(TIMESTAMP '2022-03-01 12:00:00', TIMESTAMP '2022-03-01 12:00:02.5', INTERVAL 500 MILLISECOND))
+),
+d AS (SELECT DISTINCT event_type, ts FROM (SELECT event_type, ts FROM events UNION ALL SELECT * FROM synth)),
+g AS (SELECT event_type, ts,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY ts) AS gap
+      FROM d),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_positions,
+             min(ts) AS oldest, max(ts) AS newest,
+             count(DISTINCT gap) AS ngaps, min(gap) AS gap1
+      FROM g GROUP BY event_type)
+SELECT event_type, n_positions, oldest, newest,
+  CASE WHEN ngaps = 1 THEN {iso} ELSE NULL END AS period_iso,
+  CASE WHEN ngaps = 1 THEN CAST(gap1 AS BIGINT) ELSE NULL END AS period_ms
+FROM s"""
+
+
 def q_feature_info_lookup(sf_dir: str):
     """GetFeatureInfo point lookup (M12): map each query point to its tile
     key and sample the (synthetic, analytic) raster value at that key —
@@ -5236,6 +5332,7 @@ QUERIES: dict[str, tuple] = {
     "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
     # media_meta's oracle was re-derived in r4 (real JPEG decode) -> re-witness
     "media_meta": (q_media_meta, sql_media_meta),
+    "time_period_inference": (q_time_period_inference, sql_time_period_inference),
     # --- Block A: driver-unwitnessed in r2 (registry positions 51-68)
     "checkpointed_write": (q_checkpointed_write, None),
     "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),

@@ -143,3 +143,32 @@ def test_wcs_describe_coverage_axis_rules():
     times = [e.text for e in ndvi.findall(".//gml:timePosition", ns)]
     assert times == ["2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z"]
     assert dem.find(".//c:TemporalDomain", ns) is None
+
+
+def test_wms_style_legend_url_blocks():
+    """Style + LegendURL etree goldens (r3 VERDICT next #9;
+    style/LegendModel.scala:19-24, wms/package.scala:52-59): width/height
+    as attributes, Format child, xlink OnlineResource child."""
+    import xml.etree.ElementTree as ET
+
+    layers = [dict(
+        name="ndvi", title="NDVI", xmin=-180, ymin=-85, xmax=180, ymax=85,
+        styles=[{
+            "name": "red-to-green", "title": "Red to green",
+            "legends": [{"format": "image/png", "width": 64, "height": 256,
+                         "href": "http://localhost/legend/ndvi.png"}],
+        }, {"name": "plain"}],
+    )]
+    root = ET.fromstring(wms_capabilities(layers))
+    ns = {"wms": "http://www.opengis.net/wms"}
+    styles = root.findall(".//wms:Layer/wms:Layer/wms:Style", ns)
+    assert [s.findtext("wms:Name", namespaces=ns) for s in styles] == \
+        ["red-to-green", "plain"]
+    assert styles[1].findtext("wms:Title", namespaces=ns) == "plain"
+    lu = styles[0].find("wms:LegendURL", ns)
+    assert lu.get("width") == "64" and lu.get("height") == "256"
+    assert lu.findtext("wms:Format", namespaces=ns) == "image/png"
+    onr = lu.find("wms:OnlineResource", ns)
+    assert onr.get("{http://www.w3.org/1999/xlink}href") == \
+        "http://localhost/legend/ndvi.png"
+    assert onr.get("{http://www.w3.org/1999/xlink}type") == "simple"

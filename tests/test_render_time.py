@@ -346,3 +346,63 @@ def test_serving_is_pandas_free():
 
     src = pathlib.Path(srv.__file__).read_text()
     assert "import pandas" not in src
+
+
+def test_ogctime_period_iso_goldens():
+    """PeriodDuration.normalizedStandardDays toString goldens
+    (OgcTime.scala:113-126)."""
+    from geotrellis_server_ray.functions.ogctime import period_iso, period_ms
+
+    goldens = {
+        0: "P0D",
+        86_400_000: "P1D",
+        3_600_000: "PT1H",
+        90_000_000: "P1DT1H",
+        60_000: "PT1M",
+        1_500: "PT1.5S",
+        93_784_000: "P1DT2H3M4S",
+        604_800_000: "P7D",
+    }
+    for ms, iso in goldens.items():
+        assert period_iso(ms) == iso, ms
+        if ms:
+            assert period_ms(iso) == ms, iso
+    assert period_ms("P1W") == 7 * 86_400_000
+    assert period_ms("P1Y") is None and period_ms("P2M") is None
+
+
+def test_ogctime_positions_interval_roundtrip():
+    """computeIntervalPeriod + toOgcTimeInterval + toTimePositions
+    (OgcTime.scala:113-179): uniform gaps infer the period and round-trip;
+    ragged gaps yield interval-without-period; format() is the safe
+    dispatcher."""
+    import numpy as np
+
+    from geotrellis_server_ray.functions.ogctime import (
+        OgcTimeInterval, OgcTimePositions, format_time,
+        interval_to_positions, positions_to_interval)
+
+    daily = OgcTimePositions.of(
+        np.arange(np.datetime64("2020-01-01", "us"),
+                  np.datetime64("2020-01-06", "us"),
+                  np.timedelta64(1, "D")))
+    iv = positions_to_interval(daily)
+    assert iv.period == "P1D"
+    assert iv.start == np.datetime64("2020-01-01", "us")
+    assert iv.end == np.datetime64("2020-01-05", "us")
+    back = interval_to_positions(iv)
+    assert back == daily
+
+    single = OgcTimePositions.of([np.datetime64("2021-05-01T06:00", "us")])
+    assert positions_to_interval(single).period is None
+
+    ragged = OgcTimePositions.of([np.datetime64("2020-01-01", "us"),
+                                  np.datetime64("2020-01-02", "us"),
+                                  np.datetime64("2020-01-05", "us")])
+    riv = positions_to_interval(ragged)
+    assert riv.period is None
+    assert interval_to_positions(riv) is None
+    # format('positions') keeps the interval when expansion is impossible
+    assert format_time(riv, "positions") is riv
+    assert format_time(daily, "interval") == iv
+    assert format_time(daily, "default") is daily
