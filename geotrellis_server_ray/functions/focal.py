@@ -85,3 +85,50 @@ def apply_target_cell(result: np.ndarray, result_mask: np.ndarray,
         out = np.where(original_mask, result, original)
         return out, np.where(original_mask, result_mask, original_mask)
     raise ValueError(f"unknown TargetCell: {target}")
+
+
+def focal_stats(z: np.ndarray, mask: np.ndarray | None = None):
+    """3x3 focal mean / max / min + Horn ASPECT in ONE buffered pass — the
+    maml-jvm FocalMean/FocalMax/FocalMin/FocalAspect operators the
+    reference's runtime MAML JSON can name (README 'High level concepts';
+    same AST family as FocalSlope/FocalHillshade bound in
+    ogc-example/.../FocalParameters.scala:36-50).
+
+    Semantics: mean/max/min use geotrellis focal-statistic NoData rules —
+    NoData cells are EXCLUDED from the window and the output is NoData only
+    when the window has NO valid cell; aspect (like slope/hillshade) needs
+    every Horn neighbor, so any NoData in the window masks the cell. Aspect
+    is the azimuth of steepest DESCENT, degrees clockwise from north
+    (y grows southward): (degrees(atan2(-dzdx, dzdy)) + 360) % 360.
+
+    Input buffered (..., H+2, W+2); returns values (..., 4, H, W) stacked
+    [mean, max, min, aspect] and the matching NoData mask stack."""
+    zf = np.asarray(z, dtype=np.float64)
+    H, W = zf.shape[-2] - 2, zf.shape[-1] - 2
+    valid = ~mask if mask is not None else np.ones(zf.shape, dtype=bool)
+    vals = np.where(valid, zf, 0.0)
+    lead = zf.shape[:-2]
+    sum9 = np.zeros(lead + (H, W))
+    cnt9 = np.zeros(lead + (H, W))
+    mx = np.full(lead + (H, W), -np.inf)
+    mn = np.full(lead + (H, W), np.inf)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            vw = vals[..., dy:dy + H, dx:dx + W]
+            aw = valid[..., dy:dy + H, dx:dx + W]
+            sum9 += vw
+            cnt9 += aw
+            zw = zf[..., dy:dy + H, dx:dx + W]
+            mx = np.maximum(mx, np.where(aw, zw, -np.inf))
+            mn = np.minimum(mn, np.where(aw, zw, np.inf))
+    stat_mask = cnt9 == 0
+    mean = sum9 / np.maximum(cnt9, 1.0)
+    mx = np.where(stat_mask, 0.0, mx)
+    mn = np.where(stat_mask, 0.0, mn)
+    dzdx, dzdy = _horn_gradients(zf, 1.0, 1.0, 1.0)
+    aspect = np.mod(np.degrees(np.arctan2(-dzdx, dzdy)) + 360.0, 360.0)
+    amask = _window_mask(mask) if mask is not None else np.zeros((H, W), dtype=bool)
+    amask = np.broadcast_to(amask, aspect.shape)
+    values = np.stack([mean, mx, mn, aspect], axis=-3)
+    masks = np.stack([stat_mask, stat_mask, stat_mask, amask], axis=-3)
+    return values, masks

@@ -832,6 +832,155 @@ SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
 FROM s GROUP BY x, y"""
 
 
+def q_focal_stats(sf_dir: str):
+    """Focal mean/max/min/aspect (maml-jvm FocalMean/FocalMax/FocalMin/
+    FocalAspect — the rest of the runtime-MAML focal family beyond slope/
+    hillshade) in ONE 3x3 halo shuffle: the multi-stat kernel stacks all
+    four results per tile, so widening the operator surface costs zero
+    extra exchanges. Same analytic-DEM oracle discipline as
+    maml_focal_slope; interior tiles only."""
+    import ray.data as rd
+
+    from ..functions.focal import focal_stats
+    from ..stages.focal import TILE, flat_cells, focal_dataset
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        x = (ids % FOCAL_GRID).astype(np.int64)
+        y = (ids // FOCAL_GRID).astype(np.int64)
+        col = np.arange(TILE, dtype=np.int64)
+        gx = (x[:, None, None] * TILE + col[None, None, :])
+        gy = (y[:, None, None] * TILE + col[None, :, None])
+        dem = _dem(np.broadcast_to(gx, (len(x), TILE, TILE)),
+                   np.broadcast_to(gy, (len(x), TILE, TILE)))
+        return pa.table({
+            "x": pa.array(x), "y": pa.array(y),
+            "cells": pa.array(list(dem.reshape(len(x), -1)), type=pa.list_(pa.float64())),
+        })
+
+    tiles_ds = rd.range(FOCAL_GRID * FOCAL_GRID, override_num_blocks=8) \
+        .map_batches(build, batch_format="pyarrow")
+    res = focal_dataset(tiles_ds, kernel=focal_stats, grid_n=FOCAL_GRID)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        names = ["mean", "max", "min", "aspect"]
+        empty = pa.table({"x": pa.array([], I64), "y": pa.array([], I64),
+                          **{f"{s}_sum_e6": pa.array([], I64) for s in names},
+                          "n_valid": pa.array([], I64)})
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        inner = (x >= 1) & (x <= FOCAL_GRID - 2) & (y >= 1) & (y <= FOCAL_GRID - 2)
+        b = b.filter(pa.array(inner))
+        if len(b) == 0:
+            return empty
+        width = len(b.column("cells")[0])  # 4 * TILE * TILE
+        cells = flat_cells(b.column("cells"), width).reshape(-1, 4, width // 4)
+        mask = flat_cells(b.column("mask"), width).astype(bool).reshape(-1, 4, width // 4)
+        scaled = np.floor(cells * 1e6)
+        scaled[mask] = 0
+        sums = scaled.sum(axis=2).astype(np.int64)  # (n, 4)
+        return pa.table({
+            "x": pc.cast(b.column("x"), I64), "y": pc.cast(b.column("y"), I64),
+            **{f"{s}_sum_e6": pa.array(sums[:, i]) for i, s in enumerate(names)},
+            "n_valid": pa.array((~mask[:, 0]).sum(axis=1).astype(np.int64)),
+        })
+
+    return res.map_batches(summarize, batch_format="pyarrow")
+
+
+def sql_focal_stats() -> str:
+    g = FOCAL_GRID
+    lo, hi = 8, (g - 1) * 8 - 1
+    # 3x3 window values around (gx, gy), row-major — the SAME accumulation
+    # order the kernel uses, so float sums agree bit-for-bit
+    w = [_dem_sql(f"gx{dx:+d}", f"gy{dy:+d}") for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    mean = "(" + " + ".join(f"({t})" for t in w) + ") / 9.0e0"
+    mx = "GREATEST(" + ", ".join(w) + ")"
+    mn = "LEAST(" + ", ".join(w) + ")"
+    a = _dem_sql("gx-1", "gy-1"); b = _dem_sql("gx", "gy-1"); c = _dem_sql("gx+1", "gy-1")
+    d = _dem_sql("gx-1", "gy");                                f = _dem_sql("gx+1", "gy")
+    gg = _dem_sql("gx-1", "gy+1"); h = _dem_sql("gx", "gy+1"); i = _dem_sql("gx+1", "gy+1")
+    dzdx = f"((({c}) + 2.0e0 * ({f}) + ({i})) - (({a}) + 2.0e0 * ({d}) + ({gg}))) / 8.0e0"
+    dzdy = f"((({gg}) + 2.0e0 * ({h}) + ({i})) - (({a}) + 2.0e0 * ({b}) + ({c}))) / 8.0e0"
+    aspect = f"fmod(degrees(atan2(-({dzdx}), ({dzdy}))) + 360.0e0, 360.0e0)"
+    cols = {"mean": mean, "max": mx, "min": mn, "aspect": aspect}
+    sel = ",\n       ".join(
+        f"CAST(sum(CAST(floor(({e}) * 1000000.0e0) AS BIGINT)) AS BIGINT) AS {s}_sum_e6"
+        for s, e in cols.items())
+    return f"""
+WITH cellgrid AS (
+  SELECT cx.gx, cy.gy
+  FROM (SELECT unnest(generate_series({lo}, {hi})) AS gx) cx,
+       (SELECT unnest(generate_series({lo}, {hi})) AS gy) cy)
+SELECT CAST(gx // 8 AS BIGINT) AS x, CAST(gy // 8 AS BIGINT) AS y,
+       {sel},
+       CAST(count(*) AS BIGINT) AS n_valid
+FROM cellgrid GROUP BY 1, 2"""
+
+
+RAST_ZOOM, RAST_TILE = 6, 8  # 512x512 global cell grid
+
+
+def q_rasterize_zones(sf_dir: str):
+    """Vector -> raster BURN (geotrellis Rasterizer, cell-center rule): the
+    hot-zone + grid-zone rectangle layers rasterized into z=6 tile masks;
+    output one row per (layer, feature, covered tile) with the burned cell
+    count and a position checksum over the exact burned cell set. Features
+    are the small side: a flat_map expands each to its covered tiles
+    (integer cell-span math), then the burn kernel materializes each tile's
+    boolean mask stack vectorized. The oracle replays every cell
+    independently (generate_series per feature span, same forward slippy
+    formula the tile math shares with its oracles)."""
+    import ray.data as rd
+
+    from ..stages.rasterize import rasterize_rects
+
+    feats = []
+    for lname, rects in (("hot-zones", layers.hot_zone_sql_predicates()),
+                         ("grid-zones", _grid_rects())):
+        feats += [(lname, *r) for r in rects]
+    tbl = pa.table({
+        "layer_name": pa.array([f[0] for f in feats], pa.string()),
+        "feature_id": pa.array([f[1] for f in feats], pa.int64()),
+        "x0": pa.array([f[2] for f in feats], pa.float64()),
+        "y0": pa.array([f[3] for f in feats], pa.float64()),
+        "x1": pa.array([f[4] for f in feats], pa.float64()),
+        "y1": pa.array([f[5] for f in feats], pa.float64()),
+    })
+    return rasterize_rects(rd.from_arrow(tbl), zoom=RAST_ZOOM, tile_px=RAST_TILE)
+
+
+def sql_rasterize_zones() -> str:
+    n = (1 << RAST_ZOOM) * RAST_TILE
+    rows = []
+    for lname, rects in (("hot-zones", layers.hot_zone_sql_predicates()),
+                         ("grid-zones", _grid_rects())):
+        rows += [f"('{lname}', {fid}, {flit(x0)}, {flit(y0)}, {flit(x1)}, {flit(y1)})"
+                 for fid, x0, y0, x1, y1 in rects]
+    yf = lambda lat: (f"(1.0e0 - ln(tan(radians({lat})) + "  # noqa: E731
+                      f"sqrt(tan(radians({lat})) * tan(radians({lat})) + 1.0e0)) / pi()) "
+                      f"/ 2.0e0 * {n}.0e0")
+    clip = lambda e: f"LEAST(GREATEST({e}, 0), {n - 1})"  # noqa: E731
+    return f"""
+WITH rects(layer_name, feature_id, x0, y0, x1, y1) AS (VALUES {', '.join(rows)}),
+spans AS (
+  SELECT layer_name, feature_id,
+    {clip(f"CAST(ceil((x0 + 180.0e0) / 360.0e0 * {n}.0e0 - 0.5e0) AS BIGINT)")} AS gx0,
+    {clip(f"CAST(ceil((x1 + 180.0e0) / 360.0e0 * {n}.0e0 - 0.5e0) - 1 AS BIGINT)")} AS gx1,
+    {clip(f"CAST(ceil({yf('y1')} - 0.5e0) AS BIGINT)")} AS gy0,
+    {clip(f"CAST(ceil({yf('y0')} - 0.5e0) - 1 AS BIGINT)")} AS gy1
+  FROM rects),
+cx AS (SELECT layer_name, feature_id, unnest(generate_series(gx0, gx1)) AS gx, gy0, gy1
+       FROM spans WHERE gx1 >= gx0 AND gy1 >= gy0),
+cells AS (SELECT layer_name, feature_id, gx, unnest(generate_series(gy0, gy1)) AS gy FROM cx)
+SELECT layer_name, feature_id,
+       CAST(gx // {RAST_TILE} AS BIGINT) AS tile_x,
+       CAST(gy // {RAST_TILE} AS BIGINT) AS tile_y,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(gx * 31 + gy * 17) AS BIGINT) AS burn_hash
+FROM cells GROUP BY 1, 2, 3, 4"""
+
+
 # ------------------------------------------------------------ mosaic merge
 
 MOSAIC_GRID = 8
@@ -5333,6 +5482,8 @@ QUERIES: dict[str, tuple] = {
     # media_meta's oracle was re-derived in r4 (real JPEG decode) -> re-witness
     "media_meta": (q_media_meta, sql_media_meta),
     "time_period_inference": (q_time_period_inference, sql_time_period_inference),
+    "focal_stats": (q_focal_stats, sql_focal_stats),
+    "rasterize_zones": (q_rasterize_zones, sql_rasterize_zones),
     # --- Block A: driver-unwitnessed in r2 (registry positions 51-68)
     "checkpointed_write": (q_checkpointed_write, None),
     "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),

@@ -183,3 +183,64 @@ def test_pip_edge_point_matches_both_features():
     # corner point -> four features
     pt, ft = idx.probe(np.array([-150.0]), np.array([-30.0]))
     assert len(ft) == 4
+
+
+def test_rasterize_cell_center_rule():
+    """Burn-mask semantics: a cell burns iff its CENTER is inside the closed
+    rect; span math and mask stats agree with a brute-force center check."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.rasterize import (_xf, _yf, burn_batch,
+                                                        candidates_batch,
+                                                        rect_cell_span)
+
+    zoom, T = 3, 8           # 64x64 cell world
+    n = (1 << zoom) * T
+    rect = (-30.0, -20.0, 41.0, 17.0)
+    gx0, gx1, gy0, gy1 = rect_cell_span(*rect, zoom, T)
+    # brute force: every world cell center through the forward formulas
+    import math
+    burned = set()
+    for gx in range(n):
+        for gy in range(n):
+            cx = (gx + 0.5)
+            cy = (gy + 0.5)
+            if (_xf(rect[0], n) <= cx <= _xf(rect[2], n)
+                    and _yf(rect[3], n) <= cy <= _yf(rect[1], n)):
+                burned.add((gx, gy))
+    want_span = {(gx, gy) for gx in range(gx0, gx1 + 1)
+                 for gy in range(gy0, gy1 + 1)}
+    assert burned == want_span
+
+    feats = pa.table({"layer_name": pa.array(["L"], pa.string()),
+                      "feature_id": pa.array([7], pa.int64()),
+                      "x0": [rect[0]], "y0": [rect[1]],
+                      "x1": [rect[2]], "y1": [rect[3]]})
+    cands = candidates_batch(feats, zoom, T)
+    out = burn_batch(cands, zoom, T).to_pandas()
+    assert out["n_cells"].sum() == len(burned)
+    want_hash = sum(31 * gx + 17 * gy for gx, gy in burned)
+    assert out["burn_hash"].sum() == want_hash
+
+
+def test_focal_stats_nodata_semantics():
+    """mean/max/min EXCLUDE NoData from the window (geotrellis focal rule);
+    output NoData only for all-NoData windows; aspect masks like slope."""
+    import numpy as np
+
+    from geotrellis_server_ray.functions.focal import focal_stats
+
+    z = np.arange(16, dtype=float).reshape(4, 4)
+    mask = np.zeros((4, 4), bool)
+    mask[0, 0] = True                    # corner NoData
+    v, m = focal_stats(z, mask)
+    # window of output (0,0) = cells z[0:3,0:3] minus the masked corner
+    win = z[0:3, 0:3].ravel()[1:]
+    assert np.isclose(v[0, 0, 0], win.mean() * 9 / 9) or True  # mean excludes
+    assert np.isclose(v[0, 0, 0], win.sum() / 8)
+    assert v[1, 0, 0] == win.max() and v[2, 0, 0] == win.min()
+    assert not m[0, 0, 0] and bool(m[3, 0, 0])  # aspect masked, stats not
+    full = np.ones((4, 4), bool)
+    v2, m2 = focal_stats(z, full)
+    assert m2.all()
