@@ -249,8 +249,85 @@ def run_cc() -> dict:
     return out
 
 
+def run_interval_scale() -> dict:
+    """Range-join exchange at scale (r3 VERDICT next #6): interval_join /
+    interval_agg over 1x/4x/16x/64x replicated event corpora against the
+    sf0.1 window set, recording wall time, emission counts, and the sizing
+    model's candidate estimate (sum over buckets of events_b x replicas_b).
+    Exact-copy replicas: every count must scale LINEARLY in the factor —
+    the bounded-replication exchange has no superlinear term in the event
+    side. The pair-materializing join runs to 4x (the pair stream itself is
+    the output and grows linearly: ~82M rows at 4x); the agg pushdown —
+    which never materializes pairs — carries the 16x and 64x points."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from geotrellis_server_ray.pipelines.registry import (IVJ_MOD, _DAY_US,
+                                                          _EPOCH_2024,
+                                                          add_cents)
+    from geotrellis_server_ray.stages.windows import interval_agg, interval_join
+
+    ev_tbl = pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts", "value"])
+    ok = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_orderkey"]) \
+        .column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    ok = ok[ok % IVJ_MOD == 0]
+    s_us = _EPOCH_2024 + (ok % 25) * _DAY_US
+    e_us = s_us + (ok % 7 + 1) * _DAY_US
+    iv_tbl = pa.table({"o_orderkey": pa.array(ok),
+                       "s": pa.array(s_us.astype("datetime64[us]")),
+                       "e": pa.array(e_us.astype("datetime64[us]"))})
+    BUCKET = _DAY_US
+
+    # sizing model: per-bucket event counts x per-bucket replica counts
+    ts_us = ev_tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    evb = np.bincount(ts_us // BUCKET - (ts_us // BUCKET).min())
+    first = s_us // BUCKET
+    last = np.maximum(e_us - 1, s_us) // BUCKET
+    rep_b = np.zeros(len(evb) + 64, np.int64)
+    base = (ts_us // BUCKET).min()
+    for f0, l0 in zip(first - base, last - base):
+        rep_b[max(f0, 0):l0 + 1] += 1
+    cand_1x = int((evb * rep_b[:len(evb)]).sum())
+
+    def replicated(f: int):
+        reps = [ev_tbl] * f
+        ds = rd.from_arrow(pa.concat_tables(reps)).repartition(NUM_CPUS * 2)
+        return ds.map_batches(partial(add_cents, cols={"cents": "value"}),
+                              batch_format="pyarrow").materialize()
+
+    from functools import partial
+    out = {"metric": "interval_scale", "sf": SF_DIR, "num_cpus": NUM_CPUS,
+           "bucket_days": 1, "intervals": len(ok), "events_1x": len(ev_tbl),
+           "candidates_model_1x": cand_1x, "join": {}, "agg": {}}
+    for f in (1, 4):
+        iv = rd.from_arrow(iv_tbl)
+        t0 = time.perf_counter()
+        n = interval_join(replicated(f), iv, "ts", "s", "e", BUCKET).count()
+        out["join"][str(f)] = {"pairs": n, "sec": round(time.perf_counter() - t0, 2),
+                               "candidates_model": cand_1x * f}
+    for f in (1, 16, 64):
+        iv = rd.from_arrow(iv_tbl)
+        t0 = time.perf_counter()
+        n = interval_agg(replicated(f), iv, "ts", "s", "e", "cents",
+                         "o_orderkey", BUCKET).count()
+        out["agg"][str(f)] = {"windows": n, "sec": round(time.perf_counter() - t0, 2),
+                              "candidates_model": cand_1x * f}
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
-    if "--scaling-query" in sys.argv:
+    if "--interval-scale" in sys.argv:
+        print(json.dumps(run_interval_scale()))
+    elif "--scaling-query" in sys.argv:
         print(json.dumps(run_scaling(sys.argv[sys.argv.index("--scaling-query") + 1])))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
