@@ -930,6 +930,63 @@ SELECT CAST(gx // 8 AS BIGINT) AS x, CAST(gy // 8 AS BIGINT) AS y,
 FROM cellgrid GROUP BY 1, 2"""
 
 
+CHUNK_TOK, CHUNK_STRIDE = 64, 48  # 16-token overlap
+
+
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window document CHUNKING (training-data prep: split each doc
+    into 64-token windows at stride 48, 16-token overlap — the segmentation
+    feeding context-window packing). One streaming pass, fully vectorized
+    over the flat Arrow token buffer: per-chunk token counts and exact
+    reassembled character lengths come from prefix sums, never per-row
+    Python. Output (doc_id, chunk_idx, start_tok, n_tokens, n_chars);
+    the oracle reassembles every chunk with list_slice + array_to_string
+    and measures it independently."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_len = pc.utf8_length(pc.list_flatten(toks)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(len(n_tok) + 1, np.int64)
+        np.cumsum(n_tok, out=offs[1:])
+        P = np.zeros(len(flat_len) + 1, np.int64)
+        np.cumsum(flat_len, out=P[1:])
+        m = (n_tok + CHUNK_STRIDE - 1) // CHUNK_STRIDE  # chunks per doc (>=1 token docs)
+        doc = np.repeat(np.arange(len(n_tok), dtype=np.int64), m)
+        starts_flat = np.arange(int(m.sum()), dtype=np.int64)
+        doc_first = np.zeros(len(n_tok) + 1, np.int64)
+        np.cumsum(m, out=doc_first[1:])
+        chunk_idx = starts_flat - doc_first[:-1][doc]
+        start = chunk_idx * CHUNK_STRIDE
+        end = np.minimum(start + CHUNK_TOK, n_tok[doc])
+        cnt = end - start
+        chars = P[offs[doc] + end] - P[offs[doc] + start] + (cnt - 1)
+        ids = b.column("doc_id").take(pa.array(doc))
+        return pa.table({
+            "doc_id": ids, "chunk_idx": pa.array(chunk_idx),
+            "start_tok": pa.array(start), "n_tokens": pa.array(cnt),
+            "n_chars": pa.array(chars),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def sql_doc_chunks() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+c AS (SELECT doc_id, t,
+             unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE})) AS s
+      FROM toks)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(LEAST({CHUNK_TOK}, len(t) - s) AS BIGINT) AS n_tokens,
+       CAST(length(array_to_string(t[s + 1:s + {CHUNK_TOK}], ' ')) AS BIGINT) AS n_chars
+FROM c"""
+
+
 RAST_ZOOM, RAST_TILE = 6, 8  # 512x512 global cell grid
 
 
@@ -991,6 +1048,102 @@ SELECT layer_name, feature_id,
        CAST(count(*) AS BIGINT) AS n_cells,
        CAST(sum(gx * 31 + gy * 17) AS BIGINT) AS burn_hash
 FROM cells GROUP BY 1, 2, 3, 4"""
+
+
+def q_zonal_burn(sf_dir: str):
+    """The full raster<->vector ROUND TRIP of the north rule: vector zones
+    -> rasterized burn masks (cell-center rule) -> zonal map-algebra over
+    the analytic DEM raster, i.e. zonal statistics computed THROUGH the
+    rasterization path rather than the PIP path — per feature, the count
+    and DEM-value sum of its burned cells. Masked-sum kernel is one
+    vectorized (m, T, T) pass; per-feature totals fold through the
+    small-key-space combiner (features are dimension-bounded)."""
+    import ray.data as rd
+
+    from ..stages.rasterize import candidates_batch, rect_cell_span
+    from .relational import grouped_sums
+
+    feats = []
+    for lname, rects in (("hot-zones", layers.hot_zone_sql_predicates()),
+                         ("grid-zones", _grid_rects())):
+        feats += [(lname, *r) for r in rects]
+    tbl = pa.table({
+        "layer_name": pa.array([f[0] for f in feats], pa.string()),
+        "feature_id": pa.array([f[1] for f in feats], pa.int64()),
+        "x0": pa.array([f[2] for f in feats], pa.float64()),
+        "y0": pa.array([f[3] for f in feats], pa.float64()),
+        "x1": pa.array([f[4] for f in feats], pa.float64()),
+        "y1": pa.array([f[5] for f in feats], pa.float64()),
+    })
+    T = RAST_TILE
+    cands = rd.from_arrow(tbl).map_batches(
+        partial(candidates_batch, zoom=RAST_ZOOM, tile_px=T),
+        batch_format="pyarrow")
+
+    def zonal(b: pa.Table) -> pa.Table:
+        m = len(b)
+        if m == 0:
+            return pa.table({"layer_name": pa.array([], pa.string()),
+                             "feature_id": pa.array([], I64),
+                             "n_cells": pa.array([], I64),
+                             "dem_sum": pa.array([], I64)})
+        tx = b.column("tile_x").to_numpy(zero_copy_only=False)
+        ty = b.column("tile_y").to_numpy(zero_copy_only=False)
+        spans = np.array([rect_cell_span(a, c, d, e, RAST_ZOOM, T)
+                          for a, c, d, e in zip(
+                              b.column("x0").to_numpy(zero_copy_only=False),
+                              b.column("y0").to_numpy(zero_copy_only=False),
+                              b.column("x1").to_numpy(zero_copy_only=False),
+                              b.column("y1").to_numpy(zero_copy_only=False))],
+                         dtype=np.int64).reshape(m, 4)
+        cell = np.arange(T, dtype=np.int64)
+        gx = tx[:, None] * T + cell[None, :]
+        gy = ty[:, None] * T + cell[None, :]
+        in_x = (gx >= spans[:, 0:1]) & (gx <= spans[:, 1:2])
+        in_y = (gy >= spans[:, 2:3]) & (gy <= spans[:, 3:4])
+        mask = in_y[:, :, None] & in_x[:, None, :]
+        dem = (gx[:, None, :] * 3 + gy[:, :, None] * 2
+               + (gx[:, None, :] * gy[:, :, None]) % 7)
+        return pa.table({
+            "layer_name": b.column("layer_name"),
+            "feature_id": b.column("feature_id"),
+            "n_cells": pa.array(mask.sum(axis=(1, 2)).astype(np.int64)),
+            "dem_sum": pa.array(np.where(mask, dem, 0).sum(axis=(1, 2))
+                                .astype(np.int64)),
+        })
+
+    parts = cands.map_batches(zonal, batch_format="pyarrow")
+    return grouped_sums(parts, ["layer_name", "feature_id"],
+                        ["n_cells", "dem_sum"], small_key_space=True)
+
+
+def sql_zonal_burn() -> str:
+    n = (1 << RAST_ZOOM) * RAST_TILE
+    rows = []
+    for lname, rects in (("hot-zones", layers.hot_zone_sql_predicates()),
+                         ("grid-zones", _grid_rects())):
+        rows += [f"('{lname}', {fid}, {flit(x0)}, {flit(y0)}, {flit(x1)}, {flit(y1)})"
+                 for fid, x0, y0, x1, y1 in rects]
+    yf = lambda lat: (f"(1.0e0 - ln(tan(radians({lat})) + "  # noqa: E731
+                      f"sqrt(tan(radians({lat})) * tan(radians({lat})) + 1.0e0)) / pi()) "
+                      f"/ 2.0e0 * {n}.0e0")
+    clip = lambda e: f"LEAST(GREATEST({e}, 0), {n - 1})"  # noqa: E731
+    return f"""
+WITH rects(layer_name, feature_id, x0, y0, x1, y1) AS (VALUES {', '.join(rows)}),
+spans AS (
+  SELECT layer_name, feature_id,
+    {clip(f"CAST(ceil((x0 + 180.0e0) / 360.0e0 * {n}.0e0 - 0.5e0) AS BIGINT)")} AS gx0,
+    {clip(f"CAST(ceil((x1 + 180.0e0) / 360.0e0 * {n}.0e0 - 0.5e0) - 1 AS BIGINT)")} AS gx1,
+    {clip(f"CAST(ceil({yf('y1')} - 0.5e0) AS BIGINT)")} AS gy0,
+    {clip(f"CAST(ceil({yf('y0')} - 0.5e0) - 1 AS BIGINT)")} AS gy1
+  FROM rects),
+cx AS (SELECT layer_name, feature_id, unnest(generate_series(gx0, gx1)) AS gx, gy0, gy1
+       FROM spans WHERE gx1 >= gx0 AND gy1 >= gy0),
+cells AS (SELECT layer_name, feature_id, gx, unnest(generate_series(gy0, gy1)) AS gy FROM cx)
+SELECT layer_name, feature_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(gx * 3 + gy * 2 + (gx * gy) % 7) AS BIGINT) AS dem_sum
+FROM cells GROUP BY 1, 2"""
 
 
 # ------------------------------------------------------------ mosaic merge
@@ -5496,6 +5649,8 @@ QUERIES: dict[str, tuple] = {
     "time_period_inference": (q_time_period_inference, sql_time_period_inference),
     "focal_stats": (q_focal_stats, sql_focal_stats),
     "rasterize_zones": (q_rasterize_zones, sql_rasterize_zones),
+    "zonal_burn": (q_zonal_burn, sql_zonal_burn),
+    "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     # --- Block A: driver-unwitnessed in r2 (registry positions 51-68)
     "checkpointed_write": (q_checkpointed_write, None),
     "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),

@@ -229,3 +229,38 @@ def test_explode_token_segments_large_string():
                   "text": pa.array(["a b c d e"], pa.large_string())})
     out = explode_token_segments(t, w=2)
     assert out.column("seg").to_pylist() == ["a b", "c d", "e"]
+
+
+def test_doc_chunks_window_math(ray_session):
+    """Chunk windows: stride 48, cap 64, trailing partials kept; n_chars is
+    the exact reassembled length (token lengths + separators)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.pipelines.registry import (CHUNK_STRIDE,
+                                                          CHUNK_TOK)
+    assert (CHUNK_TOK, CHUNK_STRIDE) == (64, 48)
+    import geotrellis_server_ray.pipelines.registry as R
+
+    texts = ["one two three",                       # single short chunk
+             " ".join(f"t{i}" for i in range(64)),  # exactly one full chunk
+             " ".join(f"t{i}" for i in range(65)),  # full + 17-token tail
+             ""]                                    # split('') -> [''], len 0
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(texts)})
+    import pyarrow.parquet as pq
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = R.q_doc_chunks(d).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+    got = out.groupby("doc_id").size().to_dict()
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+    # doc 2: 64 tokens -> chunk 0 has 64 tokens, chunk 1 the 16-token tail
+    d2 = out[out.doc_id == 2]
+    assert list(d2.n_tokens) == [64, 16] and list(d2.start_tok) == [0, 48]
+    row = out[(out.doc_id == 1)].iloc[0]
+    assert row.n_tokens == 3 and row.n_chars == len("one two three")
+    row4 = out[(out.doc_id == 4)].iloc[0]
+    assert row4.n_tokens == 1 and row4.n_chars == 0  # the empty token
