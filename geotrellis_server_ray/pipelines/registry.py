@@ -5715,9 +5715,11 @@ QUERIES: dict[str, tuple] = {
     "passage_dedup": (q_passage_dedup, sql_passage_dedup),
     "hilbert_partitions": (q_hilbert_partitions, sql_hilbert_partitions),
     "zonal_histogram": (q_zonal_histogram, sql_zonal_histogram),
-    # --- window boundary: the driver witnesses exactly the 50 above.
-    # Everything below is r1/r2-driver-green and re-witnessed by the pytest
-    # oracle-parity suite every round.
+    # --- NOTE: the driver window is ALWAYS the first 50 dict entries; with
+    # the r4 Block-HEAD additions it now closes inside Block C (after
+    # `pagerank`). Everything from there down has a green driver row from a
+    # prior round and is re-witnessed by the pytest oracle-parity suite
+    # every round (enforced by tests/test_registry_guard.py).
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "lang_id": (q_lang_id, sql_lang_id),
     "doc_fingerprints": (q_doc_fingerprints, sql_doc_fingerprints),
