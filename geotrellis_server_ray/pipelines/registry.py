@@ -1731,15 +1731,20 @@ def q_media_meta(sf_dir: str):
     equals the DCT DC gain, so decode is bit-exact per pixel (the property
     is proven for all 256 gray values in tests/test_jpeg.py)."""
     from ..sources.corpus import corpus_dataset
-    from ..stages.media import MediaDecode, MediaResize, media_span_payloads
+    from ..stages.media import (MediaResize, decode_media_task,
+                                media_span_payloads)
 
-    ds = corpus_dataset(sf_dir)
+    ds = corpus_dataset(sf_dir, num_blocks=32)
     ds = ds.map_batches(S.explode_spans, batch_format="pyarrow")
     ds = ds.map_batches(media_span_payloads, batch_format="pyarrow", batch_size=256)
-    ds = ds.map_batches(MediaDecode, batch_format="pyarrow", batch_size=256,
-                        concurrency=(1, 4), num_cpus=1)
-    ds = ds.map_batches(MediaResize, fn_constructor_kwargs={"max_side": 32},
-                        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    # decode is the dominant per-span compute now (real Huffman decode,
+    # ~0.35 ms/span): corpus split into blocks (num_blocks above) so the
+    # decode actor pool actually fans out; resize is trivial arithmetic ->
+    # stateless task, fusable with its neighbors (actor ramp-up would cost
+    # more than the work at any scale)
+    ds = ds.map_batches(decode_media_task, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: MediaResize(max_side=32)(b),
+                        batch_format="pyarrow")
     ds = ds.map_batches(
         lambda b: b.select(["doc_id", "span_idx", "width", "height", "pix_sum",
                             "n_frames", "out_width", "out_height"]),

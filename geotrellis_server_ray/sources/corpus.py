@@ -163,8 +163,15 @@ def corpus_dataset(sf_dir: str, *, repeat: int = 1, num_blocks: int | None = Non
     import ray.data as rd
 
     if repeat == 1:
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-        return ds.map_batches(build_spans_batch, batch_format="pyarrow", batch_size=8192)
+        # num_blocks: real parallelism knob (r4 — it was previously accepted
+        # but unused, which let the 8192-row coalescing batch_size fuse a
+        # 5000-doc corpus plus EVERYTHING downstream into one serial task;
+        # stages with real per-row compute, e.g. JPEG decode, need blocks)
+        kw = {"override_num_blocks": num_blocks} if num_blocks else {}
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"], **kw)
+        return ds.map_batches(build_spans_batch, batch_format="pyarrow",
+                              batch_size=None if num_blocks else 8192)
 
     path = f"{sf_dir}/documents.parquet"
 

@@ -250,6 +250,23 @@ class MediaFeatureExtract:
         )
 
 
+# Worker-global decoder for the stateless-task variant (same pattern as
+# stages/pip.py / relational.make_broadcast_join): the decoder constructs
+# once per long-lived worker process, so repeated executions pay zero
+# actor-pool ramp-up. Use this when the pipeline is latency-sensitive;
+# map_batches(MediaDecode, concurrency=...) remains the explicit
+# actor-pool form (one construction per actor).
+_WORKER_DECODER: dict[bool, MediaDecode] = {}
+
+
+def decode_media_task(batch: pa.Table, strict: bool = False) -> pa.Table:
+    dec = _WORKER_DECODER.get(strict)
+    if dec is None:
+        dec = MediaDecode(strict=strict)
+        _WORKER_DECODER[strict] = dec
+    return dec(batch)
+
+
 def frame_sample_batch(batch: pa.Table, every_k: int = 6) -> pa.Table:
     """Frame sampling plan for video spans: one output row per sampled frame
     index (flat_map shape). Deterministic: frames 0, k, 2k, ..."""
