@@ -1760,7 +1760,7 @@ def sql_media_meta() -> str:
          8 * (1 + (doc_idx * 7 + span_idx * 13) % 8) AS width,
          8 * (1 + (doc_idx * 11 + span_idx * 3) % 8) AS height,
          (doc_idx * 37 + span_idx * 101) % 256 AS seed
-  FROM spans_flat WHERE is_media)
+  FROM spans_flat WHERE kind = 'image')
 SELECT doc_id, span_idx, width, height,
   CAST(64 * list_aggregate(
     list_transform(range(0, (width // 8) * (height // 8)),
@@ -1769,6 +1769,42 @@ SELECT doc_id, span_idx, width, height,
   GREATEST(1, (width * LEAST(GREATEST(width, height), 32)) // GREATEST(width, height)) AS out_width,
   GREATEST(1, (height * LEAST(GREATEST(width, height), 32)) // GREATEST(width, height)) AS out_height
 FROM m"""
+
+
+def q_audio_meta(sf_dir: str):
+    """REAL second-modality decode: audio spans carry actual RIFF/WAVE PCM16
+    payloads (the in-repo codec, functions/wav.py) and the decode stage
+    parses the bytes — chunk walk, fmt, data — to recover (n_samples,
+    sample_rate, dur_ms) and the exact decoded sample sum. PCM is lossless,
+    so the oracle replays the integer sample formula directly (no
+    quantization argument needed, unlike the JPEG path)."""
+    from ..sources.corpus import corpus_dataset
+    from ..stages.media import audio_span_payloads, decode_audio_task
+
+    ds = corpus_dataset(sf_dir, num_blocks=32)
+    ds = ds.map_batches(S.explode_spans, batch_format="pyarrow")
+    ds = ds.map_batches(audio_span_payloads, batch_format="pyarrow")
+    ds = ds.map_batches(decode_audio_task, batch_format="pyarrow")
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "span_idx", "n_samples", "sample_rate",
+                            "dur_ms", "amp_sum"]),
+        batch_format="pyarrow")
+
+
+def sql_audio_meta() -> str:
+    return f"""{SPANS}
+, a AS (
+  SELECT doc_id, span_idx,
+         256 + (doc_idx * 7 + span_idx * 3) % 1024 AS n_samples,
+         8000 * (1 + (doc_idx + span_idx) % 3) AS sample_rate,
+         (doc_idx * 53 + span_idx * 19) % 65536 AS seed
+  FROM spans_flat WHERE kind = 'audio')
+SELECT doc_id, span_idx, CAST(n_samples AS BIGINT) AS n_samples,
+  CAST(sample_rate AS BIGINT) AS sample_rate,
+  CAST(n_samples * 1000 // sample_rate AS BIGINT) AS dur_ms,
+  CAST(list_aggregate(list_transform(range(0, n_samples),
+       k -> (seed + 2891 * k) % 65536 - 32768), 'sum') AS BIGINT) AS amp_sum
+FROM a"""
 
 
 def q_frame_sample(sf_dir: str):
@@ -5656,6 +5692,7 @@ QUERIES: dict[str, tuple] = {
     "rasterize_zones": (q_rasterize_zones, sql_rasterize_zones),
     "zonal_burn": (q_zonal_burn, sql_zonal_burn),
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
+    "audio_meta": (q_audio_meta, sql_audio_meta),
     # --- Block A: driver-unwitnessed in r2 (registry positions 51-68)
     "checkpointed_write": (q_checkpointed_write, None),
     "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),

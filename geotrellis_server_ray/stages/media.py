@@ -58,6 +58,60 @@ def _synth_jpeg(w: int, h: int, seed: int) -> bytes:
     return b
 
 
+def _synth_wav(n: int, rate: int, seed: int) -> bytes:
+    """Deterministic REAL RIFF/WAVE PCM16 payload (functions/wav.py): sample
+    k = ((seed + 2891*k) mod 65536) - 32768 — pure integer wraparound, so
+    the decoded sample sum is exactly SQL-expressible (PCM is lossless)."""
+    from ..functions.wav import encode_wav
+
+    k = np.arange(n, dtype=np.int64)
+    samples = ((seed + 2891 * k) % 65536 - 32768).astype(np.int16)
+    return encode_wav(samples, rate)
+
+
+def audio_span_payloads(batch: pa.Table) -> pa.Table:
+    """AUDIO spans -> real WAV payload bytes (the second-modality twin of
+    media_span_payloads; in production this is a storage read). Parameters:
+    n = 256 + (d*7 + j*3) % 1024 samples, rate = 8000 * (1 + (d+j) % 3) Hz,
+    seed = (d*53 + j*19) % 65536."""
+    batch = batch.filter(pc.equal(batch.column("kind"), pa.scalar("audio")))
+    m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
+    batch = batch.filter(pc.is_valid(m))
+    m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
+    d = pc.cast(pc.struct_field(m, "d"), pa.int64()).to_numpy(zero_copy_only=False)
+    j = pc.cast(pc.struct_field(m, "j"), pa.int64()).to_numpy(zero_copy_only=False)
+    n = 256 + (d * 7 + j * 3) % 1024
+    rate = 8000 * (1 + (d + j) % 3)
+    seed = (d * 53 + j * 19) % 65536
+    payloads = [_synth_wav(int(ni), int(ri), int(si))
+                for ni, ri, si in zip(n, rate, seed)]
+    return batch.append_column("payload", pa.array(payloads, pa.large_binary()))
+
+
+def decode_audio_task(batch: pa.Table) -> pa.Table:
+    """Real WAV decode: (n_samples, sample_rate, dur_ms, amp_sum) from the
+    payload BYTES (per-buffer loop is inherent — RIFF chunk walks are
+    sequential per stream, like the JPEG Huffman scan)."""
+    from ..functions.wav import decode_wav
+
+    col = batch.column("payload")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    ns = np.empty(n, np.int64)
+    rt = np.empty(n, np.int64)
+    amp = np.empty(n, np.int64)
+    for i in range(n):
+        samples, rate = decode_wav(col[i].as_py())
+        ns[i] = len(samples)
+        rt[i] = rate
+        amp[i] = int(samples.astype(np.int64).sum())
+    return (batch.append_column("n_samples", pa.array(ns))
+            .append_column("sample_rate", pa.array(rt))
+            .append_column("dur_ms", pa.array(ns * 1000 // np.maximum(rt, 1)))
+            .append_column("amp_sum", pa.array(amp)))
+
+
 def media_span_payloads(batch: pa.Table) -> pa.Table:
     """Media spans -> REAL JPEG ``payload`` bytes (r3 VERDICT next #3: the
     corpus's media payloads are actual baseline JPEGs encoded by the in-repo
@@ -68,6 +122,11 @@ def media_span_payloads(batch: pa.Table) -> pa.Table:
     production this stage is replaced by reading payload bytes from
     storage (reference analog: asset byte reads,
     StacAssetRasterSource.scala:29-67)."""
+    if "kind" in batch.schema.names:
+        # r4: only IMAGE spans carry JPEG payloads (audio spans get real WAV
+        # bytes via audio_span_payloads — a JPEG decode of audio would be a
+        # category error the r3 fake path silently allowed)
+        batch = batch.filter(pc.equal(batch.column("kind"), pa.scalar("image")))
     m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
     ok = pc.is_valid(m)
     batch = batch.filter(ok)

@@ -103,3 +103,32 @@ def test_block_gradient_roundtrip_and_synth_cache():
         want = (seed + 7 * bidx) % 256
         assert (blocks == want[:, :, None, None]).all()
         assert int(arr.sum(dtype=np.int64)) == int(64 * want.sum())
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """RIFF/WAVE PCM16 codec: bit-exact sample round trip, correct chunk
+    walk (unknown chunks + odd-length word padding skipped), format guards."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from geotrellis_server_ray.functions.wav import decode_wav, encode_wav
+
+    s = np.array([-32768, -1, 0, 1, 32767, 12345], np.int16)
+    data = encode_wav(s, 8000)
+    out, rate = decode_wav(data)
+    assert rate == 8000 and (out == s).all()
+
+    # splice an unknown odd-length chunk between fmt and data
+    pos = data.index(b"data")
+    junk = b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"  # padded
+    spliced = data[:pos] + junk + data[pos:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out2, rate2 = decode_wav(spliced)
+    assert rate2 == 8000 and (out2 == s).all()
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav(b"OGGS" + bytes(20))
