@@ -1807,6 +1807,42 @@ SELECT doc_id, span_idx, CAST(n_samples AS BIGINT) AS n_samples,
 FROM a"""
 
 
+VIDEO_N = 512
+
+
+def q_video_frames(sf_dir: str):
+    """REAL video frame sampling (upgrades the frame_sample plan's fake
+    n_frames): MJPG containers (frame-offset table + concatenated baseline
+    JPEGs, stages/media.py) are synthesized per video row, the sampler reads
+    n_frames from the container HEADER, seeks each sampled frame's byte
+    range, and DECODES it — pix_val is the decoded constant-frame value
+    (exact by the DC-only invariant). The corpus has no video kind, so the
+    input is a deterministic synthetic video table (the synth_requests
+    precedent)."""
+    import ray.data as rd
+
+    from ..stages.media import sample_video_frames, synth_video_payloads
+
+    ds = rd.range(VIDEO_N, override_num_blocks=8).map_batches(
+        lambda b: pa.table({"vid": pc.cast(b.column("id"), I64)}),
+        batch_format="pyarrow")
+    ds = ds.map_batches(synth_video_payloads, batch_format="pyarrow",
+                        batch_size=64)
+    return ds.map_batches(sample_video_frames, batch_format="pyarrow",
+                          batch_size=64)
+
+
+def sql_video_frames() -> str:
+    return f"""
+WITH v AS (SELECT unnest(generate_series(0, {VIDEO_N - 1})) AS vid),
+n AS (SELECT vid, 4 + vid % 12 AS n_frames FROM v),
+f AS (SELECT vid, n_frames, unnest(generate_series(0, n_frames - 1, 6)) AS frame_idx FROM n)
+SELECT CAST(vid AS BIGINT) AS vid, CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST((vid * 29 + 11 * frame_idx) % 256 AS BIGINT) AS pix_val
+FROM f"""
+
+
 def q_frame_sample(sf_dir: str):
     """Video frame-sampling plan (flat_map expansion per media span)."""
     from ..sources.corpus import corpus_dataset
@@ -5693,6 +5729,7 @@ QUERIES: dict[str, tuple] = {
     "zonal_burn": (q_zonal_burn, sql_zonal_burn),
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     "audio_meta": (q_audio_meta, sql_audio_meta),
+    "video_frames": (q_video_frames, sql_video_frames),
     # --- Block A: driver-unwitnessed in r2 (registry positions 51-68)
     "checkpointed_write": (q_checkpointed_write, None),
     "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),

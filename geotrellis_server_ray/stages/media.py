@@ -336,3 +336,89 @@ def frame_sample_batch(batch: pa.Table, every_k: int = 6) -> pa.Table:
     out = {name: batch.column(name).take(reps) for name in batch.schema.names}
     out["frame_idx"] = pa.array(frame_idx, type=pa.int64())
     return pa.table(out)
+
+
+# ------------------------------------------------------------- video (MJPG)
+
+def encode_mjpg(frames: list[bytes]) -> bytes:
+    """Tiny motion-JPEG-style container: b"MJPG" + u32 frame count + u32
+    offset table (n+1 entries, relative to payload start) + concatenated
+    baseline-JPEG frames. The offset table is what makes frame SEEKING real:
+    sampling frame k reads exactly one byte range — the shape a remote
+    Range-read video source has (rangereader.py)."""
+    import struct
+
+    offs = [0]
+    for f in frames:
+        offs.append(offs[-1] + len(f))
+    head = b"MJPG" + struct.pack("<I", len(frames)) \
+        + struct.pack(f"<{len(offs)}I", *offs)
+    return head + b"".join(frames)
+
+
+def mjpg_frame_count(data: bytes) -> int:
+    import struct
+
+    if data[:4] != b"MJPG":
+        raise ValueError("not an MJPG container")
+    return struct.unpack("<I", data[4:8])[0]
+
+
+def mjpg_decode_frame(data: bytes, k: int) -> np.ndarray:
+    """Decode ONE frame by seeking its byte range through the offset table."""
+    import struct
+
+    from ..functions.jpeg import decode_jpeg
+
+    n = mjpg_frame_count(data)
+    if not 0 <= k < n:
+        raise IndexError(k)
+    table = struct.unpack(f"<{n + 1}I", data[8:8 + 4 * (n + 1)])
+    base = 8 + 4 * (n + 1)
+    return decode_jpeg(data[base + table[k]:base + table[k + 1]])
+
+
+def synth_video_payloads(batch: pa.Table) -> pa.Table:
+    """Video rows (vid) -> real MJPG payloads: n_frames = 4 + vid % 12,
+    frame k = an 8x8 constant-gray JPEG of value (vid * 29 + 11 * k) % 256
+    (DC-only -> decodes pixel-exact, the tests/test_jpeg.py invariant)."""
+    from ..functions.jpeg import encode_jpeg
+
+    vids = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for v in vids:
+        nf = 4 + int(v) % 12
+        frames = [encode_jpeg(np.full((8, 8), (int(v) * 29 + 11 * k) % 256,
+                                      np.uint8), quality=75)
+                  for k in range(nf)]
+        payloads.append(encode_mjpg(frames))
+    return batch.append_column("payload", pa.array(payloads, pa.large_binary()))
+
+
+def sample_video_frames(batch: pa.Table, every_k: int = 6) -> pa.Table:
+    """REAL frame sampling: read n_frames from the container header, plan
+    frames 0, k, 2k, ..., then DECODE each sampled frame through its seeked
+    byte range — (vid, n_frames, frame_idx, pix_val). The per-frame loop is
+    inherent (each frame is one sequential Huffman stream)."""
+    col = batch.column("payload")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vids = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    out_v, out_nf, out_fi, out_px = [], [], [], []
+    for i in range(len(col)):
+        data = col[i].as_py()
+        nf = mjpg_frame_count(data)
+        for k in range(0, nf, every_k):
+            arr = mjpg_decode_frame(data, k)
+            px = int(arr[0, 0])
+            assert (arr == px).all()  # constant frame: decode is exact
+            out_v.append(int(vids[i]))
+            out_nf.append(nf)
+            out_fi.append(k)
+            out_px.append(px)
+    return pa.table({
+        "vid": pa.array(out_v, pa.int64()),
+        "n_frames": pa.array(out_nf, pa.int64()),
+        "frame_idx": pa.array(out_fi, pa.int64()),
+        "pix_val": pa.array(out_px, pa.int64()),
+    })

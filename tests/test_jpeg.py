@@ -132,3 +132,27 @@ def test_wav_codec_roundtrip_and_chunk_walk():
         decode_wav(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError):
         decode_wav(b"OGGS" + bytes(20))
+
+
+def test_mjpg_container_seek_decode():
+    """MJPG container: header frame count, offset-table seek, per-frame
+    decode exactness, bounds check."""
+    import numpy as np
+    import pytest
+
+    from geotrellis_server_ray.functions.jpeg import encode_jpeg
+    from geotrellis_server_ray.stages.media import (encode_mjpg,
+                                                    mjpg_decode_frame,
+                                                    mjpg_frame_count)
+
+    frames = [encode_jpeg(np.full((8, 16), v, np.uint8), 75)
+              for v in (0, 128, 255)]
+    data = encode_mjpg(frames)
+    assert mjpg_frame_count(data) == 3
+    for k, v in enumerate((0, 128, 255)):
+        arr = mjpg_decode_frame(data, k)
+        assert arr.shape == (8, 16) and (arr == v).all()
+    with pytest.raises(IndexError):
+        mjpg_decode_frame(data, 3)
+    with pytest.raises(ValueError):
+        mjpg_frame_count(b"RIFF" + bytes(8))
