@@ -32,6 +32,15 @@ LAYOUT_SENSITIVE = [
     "kmeans_embed",
     "semantic_dedup",
     "group_quantiles",
+    # round-4 additions with cross-block state: per-block top-k partials,
+    # distinct-partial semi/anti builds, distinct-domain period inference,
+    # per-block prefix-sum chunk math, halo-shuffled multi-stat focal
+    "top_orders",
+    "customers_without_orders",
+    "parts_with_lineitems",
+    "time_period_inference",
+    "doc_chunks",
+    "focal_stats",
 ]
 
 
