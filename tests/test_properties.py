@@ -295,3 +295,46 @@ def test_keep_first_rows_matches_pandas_property():
             assert got.equals(want)
 
     run()
+
+
+def test_wav_roundtrip_property():
+    """PCM16 WAV round trip is bit-exact for arbitrary sample arrays and
+    rates (hypothesis over lengths incl. odd data-chunk alignment)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geotrellis_server_ray.functions.wav import decode_wav, encode_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=300),
+           st.sampled_from([8000, 16000, 22050, 44100]))
+    def check(vals, rate):
+        s = np.array(vals, np.int16)
+        out, r = decode_wav(encode_wav(s, rate))
+        assert r == rate and len(out) == len(s) and (out == s).all()
+
+    check()
+
+
+def test_semi_anti_join_string_keys(ray_session):
+    """semi_anti_join probes string keys via sorted searchsorted — verify
+    against a set-based replay, both gated paths."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.pipelines.relational import semi_anti_join
+
+    probe = pa.table({"k": pa.array(["a", "b", "c", "d", "e", "b"]),
+                      "v": pa.array(range(6))})
+    build = pa.table({"bk": pa.array(["b", "d", "d", "zz"])})
+    for limit in (10, 0):  # broadcast path, then forced join fallback
+        semi = semi_anti_join(rd.from_arrow(probe), "k",
+                              rd.from_arrow(build), "bk",
+                              anti=False, broadcast_limit=limit).to_pandas()
+        anti = semi_anti_join(rd.from_arrow(probe), "k",
+                              rd.from_arrow(build), "bk",
+                              anti=True, broadcast_limit=limit).to_pandas()
+        assert sorted(semi.k) == ["b", "b", "d"], limit
+        assert sorted(anti.k) == ["a", "c", "e"], limit
+        assert set(semi.columns) == {"k", "v"}
