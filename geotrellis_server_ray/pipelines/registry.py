@@ -1843,6 +1843,75 @@ SELECT CAST(vid AS BIGINT) AS vid, CAST(n_frames AS BIGINT) AS n_frames,
 FROM f"""
 
 
+def q_multimodal_curation(sf_dir: str):
+    """Cross-modality curation composite (the multimodal twin of
+    curation_pipeline): image spans decode for REAL (JPEG bytes ->
+    per-image pixel sums), per-doc image stats fold through combiner
+    partials + one hash aggregate (doc keys scale with the corpus, so no
+    driver-side state), then a hash Dataset.join against the filtered
+    document dimension (lang = 'en', n_chars >= 200) and a final rule
+    (>= 2 decoded images per doc). Every exchange is data-proportional:
+    decode stats rows = image spans, join legs = filtered docs + per-doc
+    stats."""
+    from ray.data.aggregate import Sum
+
+    from ..config import shuffle_partitions
+    from ..sources.corpus import corpus_dataset
+    from ..stages.media import decode_media_task, media_span_payloads
+
+    m = corpus_dataset(sf_dir, num_blocks=32)
+    m = m.map_batches(S.explode_spans, batch_format="pyarrow")
+    m = m.map_batches(media_span_payloads, batch_format="pyarrow", batch_size=256)
+    m = m.map_batches(decode_media_task, batch_format="pyarrow")
+
+    def img_partial(b: pa.Table) -> pa.Table:
+        # media_d (int64, = documents.doc_id) is the join key; the corpus
+        # span doc_id is the 'doc-%08d' string form
+        g = pa.table({"doc_id": b.column("media_d"),
+                      "pix": b.column("pix_sum"),
+                      "one": pa.array(np.ones(len(b), np.int64))}) \
+            .group_by(["doc_id"]).aggregate([("pix", "sum"), ("one", "sum")])
+        return g.rename_columns(["doc_id", "img_pix_sum", "n_images"])
+
+    med = m.map_batches(img_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("img_pix_sum", alias_name="img_pix_sum"),
+                                     Sum("n_images", alias_name="n_images"))
+
+    docs = read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    docs = docs.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b.column("lang"), pa.scalar("en")),
+                                   pc.greater_equal(b.column("n_chars"),
+                                                    pa.scalar(200)))),
+        batch_format="pyarrow")
+    out = docs.join(med, "inner", num_partitions=shuffle_partitions(),
+                    on=("doc_id",))
+    out = out.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_images"), pa.scalar(2)))
+        .select(["doc_id", "lang", "n_chars", "n_images", "img_pix_sum"]),
+        batch_format="pyarrow")
+    return _cast_cols(out, {"n_images": I64, "img_pix_sum": I64})
+
+
+def sql_multimodal_curation() -> str:
+    return f"""{SPANS}
+, m AS (
+  SELECT doc_idx AS doc_id,
+         8 * (1 + (doc_idx * 7 + span_idx * 13) % 8) AS w,
+         8 * (1 + (doc_idx * 11 + span_idx * 3) % 8) AS h,
+         (doc_idx * 37 + span_idx * 101) % 256 AS seed
+  FROM spans_flat WHERE kind = 'image'),
+img AS (
+  SELECT doc_id,
+    CAST(sum(64 * list_aggregate(
+      list_transform(range(0, (w // 8) * (h // 8)),
+                     b -> (seed + 7 * b) % 256), 'sum')) AS BIGINT) AS img_pix_sum,
+    CAST(count(*) AS BIGINT) AS n_images
+  FROM m GROUP BY doc_id)
+SELECT d.doc_id, d.lang, d.n_chars, i.n_images, i.img_pix_sum
+FROM documents d JOIN img i ON i.doc_id = d.doc_id
+WHERE d.lang = 'en' AND d.n_chars >= 200 AND i.n_images >= 2"""
+
+
 def q_frame_sample(sf_dir: str):
     """Video frame-sampling plan (flat_map expansion per media span)."""
     from ..sources.corpus import corpus_dataset
@@ -5730,6 +5799,7 @@ QUERIES: dict[str, tuple] = {
     "doc_chunks": (q_doc_chunks, sql_doc_chunks),
     "audio_meta": (q_audio_meta, sql_audio_meta),
     "video_frames": (q_video_frames, sql_video_frames),
+    "multimodal_curation": (q_multimodal_curation, sql_multimodal_curation),
     # --- Block A: driver-unwitnessed in r2 (registry positions 51-68)
     "checkpointed_write": (q_checkpointed_write, None),
     "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),
