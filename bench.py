@@ -297,13 +297,14 @@ def run_interval_scale() -> dict:
         rep_b[max(f0, 0):l0 + 1] += 1
     cand_1x = int((evb * rep_b[:len(evb)]).sum())
 
+    from functools import partial
+
     def replicated(f: int):
         reps = [ev_tbl] * f
         ds = rd.from_arrow(pa.concat_tables(reps)).repartition(NUM_CPUS * 2)
         return ds.map_batches(partial(add_cents, cols={"cents": "value"}),
                               batch_format="pyarrow").materialize()
 
-    from functools import partial
     out = {"metric": "interval_scale", "sf": SF_DIR, "num_cpus": NUM_CPUS,
            "bucket_days": 1, "intervals": len(ok), "events_1x": len(ev_tbl),
            "candidates_model_1x": cand_1x, "join": {}, "agg": {}}

@@ -1839,7 +1839,7 @@ n AS (SELECT vid, 4 + vid % 12 AS n_frames FROM v),
 f AS (SELECT vid, n_frames, unnest(generate_series(0, n_frames - 1, 6)) AS frame_idx FROM n)
 SELECT CAST(vid AS BIGINT) AS vid, CAST(n_frames AS BIGINT) AS n_frames,
        CAST(frame_idx AS BIGINT) AS frame_idx,
-       CAST((vid * 29 + 11 * frame_idx) % 256 AS BIGINT) AS pix_val
+       CAST(64 * ((vid * 29 + 11 * frame_idx) % 256) AS BIGINT) AS pix_sum
 FROM f"""
 
 

@@ -398,8 +398,10 @@ def synth_video_payloads(batch: pa.Table) -> pa.Table:
 def sample_video_frames(batch: pa.Table, every_k: int = 6) -> pa.Table:
     """REAL frame sampling: read n_frames from the container header, plan
     frames 0, k, 2k, ..., then DECODE each sampled frame through its seeked
-    byte range — (vid, n_frames, frame_idx, pix_val). The per-frame loop is
-    inherent (each frame is one sequential Huffman stream)."""
+    byte range — (vid, n_frames, frame_idx, pix_sum). pix_sum is the exact
+    decoded pixel sum (general: holds for any frame content, not just the
+    synth fixtures). The per-frame loop is inherent (each frame is one
+    sequential Huffman stream)."""
     col = batch.column("payload")
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -410,15 +412,13 @@ def sample_video_frames(batch: pa.Table, every_k: int = 6) -> pa.Table:
         nf = mjpg_frame_count(data)
         for k in range(0, nf, every_k):
             arr = mjpg_decode_frame(data, k)
-            px = int(arr[0, 0])
-            assert (arr == px).all()  # constant frame: decode is exact
             out_v.append(int(vids[i]))
             out_nf.append(nf)
             out_fi.append(k)
-            out_px.append(px)
+            out_px.append(int(arr.sum(dtype=np.int64)))
     return pa.table({
         "vid": pa.array(out_v, pa.int64()),
         "n_frames": pa.array(out_nf, pa.int64()),
         "frame_idx": pa.array(out_fi, pa.int64()),
-        "pix_val": pa.array(out_px, pa.int64()),
+        "pix_sum": pa.array(out_px, pa.int64()),
     })

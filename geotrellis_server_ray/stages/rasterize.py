@@ -95,7 +95,6 @@ def burn_batch(batch: pa.Table, zoom: int, tile_px: int) -> pa.Table:
     """(tile, feature) candidates -> burn-mask stats. Materializes the
     (n, T, T) boolean mask stack (the artifact zonal stages consume) and
     derives n_cells + burn_hash from it, all vectorized."""
-    n_res = (1 << zoom) * tile_px
     m = len(batch)
     if m == 0:
         return pa.table({"layer_name": pa.array([], pa.string()),
