@@ -173,7 +173,11 @@ def compute_interval_period(times) -> str | None:
     arr = np.sort(np.asarray(list(times), dtype="datetime64[us]"))
     if len(arr) < 2:
         return None
-    gaps = np.unique(np.diff(arr).astype("timedelta64[ms]").astype(np.int64))
+    # truncate-then-diff (toEpochMilli semantics, and what the SQL oracle's
+    # epoch_ms(ts) lag computes) — diff-then-truncate would alias distinct
+    # sub-millisecond gaps onto one value and infer a bogus period
+    ms = arr.astype("datetime64[ms]").astype(np.int64)
+    gaps = np.unique(np.diff(ms))
     return period_iso(int(gaps[0])) if len(gaps) == 1 else None
 
 

@@ -990,6 +990,59 @@ FROM c"""
 RAST_ZOOM, RAST_TILE = 6, 8  # 512x512 global cell grid
 
 
+def _zone_rect_rows() -> list[tuple]:
+    """(layer_name, feature_id, x0, y0, x1, y1) for the rasterized layers —
+    shared by the engine feature table and both SQL oracles."""
+    feats = []
+    for lname, rects in (("hot-zones", layers.hot_zone_sql_predicates()),
+                         ("grid-zones", _grid_rects())):
+        feats += [(lname, *r) for r in rects]
+    return feats
+
+
+def _zone_feature_table() -> pa.Table:
+    feats = _zone_rect_rows()
+    return pa.table({
+        "layer_name": pa.array([f[0] for f in feats], pa.string()),
+        "feature_id": pa.array([f[1] for f in feats], pa.int64()),
+        "x0": pa.array([f[2] for f in feats], pa.float64()),
+        "y0": pa.array([f[3] for f in feats], pa.float64()),
+        "x1": pa.array([f[4] for f in feats], pa.float64()),
+        "y1": pa.array([f[5] for f in feats], pa.float64()),
+    })
+
+
+def _zone_cells_cte(n: int) -> str:
+    """Shared SQL prefix enumerating every burned cell of every zone feature
+    (rects -> raw spans -> emptiness test PRE-clip, exactly like the
+    engine's rect_cell_span -> clip -> cell enumeration). Ends with a
+    ``cells(layer_name, feature_id, gx, gy)`` CTE."""
+    rows = [f"('{lname}', {fid}, {flit(x0)}, {flit(y0)}, {flit(x1)}, {flit(y1)})"
+            for lname, fid, x0, y0, x1, y1 in _zone_rect_rows()]
+    yf = lambda lat: (f"(1.0e0 - ln(tan(radians({lat})) + "  # noqa: E731
+                      f"sqrt(tan(radians({lat})) * tan(radians({lat})) + 1.0e0)) / pi()) "
+                      f"/ 2.0e0 * {n}.0e0")
+    clip = lambda e: f"LEAST(GREATEST({e}, 0), {n - 1})"  # noqa: E731
+    return f"""
+WITH rects(layer_name, feature_id, x0, y0, x1, y1) AS (VALUES {', '.join(rows)}),
+raw AS (
+  SELECT layer_name, feature_id,
+    CAST(ceil((x0 + 180.0e0) / 360.0e0 * {n}.0e0 - 0.5e0) AS BIGINT) AS gx0r,
+    CAST(ceil((x1 + 180.0e0) / 360.0e0 * {n}.0e0 - 0.5e0) - 1 AS BIGINT) AS gx1r,
+    CAST(ceil({yf('y1')} - 0.5e0) AS BIGINT) AS gy0r,
+    CAST(ceil({yf('y0')} - 0.5e0) - 1 AS BIGINT) AS gy1r
+  FROM rects),
+spans AS (
+  -- emptiness decided on the RAW span (rect_cell_span semantics); only
+  -- non-empty spans clip into the domain
+  SELECT layer_name, feature_id, {clip('gx0r')} AS gx0, {clip('gx1r')} AS gx1,
+         {clip('gy0r')} AS gy0, {clip('gy1r')} AS gy1
+  FROM raw WHERE gx1r >= gx0r AND gy1r >= gy0r),
+cx AS (SELECT layer_name, feature_id, unnest(generate_series(gx0, gx1)) AS gx, gy0, gy1
+       FROM spans),
+cells AS (SELECT layer_name, feature_id, gx, unnest(generate_series(gy0, gy1)) AS gy FROM cx)"""
+
+
 def q_rasterize_zones(sf_dir: str):
     """Vector -> raster BURN (geotrellis Rasterizer, cell-center rule): the
     hot-zone + grid-zone rectangle layers rasterized into z=6 tile masks;
@@ -1004,44 +1057,13 @@ def q_rasterize_zones(sf_dir: str):
 
     from ..stages.rasterize import rasterize_rects
 
-    feats = []
-    for lname, rects in (("hot-zones", layers.hot_zone_sql_predicates()),
-                         ("grid-zones", _grid_rects())):
-        feats += [(lname, *r) for r in rects]
-    tbl = pa.table({
-        "layer_name": pa.array([f[0] for f in feats], pa.string()),
-        "feature_id": pa.array([f[1] for f in feats], pa.int64()),
-        "x0": pa.array([f[2] for f in feats], pa.float64()),
-        "y0": pa.array([f[3] for f in feats], pa.float64()),
-        "x1": pa.array([f[4] for f in feats], pa.float64()),
-        "y1": pa.array([f[5] for f in feats], pa.float64()),
-    })
-    return rasterize_rects(rd.from_arrow(tbl), zoom=RAST_ZOOM, tile_px=RAST_TILE)
+    return rasterize_rects(rd.from_arrow(_zone_feature_table()),
+                           zoom=RAST_ZOOM, tile_px=RAST_TILE)
 
 
 def sql_rasterize_zones() -> str:
     n = (1 << RAST_ZOOM) * RAST_TILE
-    rows = []
-    for lname, rects in (("hot-zones", layers.hot_zone_sql_predicates()),
-                         ("grid-zones", _grid_rects())):
-        rows += [f"('{lname}', {fid}, {flit(x0)}, {flit(y0)}, {flit(x1)}, {flit(y1)})"
-                 for fid, x0, y0, x1, y1 in rects]
-    yf = lambda lat: (f"(1.0e0 - ln(tan(radians({lat})) + "  # noqa: E731
-                      f"sqrt(tan(radians({lat})) * tan(radians({lat})) + 1.0e0)) / pi()) "
-                      f"/ 2.0e0 * {n}.0e0")
-    clip = lambda e: f"LEAST(GREATEST({e}, 0), {n - 1})"  # noqa: E731
-    return f"""
-WITH rects(layer_name, feature_id, x0, y0, x1, y1) AS (VALUES {', '.join(rows)}),
-spans AS (
-  SELECT layer_name, feature_id,
-    {clip(f"CAST(ceil((x0 + 180.0e0) / 360.0e0 * {n}.0e0 - 0.5e0) AS BIGINT)")} AS gx0,
-    {clip(f"CAST(ceil((x1 + 180.0e0) / 360.0e0 * {n}.0e0 - 0.5e0) - 1 AS BIGINT)")} AS gx1,
-    {clip(f"CAST(ceil({yf('y1')} - 0.5e0) AS BIGINT)")} AS gy0,
-    {clip(f"CAST(ceil({yf('y0')} - 0.5e0) - 1 AS BIGINT)")} AS gy1
-  FROM rects),
-cx AS (SELECT layer_name, feature_id, unnest(generate_series(gx0, gx1)) AS gx, gy0, gy1
-       FROM spans WHERE gx1 >= gx0 AND gy1 >= gy0),
-cells AS (SELECT layer_name, feature_id, gx, unnest(generate_series(gy0, gy1)) AS gy FROM cx)
+    return f"""{_zone_cells_cte(n)}
 SELECT layer_name, feature_id,
        CAST(gx // {RAST_TILE} AS BIGINT) AS tile_x,
        CAST(gy // {RAST_TILE} AS BIGINT) AS tile_y,
@@ -1052,63 +1074,35 @@ FROM cells GROUP BY 1, 2, 3, 4"""
 
 def q_zonal_burn(sf_dir: str):
     """The full raster<->vector ROUND TRIP of the north rule: vector zones
-    -> rasterized burn masks (cell-center rule) -> zonal map-algebra over
-    the analytic DEM raster, i.e. zonal statistics computed THROUGH the
-    rasterization path rather than the PIP path — per feature, the count
-    and DEM-value sum of its burned cells. Masked-sum kernel is one
-    vectorized (m, T, T) pass; per-feature totals fold through the
-    small-key-space combiner (features are dimension-bounded)."""
+    -> rasterized burn masks (cell-center rule, shared mask_components
+    kernel) -> zonal map-algebra over the analytic DEM raster — per
+    feature, the count and DEM-value sum of its burned cells. Per-feature
+    totals fold through the small-key-space combiner (features are
+    dimension-bounded)."""
     import ray.data as rd
 
-    from ..stages.rasterize import candidates_batch, rect_cell_span
+    from ..stages.rasterize import candidates_batch, mask_components
     from .relational import grouped_sums
 
-    feats = []
-    for lname, rects in (("hot-zones", layers.hot_zone_sql_predicates()),
-                         ("grid-zones", _grid_rects())):
-        feats += [(lname, *r) for r in rects]
-    tbl = pa.table({
-        "layer_name": pa.array([f[0] for f in feats], pa.string()),
-        "feature_id": pa.array([f[1] for f in feats], pa.int64()),
-        "x0": pa.array([f[2] for f in feats], pa.float64()),
-        "y0": pa.array([f[3] for f in feats], pa.float64()),
-        "x1": pa.array([f[4] for f in feats], pa.float64()),
-        "y1": pa.array([f[5] for f in feats], pa.float64()),
-    })
     T = RAST_TILE
-    cands = rd.from_arrow(tbl).map_batches(
+    cands = rd.from_arrow(_zone_feature_table()).map_batches(
         partial(candidates_batch, zoom=RAST_ZOOM, tile_px=T),
         batch_format="pyarrow")
 
     def zonal(b: pa.Table) -> pa.Table:
-        m = len(b)
-        if m == 0:
+        if len(b) == 0:
             return pa.table({"layer_name": pa.array([], pa.string()),
                              "feature_id": pa.array([], I64),
                              "n_cells": pa.array([], I64),
                              "dem_sum": pa.array([], I64)})
-        tx = b.column("tile_x").to_numpy(zero_copy_only=False)
-        ty = b.column("tile_y").to_numpy(zero_copy_only=False)
-        spans = np.array([rect_cell_span(a, c, d, e, RAST_ZOOM, T)
-                          for a, c, d, e in zip(
-                              b.column("x0").to_numpy(zero_copy_only=False),
-                              b.column("y0").to_numpy(zero_copy_only=False),
-                              b.column("x1").to_numpy(zero_copy_only=False),
-                              b.column("y1").to_numpy(zero_copy_only=False))],
-                         dtype=np.int64).reshape(m, 4)
-        cell = np.arange(T, dtype=np.int64)
-        gx = tx[:, None] * T + cell[None, :]
-        gy = ty[:, None] * T + cell[None, :]
-        in_x = (gx >= spans[:, 0:1]) & (gx <= spans[:, 1:2])
-        in_y = (gy >= spans[:, 2:3]) & (gy <= spans[:, 3:4])
+        _tx, _ty, gx, gy, in_x, in_y = mask_components(b, RAST_ZOOM, T)
         mask = in_y[:, :, None] & in_x[:, None, :]
-        dem = (gx[:, None, :] * 3 + gy[:, :, None] * 2
-               + (gx[:, None, :] * gy[:, :, None]) % 7)
+        dem = _dem(gx[:, None, :], gy[:, :, None])
         return pa.table({
             "layer_name": b.column("layer_name"),
             "feature_id": b.column("feature_id"),
             "n_cells": pa.array(mask.sum(axis=(1, 2)).astype(np.int64)),
-            "dem_sum": pa.array(np.where(mask, dem, 0).sum(axis=(1, 2))
+            "dem_sum": pa.array(np.where(mask, dem, 0.0).sum(axis=(1, 2))
                                 .astype(np.int64)),
         })
 
@@ -1119,30 +1113,10 @@ def q_zonal_burn(sf_dir: str):
 
 def sql_zonal_burn() -> str:
     n = (1 << RAST_ZOOM) * RAST_TILE
-    rows = []
-    for lname, rects in (("hot-zones", layers.hot_zone_sql_predicates()),
-                         ("grid-zones", _grid_rects())):
-        rows += [f"('{lname}', {fid}, {flit(x0)}, {flit(y0)}, {flit(x1)}, {flit(y1)})"
-                 for fid, x0, y0, x1, y1 in rects]
-    yf = lambda lat: (f"(1.0e0 - ln(tan(radians({lat})) + "  # noqa: E731
-                      f"sqrt(tan(radians({lat})) * tan(radians({lat})) + 1.0e0)) / pi()) "
-                      f"/ 2.0e0 * {n}.0e0")
-    clip = lambda e: f"LEAST(GREATEST({e}, 0), {n - 1})"  # noqa: E731
-    return f"""
-WITH rects(layer_name, feature_id, x0, y0, x1, y1) AS (VALUES {', '.join(rows)}),
-spans AS (
-  SELECT layer_name, feature_id,
-    {clip(f"CAST(ceil((x0 + 180.0e0) / 360.0e0 * {n}.0e0 - 0.5e0) AS BIGINT)")} AS gx0,
-    {clip(f"CAST(ceil((x1 + 180.0e0) / 360.0e0 * {n}.0e0 - 0.5e0) - 1 AS BIGINT)")} AS gx1,
-    {clip(f"CAST(ceil({yf('y1')} - 0.5e0) AS BIGINT)")} AS gy0,
-    {clip(f"CAST(ceil({yf('y0')} - 0.5e0) - 1 AS BIGINT)")} AS gy1
-  FROM rects),
-cx AS (SELECT layer_name, feature_id, unnest(generate_series(gx0, gx1)) AS gx, gy0, gy1
-       FROM spans WHERE gx1 >= gx0 AND gy1 >= gy0),
-cells AS (SELECT layer_name, feature_id, gx, unnest(generate_series(gy0, gy1)) AS gy FROM cx)
+    return f"""{_zone_cells_cte(n)}
 SELECT layer_name, feature_id,
        CAST(count(*) AS BIGINT) AS n_cells,
-       CAST(sum(gx * 3 + gy * 2 + (gx * gy) % 7) AS BIGINT) AS dem_sum
+       CAST(sum({_dem_sql('gx', 'gy')}) AS BIGINT) AS dem_sum
 FROM cells GROUP BY 1, 2"""
 
 
@@ -2999,27 +2973,27 @@ def q_time_period_inference(sf_dir: str):
     def partial_distinct(b: pa.Table) -> pa.Table:
         return b.group_by(["event_type", "ts"]).aggregate([])
 
-    def finalize(b: pa.Table) -> pa.Table:
-        d = b.group_by(["event_type", "ts"]).aggregate([])
-        et = d.column("event_type").to_pylist()
-        ts = d.column("ts").to_numpy(zero_copy_only=False)
-        rows = []
-        for k in sorted(set(et)):
-            times = ts[np.asarray(et) == k]
-            iso = compute_interval_period(times)
-            rows.append((k, len(times), times.min(), times.max(), iso,
-                         period_ms(iso) if iso else None))
+    def finalize_group(g) -> "pa.Table":
+        import pandas as pd
+
+        ts = np.asarray(pd.to_datetime(g["ts"]).values.astype("datetime64[us]"))
+        ts = np.unique(ts)  # distinct partials can overlap across blocks
+        iso = compute_interval_period(ts)
         return pa.table({
-            "event_type": pa.array([r[0] for r in rows], pa.string()),
-            "n_positions": pa.array([r[1] for r in rows], I64),
-            "oldest": pa.array([r[2] for r in rows], pa.timestamp("us")),
-            "newest": pa.array([r[3] for r in rows], pa.timestamp("us")),
-            "period_iso": pa.array([r[4] for r in rows], pa.string()),
-            "period_ms": pa.array([r[5] for r in rows], I64),
+            "event_type": pa.array([g["event_type"].iloc[0]], pa.string()),
+            "n_positions": pa.array([len(ts)], I64),
+            "oldest": pa.array([ts.min()], pa.timestamp("us")),
+            "newest": pa.array([ts.max()], pa.timestamp("us")),
+            "period_iso": pa.array([iso], pa.string()),
+            "period_ms": pa.array([period_ms(iso) if iso else None], I64),
         })
 
+    # distinct partials shrink each block to its distinct (type, ts) pairs;
+    # the grouped merge then co-locates ONE type's domain per task (the
+    # knn/top-k map_groups shape) — no single-task coalesce of the whole
+    # distinct domain, which is O(#events) per type, not enum-bounded
     return ds.map_batches(partial_distinct, batch_format="pyarrow") \
-        .repartition(1).map_batches(finalize, batch_format="pyarrow")
+        .groupby("event_type").map_groups(finalize_group, batch_format="pandas")
 
 
 def sql_time_period_inference() -> str:
@@ -5864,11 +5838,12 @@ QUERIES: dict[str, tuple] = {
     "passage_dedup": (q_passage_dedup, sql_passage_dedup),
     "hilbert_partitions": (q_hilbert_partitions, sql_hilbert_partitions),
     "zonal_histogram": (q_zonal_histogram, sql_zonal_histogram),
-    # --- NOTE: the driver window is ALWAYS the first 50 dict entries; with
-    # the r4 Block-HEAD additions it now closes inside Block C (after
-    # `pagerank`). Everything from there down has a green driver row from a
-    # prior round and is re-witnessed by the pytest oracle-parity suite
-    # every round (enforced by tests/test_registry_guard.py).
+    # --- NOTE: the driver window is ALWAYS the first 50 dict entries, so
+    # each Block-HEAD addition pushes the boundary one entry up into Block C.
+    # Every entry below position 50 has a green driver row from a prior
+    # round and is re-witnessed by the pytest oracle-parity suite every
+    # round (enforced by tests/test_registry_guard.py — do NOT trust a
+    # hand-counted position here; run list(QUERIES).index(name)).
     "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup),
     "lang_id": (q_lang_id, sql_lang_id),
     "doc_fingerprints": (q_doc_fingerprints, sql_doc_fingerprints),

@@ -206,12 +206,13 @@ def semi_anti_join(probe_ds, probe_col: str, build_ds, build_col: str,
     parts = build_ds.map_batches(partial(_distinct_partial, col=build_col),
                                  batch_format="pyarrow").materialize()
     if parts.count() <= broadcast_limit:
-        folded = pa.concat_tables(list(
-            parts.repartition(1).map_batches(
-                partial(_distinct_partial, col=build_col),
-                batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
-        keys = np.sort(folded.column(build_col).to_numpy(
-            zero_copy_only=False)) if folded.num_rows else np.array([], np.int64)
+        blocks = list(parts.repartition(1).map_batches(
+            partial(_distinct_partial, col=build_col),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+        # empty/fully-filtered build side yields ZERO batches — a legitimate
+        # input (anti keeps everything, semi keeps nothing), not a crash
+        keys = np.sort(pa.concat_tables(blocks).column(build_col).to_numpy(
+            zero_copy_only=False)) if blocks else np.array([], np.int64)
         ref = ray.put(keys)
 
         def probe(batch: pa.Table) -> pa.Table:

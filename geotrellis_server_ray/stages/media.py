@@ -76,8 +76,9 @@ def audio_span_payloads(batch: pa.Table) -> pa.Table:
     seed = (d*53 + j*19) % 65536."""
     batch = batch.filter(pc.equal(batch.column("kind"), pa.scalar("audio")))
     m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
-    batch = batch.filter(pc.is_valid(m))
-    m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
+    ok = pc.is_valid(m)
+    batch = batch.filter(ok)
+    m = pc.filter(m, ok)
     d = pc.cast(pc.struct_field(m, "d"), pa.int64()).to_numpy(zero_copy_only=False)
     j = pc.cast(pc.struct_field(m, "j"), pa.int64()).to_numpy(zero_copy_only=False)
     n = 256 + (d * 7 + j * 3) % 1024
@@ -130,7 +131,7 @@ def media_span_payloads(batch: pa.Table) -> pa.Table:
     m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
     ok = pc.is_valid(m)
     batch = batch.filter(ok)
-    m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
+    m = pc.filter(m, ok)
     d = pc.cast(pc.struct_field(m, "d"), pa.int64()).to_numpy(zero_copy_only=False)
     j = pc.cast(pc.struct_field(m, "j"), pa.int64()).to_numpy(zero_copy_only=False)
     w = 8 * (1 + (d * 7 + j * 13) % 8)
@@ -192,7 +193,7 @@ class MediaDecode:
         m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
         ok = pc.is_valid(m)
         batch = batch.filter(ok)
-        m = pc.extract_regex(batch.column("media_ref"), _REF_RE)
+        m = pc.filter(m, ok)
         d = pc.cast(pc.struct_field(m, "d"), pa.int64()).to_numpy(zero_copy_only=False)
         j = pc.cast(pc.struct_field(m, "j"), pa.int64()).to_numpy(zero_copy_only=False)
         width = 64 + (d * 7 + j * 13) % 512

@@ -91,18 +91,12 @@ def candidates_batch(batch: pa.Table, zoom: int, tile_px: int) -> pa.Table:
     })
 
 
-def burn_batch(batch: pa.Table, zoom: int, tile_px: int) -> pa.Table:
-    """(tile, feature) candidates -> burn-mask stats. Materializes the
-    (n, T, T) boolean mask stack (the artifact zonal stages consume) and
-    derives n_cells + burn_hash from it, all vectorized."""
+def mask_components(batch: pa.Table, zoom: int, tile_px: int):
+    """Shared burn-mask math for (tile, feature) candidate rows: per-row
+    tile coords, global cell coords (m, T) and the in-span axis masks whose
+    outer product is the burn mask. Used by burn_batch and the zonal-burn
+    kernel (registry), so the cell-center rule lives in ONE place."""
     m = len(batch)
-    if m == 0:
-        return pa.table({"layer_name": pa.array([], pa.string()),
-                         "feature_id": pa.array([], pa.int64()),
-                         "tile_x": pa.array([], pa.int64()),
-                         "tile_y": pa.array([], pa.int64()),
-                         "n_cells": pa.array([], pa.int64()),
-                         "burn_hash": pa.array([], pa.int64())})
     tx = batch.column("tile_x").to_numpy(zero_copy_only=False)
     ty = batch.column("tile_y").to_numpy(zero_copy_only=False)
     spans = np.array([rect_cell_span(a, b, c, d, zoom, tile_px)
@@ -117,6 +111,22 @@ def burn_batch(batch: pa.Table, zoom: int, tile_px: int) -> pa.Table:
     gy = ty[:, None] * tile_px + cell[None, :]
     in_x = (gx >= spans[:, 0:1]) & (gx <= spans[:, 1:2])
     in_y = (gy >= spans[:, 2:3]) & (gy <= spans[:, 3:4])
+    return tx, ty, gx, gy, in_x, in_y
+
+
+def burn_batch(batch: pa.Table, zoom: int, tile_px: int) -> pa.Table:
+    """(tile, feature) candidates -> burn-mask stats. Materializes the
+    (n, T, T) boolean mask stack (the artifact zonal stages consume) and
+    derives n_cells + burn_hash from it, all vectorized."""
+    m = len(batch)
+    if m == 0:
+        return pa.table({"layer_name": pa.array([], pa.string()),
+                         "feature_id": pa.array([], pa.int64()),
+                         "tile_x": pa.array([], pa.int64()),
+                         "tile_y": pa.array([], pa.int64()),
+                         "n_cells": pa.array([], pa.int64()),
+                         "burn_hash": pa.array([], pa.int64())})
+    tx, ty, gx, gy, in_x, in_y = mask_components(batch, zoom, tile_px)
     mask = in_y[:, :, None] & in_x[:, None, :]          # (m, T, T) burn mask
     n_cells = mask.sum(axis=(1, 2)).astype(np.int64)
     gxs = np.where(in_x, gx, 0).sum(axis=1)

@@ -309,3 +309,21 @@ def test_semi_anti_join_paths_agree(ray_session):
     want = sorted(set(cust.c_custkey) - recent)
     got = sorted(R.q_customers_without_orders(sf).to_pandas().c_custkey)
     assert got == want
+
+
+def test_semi_anti_join_empty_build(ray_session):
+    """Review finding r4: an empty/fully-filtered build side is a legitimate
+    input — anti keeps every probe row, semi keeps none (no crash)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.pipelines.relational import semi_anti_join
+
+    probe = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "v": pa.array([10, 20, 30], pa.int64())})
+    empty = pa.table({"bk": pa.array([], pa.int64())})
+    anti = semi_anti_join(rd.from_arrow(probe), "k", rd.from_arrow(empty),
+                          "bk", anti=True).to_pandas()
+    semi = semi_anti_join(rd.from_arrow(probe), "k", rd.from_arrow(empty),
+                          "bk", anti=False).to_pandas()
+    assert sorted(anti.k) == [1, 2, 3] and len(semi) == 0

@@ -244,3 +244,30 @@ def test_focal_stats_nodata_semantics():
     full = np.ones((4, 4), bool)
     v2, m2 = focal_stats(z, full)
     assert m2.all()
+
+
+def test_rasterize_empty_span_at_domain_edge():
+    """Review finding r4: a rect whose raw span is empty (e.g. a sliver
+    abutting the west edge) must burn NOTHING — emptiness is decided on the
+    raw span BEFORE clipping, in both the kernel and the SQL CTE."""
+    import duckdb
+
+    from geotrellis_server_ray.stages.rasterize import rect_cell_span
+
+    zoom, T = 6, 8
+    gx0, gx1, gy0, gy1 = rect_cell_span(-180.0, 0.0, -179.9, 0.1, zoom, T)
+    # 0.1 deg < one z6 cell (0.703 deg): span may be empty depending on
+    # alignment; at the west edge xf(-180)=0 -> gx_lo=0, gx_hi=ceil(0.142-0.5)-1=-1
+    assert gx1 < gx0  # empty
+
+    # the shared SQL CTE must agree: zero cells for the same sliver
+    from geotrellis_server_ray.pipelines.registry import _zone_cells_cte
+
+    n = (1 << zoom) * T
+    cte = _zone_cells_cte(n)
+    sliver = "('t', 0, -180.0e0, 0.0e0, -179.9e0, 0.1e0)"
+    import re
+    cte_s = re.sub(r"AS \(VALUES .*?\),\nraw AS", f"AS (VALUES {sliver}),\nraw AS",
+                   cte, count=1, flags=re.S)
+    rows = duckdb.connect().execute(cte_s + " SELECT count(*) FROM cells").fetchone()
+    assert rows[0] == 0

@@ -406,3 +406,23 @@ def test_ogctime_positions_interval_roundtrip():
     assert format_time(riv, "positions") is riv
     assert format_time(daily, "interval") == iv
     assert format_time(daily, "default") is daily
+
+
+def test_period_inference_truncate_then_diff():
+    """Review finding r4: microsecond-misaligned uniform gaps must NOT
+    infer a period (toEpochMilli truncates BEFORE diffing, like the SQL
+    oracle's epoch_ms lag) — diff-then-truncate would alias 900us gaps to
+    a bogus zero-ms 'P0D'."""
+    import numpy as np
+
+    from geotrellis_server_ray.functions.ogctime import compute_interval_period
+
+    t0 = np.datetime64("2024-01-01T00:00:00.000400", "us")
+    times = [t0, t0 + np.timedelta64(900, "us"), t0 + np.timedelta64(1800, "us")]
+    # truncated ms values are 0,1,2 -> uniform 1ms gaps, exactly what the
+    # oracle's epoch_ms lag sees (the old diff-then-truncate gave {0}: P0D)
+    assert compute_interval_period(times) == "PT0.001S"
+    # ms-aligned 900us gaps all inside one ms -> single 0 gap -> P0D both
+    # engine and oracle (consistent degenerate case)
+    sub = [t0, t0 + np.timedelta64(100, "us"), t0 + np.timedelta64(200, "us")]
+    assert compute_interval_period(sub) == "P0D"
