@@ -2142,6 +2142,79 @@ SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY a"""
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-based CANONICAL selection per near-dup cluster — the real
+    curation step after clustering (keep the BEST member, not the first):
+    verified minhash pairs -> connected components -> per-doc integer
+    quality score (2*alpha + spaces - digits, the quality_batch columns) ->
+    per-cluster argmax with min-doc_id tie-break. The score joins labels
+    via a hash Dataset.join (both sides corpus-sized) and the per-cluster
+    pick runs as groupby(cluster_rep).map_groups — clusters never co-locate
+    beyond one group per task."""
+    from ..config import shuffle_partitions
+    from ..stages.dedup import connected_components
+
+    edges = _verified_neardup_pairs(sf_dir)
+    nodes = read(sf_dir, "documents", ["doc_id"])
+    labels = connected_components(edges, nodes, id_col="doc_id")
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    docs = docs.map_batches(T.quality_batch, batch_format="pyarrow")
+    docs = docs.map_batches(
+        lambda b: b.select(["doc_id"]).append_column(
+            "score", pc.cast(pc.subtract(
+                pc.add(pc.multiply(b.column("n_alpha"), pa.scalar(2)),
+                       b.column("n_spaces")),
+                b.column("n_digits")), I64)),
+        batch_format="pyarrow")
+    joined = labels.join(docs, "inner", num_partitions=shuffle_partitions(),
+                         on=("doc_id",))
+
+    def best(g):
+        import pandas as pd  # noqa: F401 (map_groups pandas format)
+
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        top = g.iloc[0]
+        return pa.table({
+            "cluster_rep": pa.array([int(top["cluster_rep"])], I64),
+            "best_doc": pa.array([int(top["doc_id"])], I64),
+            "best_score": pa.array([int(top["score"])], I64),
+            "n_members": pa.array([len(g)], I64),
+        })
+
+    return joined.groupby("cluster_rep").map_groups(best, batch_format="pandas")
+
+
+def sql_dedup_keep_best() -> str:
+    edges_sql = sql_minhash_dedup().strip()
+    return f"""
+WITH RECURSIVE edges AS ({edges_sql}),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION ALL SELECT id_b, id_a FROM edges),
+reach(a, b) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+labels AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_rep
+           FROM reach GROUP BY a),
+score AS (
+  SELECT doc_id,
+    CAST(2 * (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+         + (length(text) - length(replace(text, ' ', '')))
+         - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         AS BIGINT) AS score
+  FROM documents),
+ranked AS (
+  SELECT l.cluster_rep, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY l.cluster_rep
+                            ORDER BY s.score DESC, s.doc_id) AS rn,
+         count(*) OVER (PARTITION BY l.cluster_rep) AS n_members
+  FROM labels l JOIN score s ON s.doc_id = l.doc_id)
+SELECT cluster_rep, doc_id AS best_doc, score AS best_score,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1"""
+
+
 PASSAGE_W = 8  # tokens per exact-duplicate passage window
 
 
@@ -5774,6 +5847,7 @@ QUERIES: dict[str, tuple] = {
     "audio_meta": (q_audio_meta, sql_audio_meta),
     "video_frames": (q_video_frames, sql_video_frames),
     "multimodal_curation": (q_multimodal_curation, sql_multimodal_curation),
+    "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best),
     # --- Block A: driver-unwitnessed in r2 (registry positions 51-68)
     "checkpointed_write": (q_checkpointed_write, None),
     "customers_without_orders": (q_customers_without_orders, sql_customers_without_orders),
