@@ -2148,9 +2148,14 @@ def q_dedup_keep_best(sf_dir: str):
     verified minhash pairs -> connected components -> per-doc integer
     quality score (2*alpha + spaces - digits, the quality_batch columns) ->
     per-cluster argmax with min-doc_id tie-break. The score joins labels
-    via a hash Dataset.join (both sides corpus-sized) and the per-cluster
-    pick runs as groupby(cluster_rep).map_groups — clusters never co-locate
-    beyond one group per task."""
+    via a hash Dataset.join (both sides corpus-sized); the per-cluster pick
+    is a COMPOSITE-KEY Max through the native combiner tree (comp =
+    score * 2^32 + (2^32-1 - doc_id), so max(comp) = argmax score with
+    min-doc_id ties), with per-batch pyarrow partials first — no map_groups,
+    no per-cluster Python call. Domain guard: |score| < 2^29 and
+    0 <= doc_id < 2^32, raised on violation rather than silently wrapped."""
+    from ray.data.aggregate import Max, Sum
+
     from ..config import shuffle_partitions
     from ..stages.dedup import connected_components
 
@@ -2170,19 +2175,42 @@ def q_dedup_keep_best(sf_dir: str):
     joined = labels.join(docs, "inner", num_partitions=shuffle_partitions(),
                          on=("doc_id",))
 
-    def best(g):
-        import pandas as pd  # noqa: F401 (map_groups pandas format)
+    RADIX = 1 << 32
 
-        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
-        top = g.iloc[0]
+    def encode(b: pa.Table) -> pa.Table:
+        score = b.column("score").to_numpy(zero_copy_only=False)
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(doc) and (np.abs(score).max() >= (1 << 29)
+                         or doc.max() >= RADIX or doc.min() < 0):
+            raise ValueError(
+                "dedup_keep_best composite domain exceeded: requires "
+                "|score| < 2^29 and 0 <= doc_id < 2^32")
+        comp = score * RADIX + (RADIX - 1 - doc)
+        t = pa.table({"cluster_rep": b.column("cluster_rep"),
+                      "comp": pa.array(comp, I64)})
+        g = t.group_by(["cluster_rep"]).aggregate(
+            [("comp", "max"), ("comp", "count")])
+        return pa.table({"cluster_rep": g.column("cluster_rep"),
+                         "comp": g.column("comp_max"),
+                         "n": pc.cast(g.column("comp_count"), I64)})
+
+    agg = (joined.map_batches(encode, batch_format="pyarrow")
+           .groupby("cluster_rep")
+           .aggregate(Max("comp", alias_name="comp"),
+                      Sum("n", alias_name="n_members")))
+
+    def decode(b: pa.Table) -> pa.Table:
+        comp = b.column("comp").to_numpy(zero_copy_only=False)
+        score = np.floor_divide(comp, RADIX)
+        doc = (RADIX - 1) - (comp - score * RADIX)
         return pa.table({
-            "cluster_rep": pa.array([int(top["cluster_rep"])], I64),
-            "best_doc": pa.array([int(top["doc_id"])], I64),
-            "best_score": pa.array([int(top["score"])], I64),
-            "n_members": pa.array([len(g)], I64),
+            "cluster_rep": pc.cast(b.column("cluster_rep"), I64),
+            "best_doc": pa.array(doc, I64),
+            "best_score": pa.array(score, I64),
+            "n_members": pc.cast(b.column("n_members"), I64),
         })
 
-    return joined.groupby("cluster_rep").map_groups(best, batch_format="pandas")
+    return agg.map_batches(decode, batch_format="pyarrow")
 
 
 def sql_dedup_keep_best() -> str:
