@@ -218,3 +218,66 @@ def wcs_describe_coverage(layers: list[dict],
             for p in lyr["time_positions"]:
                 _sub(td, "gml:timePosition", p)
     return ET.tostring(root, encoding="unicode")
+
+
+# ------------------------------------------------------- exception documents
+
+
+def service_exception_report(msg: str, code: str, version: str,
+                             locator: str = "noLocator") -> str:
+    """WMS ServiceExceptionReport XML — the error document the reference
+    returns from its GetFeatureInfo handlers (GetFeatureInfoException.toXML,
+    ogc/.../wms/GetFeatureInfoException.scala:33-52): one ServiceException
+    element carrying the message text with @code/@locator attributes, under
+    a report stamped with the request version."""
+    root = ET.Element("ServiceExceptionReport", version=version)
+    exc = _sub(root, "ServiceException", text=msg)
+    exc.set("code", code)
+    exc.set("locator", locator)
+    return ET.tostring(root, encoding="unicode")
+
+
+class GetFeatureInfoException(Exception):
+    """Renderable GetFeatureInfo error (GetFeatureInfoException.scala:29-83).
+
+    The JSON encoding mirrors the reference's circe encoder verbatim —
+    including its quirk of encoding the exceptions list as PAIRS (a scala
+    List of tuples), i.e. ``[["code", ...], ["locator", ...], ["text", ...]]``
+    rather than an object (GetFeatureInfoException.scala:56-66)."""
+
+    code = "ServiceException"
+
+    def __init__(self, msg: str, version: str):
+        super().__init__(msg)
+        self.msg = msg
+        self.version = version
+
+    def to_xml(self) -> str:
+        return service_exception_report(self.msg, self.code, self.version)
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {"version": self.version,
+             "exceptions": [["code", self.code], ["locator", "noLocator"],
+                            ["text", self.msg]]},
+            separators=(",", ":"))
+
+    def render(self, info_format: str) -> str:
+        """Dispatch on the requested info format (render(), :68-73)."""
+        if info_format.lower() in ("json", "application/json"):
+            return self.to_json()
+        return self.to_xml()
+
+
+class LayerNotDefinedException(GetFeatureInfoException):
+    """GetFeatureInfoException.scala:77-79."""
+
+    code = "LayerNotDefined"
+
+
+class InvalidPointException(GetFeatureInfoException):
+    """GetFeatureInfoException.scala:81-83."""
+
+    code = "InvalidPoint"

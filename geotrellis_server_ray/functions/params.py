@@ -298,3 +298,51 @@ class ExpressionStore:
                 return {r["key"]: r["expr"] for r in map(json.loads, f) if r}
         except FileNotFoundError:
             return {}
+
+
+# ----------------------------------------------- ParamError message catalog
+# The reference's exact user-facing validation messages
+# (params/ParamError.scala:24-70). The engine's parse_* functions accumulate
+# their own internal diagnostics; these builders produce the WIRE strings a
+# serving front end reports back (WmsView.scala:136-137 joins them with
+# generate_error_message and returns the result as a 400 body).
+
+
+def invalid_value(field: str, value: str, valid_values: list[str]) -> str:
+    return (f"Parameter '{field}' has an invalid value of '{value}'. "
+            f"Needs to be one of: {','.join(valid_values)}")
+
+
+def missing_param(field: str) -> str:
+    return f"Missing parameter '{field}'"
+
+
+def missing_multi_param(fields: list[str]) -> str:
+    fs = ",".join(f"'{f}'" for f in fields)
+    return f"Parameters must include one of [{fs}], but none found."
+
+
+def repeated_param(field: str) -> str:
+    return f"More than one instance of parameter '{field}'"
+
+
+def parse_error(field: str, value: str) -> str:
+    return f"Cannot parse value '{value}' for parameter '{field}'"
+
+
+def crs_parse_error(crs_desc: str) -> str:
+    return f"Cannot parse CRS from '{crs_desc}'"
+
+
+def unsupported_format_error(fmt: str) -> str:
+    return f"Unsupported format: '{fmt}'"
+
+
+def no_supported_version_error(requested: list[str], supported: list[str]) -> str:
+    return (f"No available version in {', '.join(supported)}: "
+            f"{', '.join(requested)}")
+
+
+def generate_error_message(errors: list[str]) -> str:
+    """ParamError.generateErrorMessage (ParamError.scala:68-70)."""
+    return "; ".join(errors)

@@ -148,3 +148,27 @@ def getmap_requests(sf_dir: str, n: int = 256):
 
     ds = rd.from_arrow(synth_requests(n))
     return ds.map_batches(getmap_batch, batch_format="pyarrow")
+
+
+def getmap_exceptions_batch(batch: pa.Table, version: str = "1.3.0") -> pa.Table:
+    """The BadRequest side of the GetMap trace: requests whose layer fails
+    the catalog query get the reference's ServiceExceptionReport document
+    (LayerNotDefinedException — WmsView.scala:149-163 renders it per the
+    requested info format) instead of silently vanishing. Vectorized the
+    same way as getmap_batch: ONE catalog probe per distinct layer."""
+    from ..functions.capabilities import LayerNotDefinedException
+
+    layers = np.asarray(batch.column("layer").to_pylist(), dtype=object)
+    rids = batch.column("request_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    known = {lay: _CATALOG.filter(to_arrow_filter(with_name(lay))).num_rows > 0
+             for lay in dict.fromkeys(layers.tolist())}
+    bad = ~np.array([known[lay] for lay in layers], dtype=bool)
+    docs = {lay: LayerNotDefinedException(
+                f"Layer {lay} not found", version).render("xml")
+            for lay, ok in known.items() if not ok}
+    return pa.table({
+        "request_id": pa.array(rids[bad]),
+        "layer": pa.array(layers[bad].tolist(), type=pa.string()),
+        "exception_xml": pa.array([docs[lay] for lay in layers[bad]],
+                                  type=pa.string()),
+    })

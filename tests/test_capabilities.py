@@ -172,3 +172,79 @@ def test_wms_style_legend_url_blocks():
     assert onr.get("{http://www.w3.org/1999/xlink}href") == \
         "http://localhost/legend/ndvi.png"
     assert onr.get("{http://www.w3.org/1999/xlink}type") == "simple"
+
+
+def test_service_exception_report_goldens():
+    """Reference ServiceExceptionReport shape (GetFeatureInfoException.toXML)
+    and the circe JSON quirk: exceptions encoded as a list of PAIRS."""
+    import json
+
+    from geotrellis_server_ray.functions.capabilities import (
+        InvalidPointException, LayerNotDefinedException,
+        service_exception_report)
+
+    xml = service_exception_report("boom", "LayerNotDefined", "1.3.0")
+    root = ET.fromstring(xml)
+    assert root.tag == "ServiceExceptionReport"
+    assert root.get("version") == "1.3.0"
+    exc = root.find("ServiceException")
+    assert exc.get("code") == "LayerNotDefined"
+    assert exc.get("locator") == "noLocator"
+    assert exc.text == "boom"
+
+    e = LayerNotDefinedException("Layer ndvi not found", "1.3.0")
+    assert e.code == "LayerNotDefined"
+    assert ET.fromstring(e.render("xml")).find("ServiceException").get("code") \
+        == "LayerNotDefined"
+    j = json.loads(InvalidPointException("bad point", "1.1.1").render("json"))
+    assert j == {"version": "1.1.1",
+                 "exceptions": [["code", "InvalidPoint"],
+                                ["locator", "noLocator"],
+                                ["text", "bad point"]]}
+
+
+def test_param_error_catalog_exact_reference_strings():
+    """Byte-exact replicas of ParamError.scala:24-70 message templates."""
+    from geotrellis_server_ray.functions import params as P
+
+    assert P.invalid_value("format", "gif", ["png", "jpeg"]) == \
+        "Parameter 'format' has an invalid value of 'gif'. Needs to be one of: png,jpeg"
+    assert P.missing_param("bbox") == "Missing parameter 'bbox'"
+    assert P.missing_multi_param(["identifier", "identifiers"]) == \
+        "Parameters must include one of ['identifier','identifiers'], but none found."
+    assert P.repeated_param("time") == "More than one instance of parameter 'time'"
+    assert P.parse_error("width", "abc") == \
+        "Cannot parse value 'abc' for parameter 'width'"
+    assert P.crs_parse_error("EPSG:999999") == "Cannot parse CRS from 'EPSG:999999'"
+    assert P.unsupported_format_error("image/gif") == \
+        "Unsupported format: 'image/gif'"
+    assert P.no_supported_version_error(["2.0.0"], ["1.1.0", "1.1.1"]) == \
+        "No available version in 1.1.0, 1.1.1: 2.0.0"
+    assert P.generate_error_message([P.missing_param("a"), P.missing_param("b")]) \
+        == "Missing parameter 'a'; Missing parameter 'b'"
+
+
+def test_getmap_exceptions_batch_emits_layer_not_defined():
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_server_ray.pipelines.serving import (
+        getmap_batch, getmap_exceptions_batch)
+
+    batch = pa.table({
+        "request_id": pa.array(np.arange(4, dtype=np.int64)),
+        "layer": pa.array(["ndvi", "nope", "red", "nope"]),
+        "x": pa.array(np.array([1, 2, 3, 4], dtype=np.int64)),
+        "y": pa.array(np.array([1, 2, 3, 4], dtype=np.int64)),
+        "format": pa.array(["png"] * 4),
+    })
+    ok = getmap_batch(batch)
+    bad = getmap_exceptions_batch(batch)
+    # every request lands on exactly one side
+    assert sorted(ok.column("request_id").to_pylist()
+                  + bad.column("request_id").to_pylist()) == [0, 1, 2, 3]
+    assert bad.column("layer").to_pylist() == ["nope", "nope"]
+    doc = bad.column("exception_xml").to_pylist()[0]
+    root = ET.fromstring(doc)
+    assert root.find("ServiceException").get("code") == "LayerNotDefined"
+    assert "Layer nope not found" in doc
