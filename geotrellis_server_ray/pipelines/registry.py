@@ -4575,6 +4575,42 @@ def q_getmap_requests(sf_dir: str):
     return getmap_requests(sf_dir)
 
 
+GME_N = 128  # synthetic GetMap requests for the exception-path query
+
+
+def q_getmap_exception_docs(sf_dir: str):
+    """The BadRequest side of the GetMap lifecycle: requests naming a layer
+    that fails the catalog query produce the reference's
+    ServiceExceptionReport document (GetFeatureInfoException.toXML,
+    WmsView.scala:149-163) rather than silently vanishing. Every third
+    request names an unknown layer; the oracle replays the exact XML string.
+    Value-checked byte for byte — the document format IS the result."""
+    import ray.data as rd
+
+    from .serving import getmap_exceptions_batch
+
+    rid = np.arange(GME_N, dtype=np.int64)
+    layer = np.where(rid % 3 == 0, "ndvi",
+                     np.where(rid % 3 == 1, "red", None)).astype(object)
+    ghost = np.char.add("ghost-", (rid % 5).astype("U1"))
+    layer[rid % 3 == 2] = ghost[rid % 3 == 2]
+    tbl = pa.table({"request_id": pa.array(rid),
+                    "layer": pa.array(layer.tolist(), type=pa.string())})
+    return rd.from_arrow(tbl).map_batches(getmap_exceptions_batch,
+                                          batch_format="pyarrow")
+
+
+def sql_getmap_exception_docs() -> str:
+    return f"""
+WITH r AS (SELECT unnest(generate_series(0, {GME_N - 1})) AS rid)
+SELECT CAST(rid AS BIGINT) AS request_id,
+       'ghost-' || CAST(rid % 5 AS VARCHAR) AS layer,
+       '<ServiceExceptionReport version="1.3.0"><ServiceException code="LayerNotDefined" locator="noLocator">Layer ghost-'
+         || CAST(rid % 5 AS VARCHAR)
+         || ' not found</ServiceException></ServiceExceptionReport>' AS exception_xml
+FROM r WHERE rid % 3 = 2"""
+
+
 def q_vocab_df(sf_dir: str):
     """Distributed vocabulary statistics (curation-suite op): per-token
     document frequency + term frequency. Per-block partials (stages/text
@@ -5865,6 +5901,7 @@ QUERIES: dict[str, tuple] = {
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
+    "getmap_exception_docs": (q_getmap_exception_docs, sql_getmap_exception_docs),
     # media_meta's oracle was re-derived in r4 (real JPEG decode) -> re-witness
     "media_meta": (q_media_meta, sql_media_meta),
     "time_period_inference": (q_time_period_inference, sql_time_period_inference),
