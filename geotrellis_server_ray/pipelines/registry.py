@@ -691,6 +691,173 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank, CAST(v
 FROM ranked WHERE rnk <= {ANN_K}"""
 
 
+# subspaces / codes per subspace / Lloyd rounds / ADC shortlist for re-rank.
+# Sizing measured on the synthetic unit-norm embeddings (BASELINE.md): the
+# distance contrast is ~1.65, so raw ADC ordering alone recalls poorly on
+# ANY coarse quantizer; the standard fix (Jegou et al., PQ for NN search) is
+# an ADC SHORTLIST + exact re-rank of shortlist members only. R=200 (4% of
+# candidates at sf0.1) recovers the exact top-5 for all queries there.
+PQ_M, PQ_KSUB, PQ_ITERS, PQ_RERANK = 16, 16, 2, 200
+
+
+def _pq_codebooks(sf_dir: str):
+    """Train the M per-subspace PQ codebooks over the CANDIDATE lattice
+    (one materialized int64 projection, the _kmeans_lattice_centroids
+    precedent): init = subvectors of the PQ_KSUB lowest candidate vec_ids,
+    then PQ_ITERS Lloyd rounds — each round ONE streaming pass emitting
+    M x ksub x ds partials through the combiner tree; the driver holds only
+    the (M, ksub, ds) codebook tensor. Returns (lattice, codebooks)."""
+    from functools import partial as _p
+
+    from ..stages import ann as ANN
+    from ..stages import cluster as CL
+
+    lattice = read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                   proportional_blocks=True) \
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("vec_id"),
+                                                pa.scalar(ANN_NQ))),
+            batch_format="pyarrow") \
+        .map_batches(CL.quantize_to_table, batch_format="pyarrow") \
+        .materialize()
+
+    seeds = sorted(lattice.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), ANN_NQ + PQ_KSUB)),
+        batch_format="pyarrow").take_all(), key=lambda r: r["vec_id"])
+    d = len(seeds[0]["v"])
+    ds_ = d // PQ_M
+    cents = np.array([r["v"] for r in seeds[:PQ_KSUB]], np.int64) \
+        .reshape(PQ_KSUB, PQ_M, ds_).transpose(1, 0, 2).copy()
+
+    for _ in range(PQ_ITERS):
+        partials = lattice.map_batches(
+            _p(ANN.pq_partial_sums, cents=cents), batch_format="pyarrow")
+        rows = grouped_sums(partials, ["sub", "code", "ldim"], ["s", "n"],
+                            small_key_space=True).take_all()
+        cents = ANN.pq_update(rows, cents)
+    return lattice, cents
+
+
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN with exact re-rank (the compression scale
+    path past IVF; Jegou et al.'s ADC pipeline): M=16 per-subspace codebooks
+    trained with exact-lattice Lloyd's, every candidate encoded as 16 BYTES
+    (vs 256 bytes of float column — the corpus-wide query scan reads only
+    the codes table), ADC shortlist of R=200 per query via broadcast
+    distance tables, then an exact-distance re-rank that touches full-width
+    vectors ONLY for shortlist members (a broadcast O(Q x R) id set). Every
+    compare is exact int64 (subvector values < 2^21, squared sums < 2^48),
+    so codes, shortlists and the final ranking are bit-stable vs the
+    oracle's iterated-CTE replay of the same two-phase algorithm. Output
+    (query_id, rank, vec_id, exact_d2)."""
+    from functools import partial as _p
+
+    from ..stages import ann as ANN
+    from ..stages.cluster import QUANT
+
+    lattice, cents = _pq_codebooks(sf_dir)
+    codes = lattice.map_batches(_p(ANN.pq_codes_batch, cents=cents),
+                                batch_format="pyarrow")
+    qids, qmat = _ann_queries(sf_dir)
+    qlat = np.floor(qmat * QUANT + 0.5).astype(np.int64)
+    dtab = ANN.pq_distance_tables(qlat, cents)
+    parts = codes.map_batches(
+        _p(ANN.pq_adc_partial, dtab=dtab, qids=qids, k=PQ_RERANK),
+        batch_format="pyarrow")
+    # shortlist is O(Q x R) rows — bounded driver state (the knn-summary
+    # precedent), never corpus-proportional
+    short = parts.groupby("query_id").map_groups(
+        _p(ANN.pq_final, k=PQ_RERANK), batch_format="pandas") \
+        .select_columns(["query_id", "vec_id"]).take_all()
+    members = {int(q): np.sort(np.array(
+        [r["vec_id"] for r in short if r["query_id"] == q], np.int64))
+        for q in qids}
+    members["__union__"] = np.unique(
+        np.concatenate([members[int(q)] for q in qids]))
+    rerank = lattice.map_batches(
+        _p(ANN.pq_rerank_partial, qlat=qlat, qids=qids, members=members),
+        batch_format="pyarrow")
+    out = rerank.groupby("query_id").map_groups(
+        _p(ANN.pq_final, k=ANN_K, col="exact_d2"), batch_format="pandas")
+    return _cast_cols(out, {"query_id": I64, "rank": I64, "vec_id": I64,
+                            "exact_d2": I64})
+
+
+def sql_ann_pq_topk() -> str:
+    from ..stages.cluster import QUANT
+
+    ds_ = 64 // PQ_M  # embeddings table dim is 64 (TESTDATA.md)
+    cte = [f"""q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(unnest(embedding) * {QUANT}.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+cand AS (SELECT vec_id, dim // {ds_} AS sub, dim % {ds_} AS ldim, v
+         FROM q WHERE vec_id >= {ANN_NQ}),
+qry AS (SELECT vec_id AS query_id, dim // {ds_} AS sub, dim % {ds_} AS ldim, v
+        FROM q WHERE vec_id < {ANN_NQ}),
+c0 AS (SELECT sub, vec_id - {ANN_NQ} AS code, ldim, v AS val
+       FROM cand WHERE vec_id < {ANN_NQ + PQ_KSUB})"""]
+    for i in range(PQ_ITERS):
+        p, a, c = f"c{i}", f"a{i + 1}", f"c{i + 1}"
+        cte.append(f"""d{i + 1} AS (
+  SELECT x.vec_id, x.sub, p.code, sum((x.v - p.val) * (x.v - p.val)) AS d2
+  FROM cand x JOIN {p} p ON x.sub = p.sub AND x.ldim = p.ldim
+  GROUP BY 1, 2, 3),
+{a} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM d{i + 1}) WHERE rn = 1),
+{c} AS (
+  SELECT p.sub, p.code, p.ldim, coalesce(u.val, p.val) AS val
+  FROM {p} p LEFT JOIN (
+    SELECT a.sub, a.code, x.ldim,
+           CAST(floor(CAST(sum(x.v) AS DOUBLE) / count(*)) AS BIGINT) AS val
+    FROM cand x JOIN {a} a ON x.vec_id = a.vec_id AND x.sub = a.sub
+    GROUP BY 1, 2, 3) u
+  ON u.sub = p.sub AND u.code = p.code AND u.ldim = p.ldim)""")
+    cf = f"c{PQ_ITERS}"
+    final = f"""dF AS (
+  SELECT x.vec_id, x.sub, p.code, sum((x.v - p.val) * (x.v - p.val)) AS d2
+  FROM cand x JOIN {cf} p ON x.sub = p.sub AND x.ldim = p.ldim
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM dF) WHERE rn = 1),
+dtab AS (
+  SELECT y.query_id, p.sub, p.code, sum((y.v - p.val) * (y.v - p.val)) AS d2
+  FROM qry y JOIN {cf} p ON y.sub = p.sub AND y.ldim = p.ldim
+  GROUP BY 1, 2, 3),
+approx AS (
+  SELECT t.query_id, k.vec_id, sum(t.d2) AS approx_d2
+  FROM codes k JOIN dtab t ON t.sub = k.sub AND t.code = k.code
+  GROUP BY 1, 2),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_d2, vec_id) AS rnk
+    FROM approx) WHERE rnk <= {PQ_RERANK}),
+exact AS (
+  SELECT s.query_id, s.vec_id, sum((y.v - x.v) * (y.v - x.v)) AS exact_d2
+  FROM shortlist s
+  JOIN qry y ON y.query_id = s.query_id
+  JOIN cand x ON x.vec_id = s.vec_id AND x.sub = y.sub AND x.ldim = y.ldim
+  GROUP BY 1, 2),
+reranked AS (
+  SELECT query_id, vec_id, exact_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact_d2, vec_id) AS rnk
+  FROM exact)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, CAST(exact_d2 AS BIGINT) AS exact_d2
+FROM reranked WHERE rnk <= {ANN_K}"""
+    return "WITH " + ",\n".join(cte) + ",\n" + final
+
+
 # ------------------------------------------------------------ MAML operators
 
 MAML_GRID = 16  # 16x16 tiles of 64 cells
@@ -5902,6 +6069,7 @@ QUERIES: dict[str, tuple] = {
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
     "getmap_exception_docs": (q_getmap_exception_docs, sql_getmap_exception_docs),
+    "ann_pq_topk": (q_ann_pq_topk, sql_ann_pq_topk),
     # media_meta's oracle was re-derived in r4 (real JPEG decode) -> re-witness
     "media_meta": (q_media_meta, sql_media_meta),
     "time_period_inference": (q_time_period_inference, sql_time_period_inference),

@@ -446,3 +446,151 @@ class LshBuckets:
         bits = (mat @ self.planes) > 0
         code = (bits * self.weights[None, :]).sum(axis=1)
         return batch.append_column("bucket", pa.array(code, type=pa.int64()))
+
+
+# ------------------------------------------------- product quantization (PQ)
+# The compression scale path past IVF: train M per-subspace codebooks
+# (Lloyd's on the shared int64 lattice — stages/cluster.py discipline, every
+# compare exact integer math), encode each vector as M small codes (the
+# stored index is ~d*8/M bytes -> M*8 bytes per vector), and answer top-k
+# with an ADC scan over the CODES table only: per-query distance tables
+# (Q x M x ksub ints, driver-built from the tiny query matrix) are broadcast
+# and summed via fancy indexing. At 100 TB the full-width embedding column is
+# read exactly once (index build); query scans touch the 16x-smaller codes.
+
+
+def pq_partial_sums(batch: pa.Table, cents: np.ndarray) -> pa.Table:
+    """One block's Lloyd partials for ALL M subspaces in one pass: rows
+    (sub, code, ldim, s, n) — M x ksub x ds rows per block regardless of
+    block size. ``cents`` is (M, ksub, ds) int64."""
+    from .cluster import _unpack_lattice, nearest_cluster
+
+    _, V = _unpack_lattice(batch)
+    M, ksub, ds = cents.shape
+    if len(V) == 0:
+        e = pa.array([], pa.int64())
+        return pa.table({"sub": e, "code": e, "ldim": e, "s": e, "n": e})
+    subs, codes, ldims, ss, ns = [], [], [], [], []
+    for m in range(M):
+        Vm = V[:, m * ds:(m + 1) * ds]
+        a = nearest_cluster(Vm, cents[m])
+        sums = np.zeros((ksub, ds), np.int64)
+        np.add.at(sums, a, Vm)
+        counts = np.bincount(a, minlength=ksub).astype(np.int64)
+        subs.append(np.full(ksub * ds, m, np.int64))
+        codes.append(np.repeat(np.arange(ksub, dtype=np.int64), ds))
+        ldims.append(np.tile(np.arange(ds, dtype=np.int64), ksub))
+        ss.append(sums.reshape(-1))
+        ns.append(np.repeat(counts, ds))
+    return pa.table({"sub": pa.array(np.concatenate(subs)),
+                     "code": pa.array(np.concatenate(codes)),
+                     "ldim": pa.array(np.concatenate(ldims)),
+                     "s": pa.array(np.concatenate(ss)),
+                     "n": pa.array(np.concatenate(ns))})
+
+
+def pq_update(rows: list[dict], cents: np.ndarray) -> np.ndarray:
+    """Codebook update, same contract as cluster.update_centroids: new val =
+    floor(sum/count) in ONE double division; empty (sub, code) cells keep the
+    previous centroid."""
+    M, ksub, ds = cents.shape
+    sums = np.zeros((M, ksub, ds), np.float64)
+    counts = np.zeros((M, ksub, ds), np.float64)
+    for r in rows:
+        sums[r["sub"], r["code"], r["ldim"]] = r["s"]
+        counts[r["sub"], r["code"], r["ldim"]] = r["n"]
+    out = cents.copy()
+    mask = counts > 0
+    out[mask] = np.floor(sums[mask] / counts[mask]).astype(np.int64)
+    return out
+
+
+def pq_codes_batch(batch: pa.Table, cents: np.ndarray) -> pa.Table:
+    """Encode: (vec_id, codes fixed_size_list<uint8>[M]) — the compressed
+    index rows, ONE BYTE per subspace (ksub <= 256), so the stored index is
+    M bytes per vector vs 4*d for the float column. First-min tie-break per
+    subspace == the oracle's ORDER BY d2, code."""
+    from .cluster import _unpack_lattice, nearest_cluster
+
+    ids, V = _unpack_lattice(batch)
+    M, ksub, ds = cents.shape
+    if len(ids) == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "codes": pa.array([], pa.list_(pa.uint8()))})
+    codes = np.empty((len(ids), M), np.int64)
+    for m in range(M):
+        codes[:, m] = nearest_cluster(V[:, m * ds:(m + 1) * ds], cents[m])
+    return pa.table({
+        "vec_id": pa.array(ids),
+        "codes": pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1).astype(np.uint8)), M),
+    })
+
+
+def pq_distance_tables(qlat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(Q, M, ksub) int64 ADC tables: d2 between each query subvector and
+    each codebook centroid. All-pairs over the TINY sides only."""
+    Q = len(qlat)
+    M, ksub, ds = cents.shape
+    dtab = np.empty((Q, M, ksub), np.int64)
+    for m in range(M):
+        diff = qlat[:, None, m * ds:(m + 1) * ds] - cents[m][None, :, :]
+        dtab[:, m, :] = np.einsum("qkd,qkd->qk", diff, diff)
+    return dtab
+
+
+def pq_adc_partial(batch: pa.Table, dtab: np.ndarray, qids: np.ndarray,
+                   k: int = 5) -> pa.Table:
+    """ADC scan partial: approx_d2 per (query, candidate) via table lookup,
+    keep only rows at-or-below each query's in-batch kth distance (ties
+    included; the grouped final merge resolves them exactly)."""
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) == 0:
+        e = pa.array([], pa.int64())
+        return pa.table({"query_id": e, "vec_id": e, "approx_d2": e})
+    M = dtab.shape[1]
+    codes = batch.column("codes").combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).astype(np.int64).reshape(len(ids), M)
+    # (Q, n) = sum over subspaces of dtab[q, m, codes[n, m]]
+    approx = dtab[:, np.arange(M)[None, :], codes].sum(axis=2)
+    n = approx.shape[1]
+    kth = (np.partition(approx, k - 1, axis=1)[:, k - 1]
+           if n >= k else approx.max(axis=1))
+    qi, ri = np.nonzero(approx <= kth[:, None])
+    return pa.table({"query_id": pa.array(qids[qi].astype(np.int64)),
+                     "vec_id": pa.array(ids[ri]),
+                     "approx_d2": pa.array(approx[qi, ri])})
+
+
+def pq_final(group: pd.DataFrame, k: int = 5,
+             col: str = "approx_d2") -> pd.DataFrame:
+    """Exact grouped merge of distance partials: ascending distance, vec_id
+    ties. Works for the ADC shortlist (col='approx_d2') and the re-rank
+    phase (col='exact_d2')."""
+    g = group.sort_values([col, "vec_id"]).head(k).reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "rank", "vec_id", col]]
+
+
+def pq_rerank_partial(batch: pa.Table, qlat: np.ndarray, qids: np.ndarray,
+                      members: dict[int, np.ndarray]) -> pa.Table:
+    """Re-rank phase: stream the lattice once, keep only shortlist members
+    (a broadcast O(Q x R) id set), and emit EXACT int64 squared distances
+    per (query, member). The full-width vectors are touched only for the
+    shortlist — the corpus-wide scan stays on the byte codes."""
+    from .cluster import _unpack_lattice
+
+    ids, V = _unpack_lattice(batch)
+    union = members["__union__"]
+    keep = np.isin(ids, union)
+    e = pa.array([], pa.int64())
+    if not keep.any():
+        return pa.table({"query_id": e, "vec_id": e, "exact_d2": e})
+    ids, V = ids[keep], V[keep]
+    diff = qlat[:, None, :] - V[None, :, :]
+    d2 = np.einsum("qnd,qnd->qn", diff, diff)
+    mem = np.stack([np.isin(ids, members[int(q)]) for q in qids])
+    qi, ri = np.nonzero(mem)
+    return pa.table({"query_id": pa.array(qids[qi].astype(np.int64)),
+                     "vec_id": pa.array(ids[ri]),
+                     "exact_d2": pa.array(d2[qi, ri])})

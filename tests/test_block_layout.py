@@ -41,6 +41,8 @@ LAYOUT_SENSITIVE = [
     "time_period_inference",
     "doc_chunks",
     "focal_stats",
+    # PQ: per-block Lloyd partials, per-block ADC top-R partials, re-rank
+    "ann_pq_topk",
 ]
 
 

@@ -154,3 +154,46 @@ def test_interval_agg_matches_join(ray_session):
     assert out.loc[8, "n_events"] == 0 and out.loc[8, "sum_val"] == 0
     # k=9: empty range far from any event
     assert out.loc[9, "n_events"] == 0
+
+
+def test_pq_rerank_recovers_exact_topk(ray_session, sf_correct):
+    """The PQ ADC shortlist (R=200) + exact re-rank recovers the TRUE
+    brute-force L2 top-k on the synthetic embeddings — measured, not
+    assumed (registry docstring's sizing claim)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geotrellis_server_ray.pipelines.registry import ANN_K, ANN_NQ, QUERIES
+
+    out = QUERIES["ann_pq_topk"][0](sf_correct).to_pandas()
+    t = pq.read_table(f"{sf_correct}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.stack([np.asarray(v, np.float64)
+                    for v in t.column("embedding").to_pylist()])
+    Q, C = mat[ids < ANN_NQ], mat[ids >= ANN_NQ]
+    cid = ids[ids >= ANN_NQ]
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    for qi in range(ANN_NQ):
+        exact = cid[np.lexsort((cid, d2[qi]))][:ANN_K].tolist()
+        got = out[out.query_id == qi].sort_values("rank").vec_id.tolist()
+        assert got == exact, f"query {qi}: {got} != {exact}"
+
+
+def test_pq_codes_are_bytes(ray_session, sf_correct):
+    """The stored PQ index is one uint8 per subspace — the compression IS
+    the point of the operator."""
+    import pyarrow as pa
+
+    from functools import partial
+
+    from geotrellis_server_ray.pipelines.registry import _pq_codebooks
+    from geotrellis_server_ray.stages.ann import pq_codes_batch
+
+    lattice, cents = _pq_codebooks(sf_correct)
+    codes = lattice.map_batches(partial(pq_codes_batch, cents=cents),
+                                batch_format="pyarrow")
+    schema = codes.schema()
+    typ = schema.base_schema.field("codes").type
+    assert pa.types.is_fixed_size_list(typ) and typ.value_type == pa.uint8()
+    assert typ.list_size == cents.shape[0]
