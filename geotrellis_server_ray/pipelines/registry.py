@@ -5124,38 +5124,77 @@ def q_hll_registers(sf_dir: str):
         batch_format="pyarrow")
 
 
-def sql_hll_registers() -> str:
+def _sql_xorshift(ref: str, s: int) -> str:
+    # z ^ (z >> s) for z < 2^64, s < 32: split into 32-bit halves (each
+    # fits signed BIGINT for DuckDB's xor); the shifted value's low half
+    # takes (hi % 2^s) << (32-s) carried down from the high half
+    M32 = 1 << 32
+    hi, lo = f"({ref} // {M32})", f"({ref} % {M32})"
+    shi = f"({ref} // {1 << (32 + s)})"
+    slo = f"(({hi} % {1 << s}) * {1 << (32 - s)} + {lo} // {1 << s})"
+    return (f"(CAST(xor(CAST({hi} AS BIGINT), CAST({shi} AS BIGINT)) AS HUGEINT)"
+            f" * {M32}"
+            f" + xor(CAST({lo} AS BIGINT), CAST({slo} AS BIGINT)))")
+
+
+def _sql_splitmix64_ctes(key_expr: str, from_clause: str) -> str:
+    """CTE chain z0..h replaying stages/sketch.mix64 (splitmix64) over
+    ``key_expr`` rows of ``from_clause``; the final CTE is h(v), v in
+    [0, 2^64)."""
     from ..stages.sketch import SM_GAMMA, SM_M1, SM_M2
 
-    M32 = 1 << 32
-
-    def xorshift(ref: str, s: int) -> str:
-        # z ^ (z >> s) for z < 2^64, s < 32: split into 32-bit halves (each
-        # fits signed BIGINT for DuckDB's xor); the shifted value's low half
-        # takes (hi % 2^s) << (32-s) carried down from the high half
-        hi, lo = f"({ref} // {M32})", f"({ref} % {M32})"
-        shi = f"({ref} // {1 << (32 + s)})"
-        slo = f"(({hi} % {1 << s}) * {1 << (32 - s)} + {lo} // {1 << s})"
-        return (f"(CAST(xor(CAST({hi} AS BIGINT), CAST({shi} AS BIGINT)) AS HUGEINT)"
-                f" * {M32}"
-                f" + xor(CAST({lo} AS BIGINT), CAST({slo} AS BIGINT)))")
-
-    mulmod = _sql_mulmod
-
-    return f"""
-WITH z0 AS (
-  SELECT (CAST(l_orderkey AS HUGEINT) + {SM_GAMMA}) % {_M64} AS v FROM lineitem),
+    xorshift, mulmod = _sql_xorshift, _sql_mulmod
+    return f"""z0 AS (
+  SELECT (CAST({key_expr} AS HUGEINT) + {SM_GAMMA}) % {_M64} AS v FROM {from_clause}),
 z1 AS (SELECT {xorshift('v', 30)} AS v FROM z0),
 z2 AS (SELECT {mulmod('v', SM_M1)} AS v FROM z1),
 z3 AS (SELECT {xorshift('v', 27)} AS v FROM z2),
 z4 AS (SELECT {mulmod('v', SM_M2)} AS v FROM z3),
-h AS (SELECT {xorshift('v', 31)} AS v FROM z4),
+h AS (SELECT {xorshift('v', 31)} AS v FROM z4)"""
+
+
+def sql_hll_registers() -> str:
+    return f"""
+WITH {_sql_splitmix64_ctes('l_orderkey', 'lineitem')},
 br AS (
   SELECT v // {1 << 52} AS bucket,
          53 - length(ltrim(bin(CAST(v % {1 << 52} AS BIGINT)), '0')) AS reg
   FROM h)
 SELECT CAST(bucket AS BIGINT) AS bucket, CAST(max(reg) AS BIGINT) AS reg
 FROM br GROUP BY bucket"""
+
+
+def q_kmv_distinct(sf_dir: str):
+    """K-minimum-values distinct sketch over lineitem.l_orderkey (the
+    bottom-k counterpart to the HLL registers — same splitmix64 hash, same
+    mergeable-sketch shape): per-block partials of <= K distinct minimum
+    hashes, folded through the coalesced combiner tree with an idempotent
+    distinct-union-take-k merge. The CORRECTNESS contract is the K minimum
+    hash values themselves (as exact 32-bit halves); the (k-1)*2^64/kth
+    estimate is diagnostic (accuracy pytest-checked vs the exact count).
+    Unlike HLL, KMV also supports set INTERSECTION estimates by sketch
+    intersection — the reason both live in the engine."""
+    from functools import partial as _p
+
+    from ..stages import sketch as SK
+
+    ds = read(sf_dir, "lineitem", ["l_orderkey"])
+    partials = ds.map_batches(_p(SK.kmv_partial_batch, key_col="l_orderkey"),
+                              batch_format="pyarrow")
+    out = partials.map_batches(SK.kmv_merge, batch_format="pyarrow") \
+        .repartition(1).map_batches(SK.kmv_merge, batch_format="pyarrow")
+    return _cast_cols(out, {"hi": I64, "lo": I64})
+
+
+def sql_kmv_distinct() -> str:
+    from ..stages.sketch import KMV_K
+
+    return f"""
+WITH {_sql_splitmix64_ctes('l_orderkey', 'lineitem')},
+mins AS (SELECT DISTINCT v FROM h ORDER BY v LIMIT {KMV_K})
+SELECT CAST(v // {1 << 32} AS BIGINT) AS hi,
+       CAST(v % {1 << 32} AS BIGINT) AS lo
+FROM mins"""
 
 
 def q_cms_sketch(sf_dir: str):
@@ -6070,6 +6109,7 @@ QUERIES: dict[str, tuple] = {
     "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
     "getmap_exception_docs": (q_getmap_exception_docs, sql_getmap_exception_docs),
     "ann_pq_topk": (q_ann_pq_topk, sql_ann_pq_topk),
+    "kmv_distinct": (q_kmv_distinct, sql_kmv_distinct),
     # media_meta's oracle was re-derived in r4 (real JPEG decode) -> re-witness
     "media_meta": (q_media_meta, sql_media_meta),
     "time_period_inference": (q_time_period_inference, sql_time_period_inference),

@@ -203,3 +203,45 @@ def bloom_combine_batch(b: pa.Table) -> pa.Table:
     nz = np.nonzero(words)[0]
     return pa.table({"word": pa.array(nz.astype(np.int64)),
                      "bits": pa.array(words[nz].view(np.int64))})
+
+
+# ------------------------------------------------- K-minimum-values sketch
+
+KMV_K = 256
+
+
+def kmv_partial_batch(batch: pa.Table, key_col: str, k: int = KMV_K) -> pa.Table:
+    """One block's KMV partial: the k smallest DISTINCT mix64 hash values of
+    the key column, as (hi, lo) 32-bit halves (lexicographic (hi, lo) ==
+    numeric uint64 order; both halves fit signed int64 for Arrow/DuckDB).
+    <= k rows per block regardless of block size — the canonical mergeable
+    bottom-k sketch (Bar-Yossef et al.; Beyer et al.'s KMV estimator)."""
+    ids = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    h = np.unique(mix64(ids.astype(np.uint64)))  # sorted distinct
+    h = h[:k]
+    return pa.table({
+        "hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+        "lo": pa.array((h & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+    })
+
+
+def kmv_merge(batch: pa.Table, k: int = KMV_K) -> pa.Table:
+    """Fold partials: distinct union, keep the k smallest. Idempotent and
+    associative — safe at every level of the combiner tree."""
+    hi = batch.column("hi").to_numpy(zero_copy_only=False).astype(np.uint64)
+    lo = batch.column("lo").to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = np.unique((hi << np.uint64(32)) | lo)[:k]
+    return pa.table({
+        "hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+        "lo": pa.array((h & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+    })
+
+
+def kmv_estimate(hi: np.ndarray, lo: np.ndarray, k: int = KMV_K) -> float:
+    """(k-1) * 2^64 / kth_min — the unbiased KMV distinct estimate
+    (diagnostic; the CORRECTNESS contract is the hash rows themselves)."""
+    h = np.sort((hi.astype(np.uint64) << np.uint64(32))
+                | lo.astype(np.uint64))
+    if len(h) < k:        # fewer distinct keys than k: the sketch is exact
+        return float(len(h))
+    return (k - 1) * (2.0 ** 64) / float(h[k - 1])

@@ -327,3 +327,41 @@ def test_semi_anti_join_empty_build(ray_session):
     semi = semi_anti_join(rd.from_arrow(probe), "k", rd.from_arrow(empty),
                           "bk", anti=False).to_pandas()
     assert sorted(anti.k) == [1, 2, 3] and len(semi) == 0
+
+
+def test_kmv_partial_merge_equals_whole():
+    """Splitting the key stream across blocks cannot change the sketch:
+    merge(partials) == partial(whole). Idempotence too."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.sketch import kmv_merge, kmv_partial_batch
+
+    keys = np.arange(10_000, dtype=np.int64) * 7919 % 4001  # dups galore
+    whole = kmv_partial_batch(pa.table({"k": pa.array(keys)}), "k")
+    parts = [kmv_partial_batch(pa.table({"k": pa.array(c)}), "k")
+             for c in np.array_split(keys, 7)]
+    merged = kmv_merge(pa.concat_tables(parts))
+    assert merged.equals(whole)
+    assert kmv_merge(merged).equals(whole)  # idempotent
+
+
+def test_kmv_estimate_bound_and_exact_small():
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.sketch import (
+        KMV_K, kmv_estimate, kmv_partial_batch)
+
+    # fewer distinct keys than K: the sketch IS the distinct set
+    small = kmv_partial_batch(
+        pa.table({"k": pa.array(np.arange(100, dtype=np.int64) % 37)}), "k")
+    assert len(small) == 37
+    assert kmv_estimate(small.column("hi").to_numpy(),
+                        small.column("lo").to_numpy()) == 37.0
+    # large: relative error within 4/sqrt(k) of the true distinct count
+    n = 50_000
+    t = kmv_partial_batch(
+        pa.table({"k": pa.array(np.arange(n, dtype=np.int64))}), "k")
+    est = kmv_estimate(t.column("hi").to_numpy(), t.column("lo").to_numpy())
+    assert abs(est - n) / n < 4 / np.sqrt(KMV_K)
