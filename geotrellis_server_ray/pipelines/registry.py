@@ -5137,20 +5137,22 @@ def _sql_xorshift(ref: str, s: int) -> str:
             f" + xor(CAST({lo} AS BIGINT), CAST({slo} AS BIGINT)))")
 
 
-def _sql_splitmix64_ctes(key_expr: str, from_clause: str) -> str:
-    """CTE chain z0..h replaying stages/sketch.mix64 (splitmix64) over
-    ``key_expr`` rows of ``from_clause``; the final CTE is h(v), v in
-    [0, 2^64)."""
+def _sql_splitmix64_ctes(key_expr: str, from_clause: str,
+                         prefix: str = "") -> str:
+    """CTE chain {prefix}z0..{prefix}h replaying stages/sketch.mix64
+    (splitmix64) over ``key_expr`` rows of ``from_clause``; the final CTE is
+    {prefix}h(v), v in [0, 2^64). ``prefix`` lets two hash chains coexist in
+    one query (the tagged-KMV intersection oracle)."""
     from ..stages.sketch import SM_GAMMA, SM_M1, SM_M2
 
-    xorshift, mulmod = _sql_xorshift, _sql_mulmod
-    return f"""z0 AS (
+    xorshift, mulmod, p = _sql_xorshift, _sql_mulmod, prefix
+    return f"""{p}z0 AS (
   SELECT (CAST({key_expr} AS HUGEINT) + {SM_GAMMA}) % {_M64} AS v FROM {from_clause}),
-z1 AS (SELECT {xorshift('v', 30)} AS v FROM z0),
-z2 AS (SELECT {mulmod('v', SM_M1)} AS v FROM z1),
-z3 AS (SELECT {xorshift('v', 27)} AS v FROM z2),
-z4 AS (SELECT {mulmod('v', SM_M2)} AS v FROM z3),
-h AS (SELECT {xorshift('v', 31)} AS v FROM z4)"""
+{p}z1 AS (SELECT {xorshift('v', 30)} AS v FROM {p}z0),
+{p}z2 AS (SELECT {mulmod('v', SM_M1)} AS v FROM {p}z1),
+{p}z3 AS (SELECT {xorshift('v', 27)} AS v FROM {p}z2),
+{p}z4 AS (SELECT {mulmod('v', SM_M2)} AS v FROM {p}z3),
+{p}h AS (SELECT {xorshift('v', 31)} AS v FROM {p}z4)"""
 
 
 def sql_hll_registers() -> str:
@@ -5195,6 +5197,51 @@ mins AS (SELECT DISTINCT v FROM h ORDER BY v LIMIT {KMV_K})
 SELECT CAST(v // {1 << 32} AS BIGINT) AS hi,
        CAST(v % {1 << 32} AS BIGINT) AS lo
 FROM mins"""
+
+
+def q_kmv_intersection(sf_dir: str):
+    """Tagged-KMV set-intersection sketch (Beyer et al.): A = custkeys with
+    an even-keyed order, B = custkeys with an odd-keyed order; one streaming
+    pass emits per-block tagged partials (<= K rows: the k smallest union
+    hashes with in_a/in_b flags), OR-merged through the combiner tree.
+    Per-block truncation is safe: any globally-surviving hash is among the
+    k smallest of every block that saw it, so its flags always reach the
+    merge. Contract = the tagged rows; the jaccard_hat * union_hat
+    intersection estimate is diagnostic (pytest vs the exact overlap)."""
+    from functools import partial as _p
+
+    from ..stages import sketch as SK
+
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def tagged(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        even = ok % 2 == 0
+        return SK.kmv_tagged_partial(ck[even], ck[~even])
+
+    partials = ds.map_batches(tagged, batch_format="pyarrow")
+    out = partials.map_batches(SK.kmv_tagged_merge, batch_format="pyarrow") \
+        .repartition(1).map_batches(SK.kmv_tagged_merge, batch_format="pyarrow")
+    return _cast_cols(out, {"hi": I64, "lo": I64, "in_a": I64, "in_b": I64})
+
+
+def sql_kmv_intersection() -> str:
+    from ..stages.sketch import KMV_K
+
+    return f"""
+WITH {_sql_splitmix64_ctes('o_custkey', 'orders WHERE o_orderkey % 2 = 0', 'a')},
+{_sql_splitmix64_ctes('o_custkey', 'orders WHERE o_orderkey % 2 = 1', 'b')},
+tagged AS (
+  SELECT v, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT DISTINCT v, 1 AS in_a, 0 AS in_b FROM ah
+    UNION ALL
+    SELECT DISTINCT v, 0, 1 FROM bh) GROUP BY v
+  ORDER BY v LIMIT {KMV_K})
+SELECT CAST(v // {1 << 32} AS BIGINT) AS hi,
+       CAST(v % {1 << 32} AS BIGINT) AS lo,
+       CAST(in_a AS BIGINT) AS in_a, CAST(in_b AS BIGINT) AS in_b
+FROM tagged"""
 
 
 def q_cms_sketch(sf_dir: str):
@@ -6110,6 +6157,7 @@ QUERIES: dict[str, tuple] = {
     "getmap_exception_docs": (q_getmap_exception_docs, sql_getmap_exception_docs),
     "ann_pq_topk": (q_ann_pq_topk, sql_ann_pq_topk),
     "kmv_distinct": (q_kmv_distinct, sql_kmv_distinct),
+    "kmv_intersection": (q_kmv_intersection, sql_kmv_intersection),
     # media_meta's oracle was re-derived in r4 (real JPEG decode) -> re-witness
     "media_meta": (q_media_meta, sql_media_meta),
     "time_period_inference": (q_time_period_inference, sql_time_period_inference),

@@ -245,3 +245,57 @@ def kmv_estimate(hi: np.ndarray, lo: np.ndarray, k: int = KMV_K) -> float:
     if len(h) < k:        # fewer distinct keys than k: the sketch is exact
         return float(len(h))
     return (k - 1) * (2.0 ** 64) / float(h[k - 1])
+
+
+def kmv_tagged_partial(keys_a: np.ndarray, keys_b: np.ndarray,
+                       k: int = KMV_K) -> pa.Table:
+    """One block's TAGGED KMV partial for two key sets: rows
+    (hi, lo, in_a, in_b) over the k smallest distinct hashes of A union B.
+    Keeping k per SIDE per block would also work; keeping k of the union
+    with flags is strictly smaller and merges the same way."""
+    ha = np.unique(mix64(keys_a.astype(np.uint64)))
+    hb = np.unique(mix64(keys_b.astype(np.uint64)))
+    h = np.union1d(ha, hb)[:max(k, 1)]
+    # membership AFTER truncation: flags only matter for surviving hashes
+    return pa.table({
+        "hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+        "lo": pa.array((h & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        "in_a": pa.array(np.isin(h, ha).astype(np.int64)),
+        "in_b": pa.array(np.isin(h, hb).astype(np.int64)),
+    })
+
+
+def kmv_tagged_merge(batch: pa.Table, k: int = KMV_K) -> pa.Table:
+    """Fold tagged partials: OR the flags per hash, keep the k smallest.
+    Associative + idempotent like kmv_merge."""
+    hi = batch.column("hi").to_numpy(zero_copy_only=False).astype(np.uint64)
+    lo = batch.column("lo").to_numpy(zero_copy_only=False).astype(np.uint64)
+    a = batch.column("in_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch.column("in_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    h = (hi << np.uint64(32)) | lo
+    hu, inv = np.unique(h, return_inverse=True)
+    fa = np.zeros(len(hu), np.int64)
+    fb = np.zeros(len(hu), np.int64)
+    np.maximum.at(fa, inv, a)
+    np.maximum.at(fb, inv, b)
+    hu, fa, fb = hu[:k], fa[:k], fb[:k]
+    return pa.table({
+        "hi": pa.array((hu >> np.uint64(32)).astype(np.int64)),
+        "lo": pa.array((hu & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        "in_a": pa.array(fa), "in_b": pa.array(fb),
+    })
+
+
+def kmv_intersection_estimate(t: pa.Table, k: int = KMV_K) -> float:
+    """Beyer et al.: jaccard_hat = |both flags set among the k union mins|/k,
+    |A n B|_hat = jaccard_hat * |A u B|_hat (diagnostic; the contract is the
+    tagged rows)."""
+    hi = t.column("hi").to_numpy(zero_copy_only=False)
+    lo = t.column("lo").to_numpy(zero_copy_only=False)
+    both = (t.column("in_a").to_numpy(zero_copy_only=False)
+            & t.column("in_b").to_numpy(zero_copy_only=False))
+    union_est = kmv_estimate(hi, lo, k)
+    n = len(hi)
+    if n == 0:
+        return 0.0
+    return float(both.sum()) / min(n, k) * union_est

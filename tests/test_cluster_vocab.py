@@ -365,3 +365,23 @@ def test_kmv_estimate_bound_and_exact_small():
         pa.table({"k": pa.array(np.arange(n, dtype=np.int64))}), "k")
     est = kmv_estimate(t.column("hi").to_numpy(), t.column("lo").to_numpy())
     assert abs(est - n) / n < 4 / np.sqrt(KMV_K)
+
+
+def test_kmv_tagged_merge_flags_survive_block_splits():
+    """A hash seen for A in one block and B in another must end with both
+    flags — per-block truncation cannot lose a globally-surviving flag."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.sketch import (
+        kmv_tagged_merge, kmv_tagged_partial)
+
+    keys = np.arange(5_000, dtype=np.int64)
+    whole = kmv_tagged_merge(kmv_tagged_partial(keys, keys))
+    assert whole.column("in_a").to_pylist() == whole.column("in_b").to_pylist()
+    # split so each key reaches A and B in DIFFERENT blocks
+    parts = [kmv_tagged_partial(keys[: 2_500], keys[2_500:]),
+             kmv_tagged_partial(keys[2_500:], keys[: 2_500])]
+    merged = kmv_tagged_merge(pa.concat_tables(parts))
+    assert merged.equals(whole)
+    assert kmv_tagged_merge(merged).equals(whole)  # idempotent
