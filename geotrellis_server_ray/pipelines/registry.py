@@ -725,6 +725,9 @@ def _pq_codebooks(sf_dir: str):
         lambda b: b.filter(pc.less(b.column("vec_id"), ANN_NQ + PQ_KSUB)),
         batch_format="pyarrow").take_all(), key=lambda r: r["vec_id"])
     d = len(seeds[0]["v"])
+    if d != 64:  # the static SQL oracle splits dims assuming d=64 — fail
+        raise ValueError(  # loudly rather than silently diverge from it
+            f"ann_pq_topk oracle assumes embedding dim 64, corpus has {d}")
     ds_ = d // PQ_M
     cents = np.array([r["v"] for r in seeds[:PQ_KSUB]], np.int64) \
         .reshape(PQ_KSUB, PQ_M, ds_).transpose(1, 0, 2).copy()

@@ -85,6 +85,14 @@ def _break_edges(tiles_f: np.ndarray):
     return _H_LO + bmin * w, _H_LO + (bmax + 1) * w
 
 
+def _probe_known_layers(layers: np.ndarray) -> dict:
+    """ONE catalog query per distinct layer (WmsModel.getLayer), shared by
+    the render path and the exception path so a request always lands on
+    exactly one side — the invariant test_getmap_exceptions_batch pins."""
+    return {lay: _CATALOG.filter(to_arrow_filter(with_name(lay))).num_rows > 0
+            for lay in dict.fromkeys(layers.tolist())}
+
+
 def getmap_batch(batch: pa.Table) -> pa.Table:
     """One fused stage = steps 2-7 of the GetMap trace, VECTORIZED across the
     request batch: ONE catalog query per distinct layer (not per request),
@@ -103,8 +111,7 @@ def getmap_batch(batch: pa.Table) -> pa.Table:
 
     # step 2: catalog query ONCE per distinct layer (WmsModel.getLayer) —
     # compiled to an Arrow expression and filtered zero-copy on the catalog
-    known = {lay: _CATALOG.filter(to_arrow_filter(with_name(lay))).num_rows > 0
-             for lay in dict.fromkeys(layers.tolist())}
+    known = _probe_known_layers(layers)
     keep = np.array([known[lay] for lay in layers], dtype=bool)  # BadRequest path
     rids, layers, xs, ys, fmts = rids[keep], layers[keep], xs[keep], ys[keep], fmts[keep]
     n = len(rids)
@@ -160,8 +167,7 @@ def getmap_exceptions_batch(batch: pa.Table, version: str = "1.3.0") -> pa.Table
 
     layers = np.asarray(batch.column("layer").to_pylist(), dtype=object)
     rids = batch.column("request_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    known = {lay: _CATALOG.filter(to_arrow_filter(with_name(lay))).num_rows > 0
-             for lay in dict.fromkeys(layers.tolist())}
+    known = _probe_known_layers(layers)
     bad = ~np.array([known[lay] for lay in layers], dtype=bool)
     docs = {lay: LayerNotDefinedException(
                 f"Layer {lay} not found", version).render("xml")

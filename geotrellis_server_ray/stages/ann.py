@@ -515,8 +515,11 @@ def pq_codes_batch(batch: pa.Table, cents: np.ndarray) -> pa.Table:
     ids, V = _unpack_lattice(batch)
     M, ksub, ds = cents.shape
     if len(ids) == 0:
+        # same fixed-size type as the non-empty path — mixed block schemas
+        # fail Arrow unification
         return pa.table({"vec_id": pa.array([], pa.int64()),
-                         "codes": pa.array([], pa.list_(pa.uint8()))})
+                         "codes": pa.FixedSizeListArray.from_arrays(
+                             pa.array([], pa.uint8()), M)})
     codes = np.empty((len(ids), M), np.int64)
     for m in range(M):
         codes[:, m] = nearest_cluster(V[:, m * ds:(m + 1) * ds], cents[m])
@@ -587,10 +590,12 @@ def pq_rerank_partial(batch: pa.Table, qlat: np.ndarray, qids: np.ndarray,
     if not keep.any():
         return pa.table({"query_id": e, "vec_id": e, "exact_d2": e})
     ids, V = ids[keep], V[keep]
-    diff = qlat[:, None, :] - V[None, :, :]
-    d2 = np.einsum("qnd,qnd->qn", diff, diff)
     mem = np.stack([np.isin(ids, members[int(q)]) for q in qids])
     qi, ri = np.nonzero(mem)
+    # distances only for the (query, member) pairs — O(pairs x d), not the
+    # (Q, n, d) all-pairs tensor that would waste ~(Q-1)/Q of the work
+    diff = qlat[qi] - V[ri]
+    d2 = np.einsum("pd,pd->p", diff, diff)
     return pa.table({"query_id": pa.array(qids[qi].astype(np.int64)),
                      "vec_id": pa.array(ids[ri]),
-                     "exact_d2": pa.array(d2[qi, ri])})
+                     "exact_d2": pa.array(d2)})

@@ -43,6 +43,9 @@ LAYOUT_SENSITIVE = [
     "focal_stats",
     # PQ: per-block Lloyd partials, per-block ADC top-R partials, re-rank
     "ann_pq_topk",
+    # KMV: per-block bottom-k truncation; tagged flags must survive splits
+    "kmv_distinct",
+    "kmv_intersection",
 ]
 
 
