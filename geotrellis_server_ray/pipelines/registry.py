@@ -363,6 +363,66 @@ SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
 FROM events GROUP BY 1, 2"""
 
 
+def q_rollup_pricing(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate (A-family): quantity totals at three
+    grouping levels — (l_returnflag, l_linestatus), (l_returnflag,), () —
+    with the SQL GROUPING() bitmask (``lvl``) disambiguating rolled-up NULL
+    keys from data NULLs.
+
+    Scale shape: ONE data-proportional pass of combiner partials at the
+    FINEST granularity (the grouped_sums house pattern — the exchange sees
+    O(keys x blocks) rows); the coarser rollup levels are then derived from
+    the finest aggregate, which is DIMENSION-bounded (|returnflag| x
+    |linestatus| rows), so the expansion never touches corpus-scaled data.
+    Sums are associative, so every coarser level is exact. Reference analog:
+    the nested per-layer/per-style summary rollups the WMS capabilities tree
+    renders (ogc/src/main/scala/geotrellis/server/ogc/wms/CapabilitiesView.scala).
+    """
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    ds = ds.map_batches(partial(add_cents, cols={"qty_c": "l_quantity"}), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: b.select(["l_returnflag", "l_linestatus", "qty_c"]),
+                        batch_format="pyarrow")
+    fine = grouped_sums(ds, ["l_returnflag", "l_linestatus"], ["qty_c"],
+                        count_as="n_rows", small_key_space=True)
+    # dimension-bounded take: |flag| x |status| rows (enum keys, not
+    # corpus-scaled) — the same bounded-partial pattern as color_breaks/hll
+    rows = fine.take_all()
+    flags, stats, qty, cnt, lvl = [], [], [], [], []
+    for r in sorted(rows, key=lambda r: (r["l_returnflag"], r["l_linestatus"])):
+        flags.append(r["l_returnflag"]); stats.append(r["l_linestatus"])
+        qty.append(r["qty_c"]); cnt.append(r["n_rows"]); lvl.append(0)
+    by_flag: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for r in rows:
+        acc = by_flag[r["l_returnflag"]]
+        acc[0] += r["qty_c"]; acc[1] += r["n_rows"]
+    for f in sorted(by_flag):
+        flags.append(f); stats.append(None)
+        qty.append(by_flag[f][0]); cnt.append(by_flag[f][1]); lvl.append(1)
+    flags.append(None); stats.append(None)
+    qty.append(sum(r["qty_c"] for r in rows))
+    cnt.append(sum(r["n_rows"] for r in rows)); lvl.append(3)
+    return rd.from_arrow(pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "l_linestatus": pa.array(stats, pa.string()),
+        "qty_c": pa.array(qty, I64),
+        "n_rows": pa.array(cnt, I64),
+        "lvl": pa.array(lvl, I64)}))
+
+
+def sql_rollup_pricing() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_c,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS lvl
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
 def q_events_between(sf_dir: str):
     """Between(t1, t2) half-open temporal filter (Q3 semantics,
     RasterSourceRepository.scala:56-57: t1 <= t < t2), PUSHED DOWN to the
@@ -6156,6 +6216,7 @@ QUERIES: dict[str, tuple] = {
     # driver CORRECTNESS row in any prior round enter HERE, ahead of
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "rollup_pricing": (q_rollup_pricing, sql_rollup_pricing),
     "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
     "getmap_exception_docs": (q_getmap_exception_docs, sql_getmap_exception_docs),
     "ann_pq_topk": (q_ann_pq_topk, sql_ann_pq_topk),
