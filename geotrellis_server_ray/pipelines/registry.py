@@ -3610,6 +3610,62 @@ SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
 FROM events"""
 
 
+def q_lag_rank_events(sf_dir: str):
+    """LAG + ROW_NUMBER window functions per key stream: event-over-event
+    value delta (NULL for each key's first event) and the 1-based rank within
+    the (event_type, ts, event_id) order. Completes the window-function
+    family next to the rolling-sum (ROWS PRECEDING) and session/hopping
+    windows.
+
+    Scale shape: hash-partition by key, ONE vectorized lexsort pass per
+    partition (same exchange as rolling_value — no global sort; keys never
+    co-locate beyond their hash partition)."""
+    from ..stages.focal import add_key_partition
+
+    ds = read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def lag_partition(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "event_id": pa.array([], I64),
+                             "rn": pa.array([], I64),
+                             "delta_c": pa.array([], I64)})
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        vc = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, et))
+        k, e, v = et[order], eid[order], vc[order]
+        n = len(k)
+        pos = np.arange(n, dtype=np.int64)
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = k[1:] != k[:-1]
+        key_start = pos[np.nonzero(newkey)[0]][np.cumsum(newkey) - 1]
+        rn = pos - key_start + 1
+        delta = np.zeros(n, dtype=np.int64)
+        delta[1:] = v[1:] - v[:-1]  # masked out at key starts below
+        return pa.table({
+            "event_type": pa.array(k), "event_id": pa.array(e),
+            "rn": pa.array(rn),
+            "delta_c": pa.array(delta, mask=newkey),
+        })
+
+    out = ds.map_batches(partial(add_key_partition, key_cols=["event_type"],
+                                 num_partitions=_nparts()),
+                         batch_format="pyarrow") \
+        .groupby("part").map_groups(lag_partition, batch_format="pyarrow")
+    return _cast_cols(out, {"event_id": I64, "rn": I64, "delta_c": I64})
+
+
+def sql_lag_rank_events() -> str:
+    return """
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  CAST(CAST(floor(value * 100.0e0) AS BIGINT)
+       - lag(CAST(floor(value * 100.0e0) AS BIGINT)) OVER w AS BIGINT) AS delta_c
+FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)"""
+
+
 # ---------------------------------------------------- stream-shaped windows
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -6217,6 +6273,7 @@ QUERIES: dict[str, tuple] = {
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "rollup_pricing": (q_rollup_pricing, sql_rollup_pricing),
+    "lag_rank_events": (q_lag_rank_events, sql_lag_rank_events),
     "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
     "getmap_exception_docs": (q_getmap_exception_docs, sql_getmap_exception_docs),
     "ann_pq_topk": (q_ann_pq_topk, sql_ann_pq_topk),
