@@ -3610,6 +3610,71 @@ SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
 FROM events"""
 
 
+def q_events_gapfill(sf_dir: str):
+    """Time-series gap-fill: the hourly per-type aggregate reindexed onto the
+    DENSE (event_type x hour) grid with zero-filled missing hours — the
+    temporal-resample step none of the window operators cover (they only see
+    hours that have events).
+
+    Scale shape: the corpus-proportional work is the same combiner-partial
+    pass as events_hourly; the densification happens on the aggregate, whose
+    size is |types| x |hours| — bounded by the stream's TIME SPAN and key
+    enum, not by event volume, so the driver-side grid stays small even when
+    the event table is 100 TB (a year of hourly cells per type is 8,760
+    rows). Reference analog: the dense time-position domain a WMS TIME
+    dimension advertises vs the sparse source times (OgcTime.scala:62-94).
+    """
+    import ray.data as rd
+
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000))
+        val_c = pc.cast(pc.floor(pc.multiply(b.column("value"), pa.scalar(100.0))), I64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "hour": pc.cast(hour, I64), "value_c": val_c})
+
+    sparse = grouped_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["event_type", "hour"], ["value_c"],
+                          count_as="n_events", small_key_space=True)
+    rows = sparse.take_all()  # |types| x |active hours|: time-span-bounded
+    types = sorted({r["event_type"] for r in rows})
+    lo = min(r["hour"] for r in rows)
+    hi = max(r["hour"] for r in rows)
+    span = hi - lo + 1
+    tix = {t: i for i, t in enumerate(types)}
+    val = np.zeros((len(types), span), dtype=np.int64)
+    cnt = np.zeros((len(types), span), dtype=np.int64)
+    for r in rows:
+        i, j = tix[r["event_type"]], r["hour"] - lo
+        val[i, j] = r["value_c"]; cnt[i, j] = r["n_events"]
+    hours = np.tile(np.arange(lo, hi + 1, dtype=np.int64), len(types))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(np.repeat(types, span)),
+        "hour": pa.array(hours, I64),
+        "value_c": pa.array(val.ravel(), I64),
+        "n_events": pa.array(cnt.ravel(), I64)}))
+
+
+def sql_events_gapfill() -> str:
+    return """
+WITH hourly AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(sum(CAST(floor(value * 100.0e0) AS BIGINT)) AS BIGINT) AS value_c,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+grid AS (
+  SELECT t.event_type, gs.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hour FROM bounds) gs)
+SELECT g.event_type, CAST(g.hour AS BIGINT) AS hour,
+       CAST(coalesce(h.value_c, 0) AS BIGINT) AS value_c,
+       CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN hourly h USING (event_type, hour)"""
+
+
 def q_lag_rank_events(sf_dir: str):
     """LAG + ROW_NUMBER window functions per key stream: event-over-event
     value delta (NULL for each key's first event) and the 1-based rank within
@@ -6274,6 +6339,7 @@ QUERIES: dict[str, tuple] = {
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "rollup_pricing": (q_rollup_pricing, sql_rollup_pricing),
     "lag_rank_events": (q_lag_rank_events, sql_lag_rank_events),
+    "events_gapfill": (q_events_gapfill, sql_events_gapfill),
     "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
     "getmap_exception_docs": (q_getmap_exception_docs, sql_getmap_exception_docs),
     "ann_pq_topk": (q_ann_pq_topk, sql_ann_pq_topk),
