@@ -3675,6 +3675,80 @@ SELECT g.event_type, CAST(g.hour AS BIGINT) AS hour,
 FROM grid g LEFT JOIN hourly h USING (event_type, hour)"""
 
 
+def q_events_locf(sf_dir: str):
+    """Last-observation-carried-forward fill on the dense hourly grid: hours
+    with no events inherit the most recent observed hourly total for their
+    key (NULL until the key's first observation), with a ``filled`` flag
+    marking carried cells — the stateful-fill counterpart of the zero-fill
+    gap-fill. Same scale shape as events_gapfill: corpus-proportional work is
+    one combiner-partial pass; the fill runs on the time-span-bounded grid
+    (vectorized np.maximum.accumulate of last-seen indices per key row)."""
+    import ray.data as rd
+
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000))
+        val_c = pc.cast(pc.floor(pc.multiply(b.column("value"), pa.scalar(100.0))), I64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "hour": pc.cast(hour, I64), "value_c": val_c})
+
+    sparse = grouped_sums(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["event_type", "hour"], ["value_c"],
+                          count_as="n_events", small_key_space=True)
+    rows = sparse.take_all()  # |types| x |active hours|: time-span-bounded
+    types = sorted({r["event_type"] for r in rows})
+    lo = min(r["hour"] for r in rows)
+    hi = max(r["hour"] for r in rows)
+    span = hi - lo + 1
+    tix = {t: i for i, t in enumerate(types)}
+    val = np.zeros((len(types), span), dtype=np.int64)
+    has = np.zeros((len(types), span), dtype=bool)
+    for r in rows:
+        i, j = tix[r["event_type"]], r["hour"] - lo
+        val[i, j] = r["value_c"]; has[i, j] = True
+    locf, premask = _locf_grid(val, has)
+    cols = np.arange(span, dtype=np.int64)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(np.repeat(types, span)),
+        "hour": pa.array(np.tile(cols + lo, len(types)), I64),
+        "locf_value_c": pa.array(locf.ravel(), I64, mask=premask.ravel()),
+        "filled": pa.array((~has).ravel().astype(np.int64), I64)}))
+
+
+def _locf_grid(val: np.ndarray, has: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-wise forward fill: each cell takes the value at the last observed
+    column at-or-before it; the returned mask is True for cells BEFORE a
+    row's first observation (no value to carry — NULL in the output)."""
+    span = val.shape[1]
+    cols = np.arange(span, dtype=np.int64)
+    last = np.maximum.accumulate(np.where(has, cols, -1), axis=1)
+    return np.take_along_axis(val, np.maximum(last, 0), axis=1), last < 0
+
+
+def sql_events_locf() -> str:
+    return """
+WITH hourly AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(sum(CAST(floor(value * 100.0e0) AS BIGINT)) AS BIGINT) AS value_c
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+grid AS (
+  SELECT t.event_type, gs.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hour FROM bounds) gs),
+joined AS (
+  SELECT g.event_type, g.hour, h.value_c
+  FROM grid g LEFT JOIN hourly h USING (event_type, hour))
+SELECT event_type, CAST(hour AS BIGINT) AS hour,
+  CAST(last_value(value_c IGNORE NULLS)
+       OVER (PARTITION BY event_type ORDER BY hour
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS locf_value_c,
+  CAST(CASE WHEN value_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+FROM joined"""
+
+
 def q_lag_rank_events(sf_dir: str):
     """LAG + ROW_NUMBER window functions per key stream: event-over-event
     value delta (NULL for each key's first event) and the 1-based rank within
@@ -6340,6 +6414,7 @@ QUERIES: dict[str, tuple] = {
     "rollup_pricing": (q_rollup_pricing, sql_rollup_pricing),
     "lag_rank_events": (q_lag_rank_events, sql_lag_rank_events),
     "events_gapfill": (q_events_gapfill, sql_events_gapfill),
+    "events_locf": (q_events_locf, sql_events_locf),
     "bloom_semi_join": (q_bloom_semi_join, sql_bloom_semi_join),
     "getmap_exception_docs": (q_getmap_exception_docs, sql_getmap_exception_docs),
     "ann_pq_topk": (q_ann_pq_topk, sql_ann_pq_topk),

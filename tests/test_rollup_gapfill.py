@@ -61,6 +61,34 @@ def test_lag_deltas_reconstruct_stream(ray_session, sf_smoke):
         assert (rebuilt == g.vc.to_numpy()).all()
 
 
+def test_locf_kernel_carries_and_masks():
+    from geotrellis_server_ray.pipelines.registry import _locf_grid
+
+    val = np.array([[10, 0, 0, 7], [0, 3, 0, 0]], dtype=np.int64)
+    has = np.array([[True, False, False, True],
+                    [False, True, False, False]])
+    locf, pre = _locf_grid(val, has)
+    assert (locf[0] == [10, 10, 10, 7]).all() and not pre[0].any()
+    # key with a late first observation: cells before it are masked NULL
+    assert (pre[1] == [True, False, False, False]).all()
+    assert (locf[1, 1:] == [3, 3, 3]).all()
+
+
+def test_locf_matches_oracle_nulls_when_key_starts_late(ray_session, sf_smoke):
+    from geotrellis_server_ray.pipelines.registry import q_events_locf
+
+    df = _df(q_events_locf(sf_smoke))
+    # dense grid, filled flag consistent with NULLs: a NULL can only sit on
+    # a filled (no-event) cell, and each key's NULL prefix ends at its first
+    # observation
+    assert not df.duplicated(["event_type", "hour"]).any()
+    nulls = df.locf_value_c.isna()
+    assert (df.loc[nulls, "filled"] == 1).all()
+    for _, g in df.sort_values("hour").groupby("event_type"):
+        n = g.locf_value_c.isna().to_numpy()
+        assert not (n[1:] & ~n[:-1]).any()  # NULLs never resume after a value
+
+
 def test_gapfill_grid_dense_and_sum_preserving(ray_session, sf_smoke):
     from geotrellis_server_ray.pipelines.registry import (q_events_gapfill,
                                                           q_events_hourly)
