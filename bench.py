@@ -337,6 +337,22 @@ if __name__ == "__main__":
     elif os.environ.get("_GRAFT_SCALE_QUERY_CHILD"):
         print(json.dumps(run_query_child(os.environ["_GRAFT_SCALE_QUERY_CHILD"])))
     else:
-        # compact separators: the full line (incl. ~100 query timings) must
-        # fit the driver's ~2.8 KB tail window to parse (r3's parsed: null)
-        print(json.dumps(run_bench(), separators=(",", ":")))
+        # The driver keeps only the LAST ~2000 bytes of stdout and parses the
+        # final JSON line. The full per-query record (~2.6 KB) cannot fit, so
+        # print it FIRST (for humans / BASELINE.md) and end with a compact
+        # summary line guaranteed under the tail window (r4 VERDICT next #1).
+        out = run_bench()
+        print(json.dumps(out, separators=(",", ":")), flush=True)
+        q = out.pop("queries", {}) or {}
+        out["queries_total_sec"] = round(sum(q.values()), 2)
+        out["queries_n"] = len(q)
+        # fold in the slowest queries while the line stays < 1500 bytes
+        slowest = {}
+        for name, sec in sorted(q.items(), key=lambda kv: -kv[1]):
+            trial = dict(out, slowest={**slowest, name: sec})
+            if len(json.dumps(trial, separators=(",", ":"))) > 1500:
+                break
+            slowest[name] = sec
+        if slowest:
+            out["slowest"] = slowest
+        print(json.dumps(out, separators=(",", ":")), flush=True)

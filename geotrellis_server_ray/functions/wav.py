@@ -41,6 +41,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if pos + 8 + ln > len(data):
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {ln} bytes, "
+                f"{len(data) - pos - 8} remain")
+        if cid == b"data" and ln % 2:
+            raise ValueError("PCM16 data chunk has odd byte length")
         body = data[pos + 8:pos + 8 + ln]
         if cid == b"fmt ":
             audio_format, channels, sample_rate, _br, _ba, bits = \

@@ -3304,14 +3304,15 @@ def q_time_period_inference(sf_dir: str):
     def partial_distinct(b: pa.Table) -> pa.Table:
         return b.group_by(["event_type", "ts"]).aggregate([])
 
-    def finalize_group(g) -> "pa.Table":
-        import pandas as pd
-
-        ts = np.asarray(pd.to_datetime(g["ts"]).values.astype("datetime64[us]"))
+    def finalize_group(g: pa.Table) -> pa.Table:
+        # straight us-precision cast, no pandas ns round-trip (ADVICE r4:
+        # datetime64[ns] would overflow for positions beyond year 2262 while
+        # the us-precision SQL oracle would not)
+        ts = g.column("ts").cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
         ts = np.unique(ts)  # distinct partials can overlap across blocks
         iso = compute_interval_period(ts)
         return pa.table({
-            "event_type": pa.array([g["event_type"].iloc[0]], pa.string()),
+            "event_type": pa.array([g.column("event_type")[0].as_py()], pa.string()),
             "n_positions": pa.array([len(ts)], I64),
             "oldest": pa.array([ts.min()], pa.timestamp("us")),
             "newest": pa.array([ts.max()], pa.timestamp("us")),
@@ -3324,7 +3325,7 @@ def q_time_period_inference(sf_dir: str):
     # knn/top-k map_groups shape) — no single-task coalesce of the whole
     # distinct domain, which is O(#events) per type, not enum-bounded
     return ds.map_batches(partial_distinct, batch_format="pyarrow") \
-        .groupby("event_type").map_groups(finalize_group, batch_format="pandas")
+        .groupby("event_type").map_groups(finalize_group, batch_format="pyarrow")
 
 
 def sql_time_period_inference() -> str:

@@ -172,7 +172,10 @@ def make_broadcast_join(lookup_ref, key: str, take_cols: list[str]):
 # ---------------------------------------------------------- semi/anti join
 
 def _distinct_partial(batch: pa.Table, col: str) -> pa.Table:
-    u = pc.unique(batch.column(col))
+    # NULL build keys never match anything under EXISTS / NOT EXISTS — drop
+    # them here so both gated paths (np.sort would choke on None objects)
+    # tolerate nullable build columns (ADVICE r4)
+    u = pc.unique(pc.drop_null(batch.column(col)))
     if isinstance(u, pa.ChunkedArray):
         u = u.combine_chunks()
     return pa.table({col: u})

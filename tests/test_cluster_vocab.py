@@ -329,6 +329,26 @@ def test_semi_anti_join_empty_build(ray_session):
     assert sorted(anti.k) == [1, 2, 3] and len(semi) == 0
 
 
+def test_semi_anti_join_null_build_keys(ray_session):
+    """ADVICE r4: NULL build keys are ignored under EXISTS / NOT EXISTS
+    semantics (SQL `IN (..., NULL)` aside — this is the EXISTS form) in
+    BOTH the broadcast key-set path and the native hash fallback."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.pipelines.relational import semi_anti_join
+
+    probe = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "v": pa.array([10, 20, 30], pa.int64())})
+    build = pa.table({"bk": pa.array([2, None, None, 3], pa.int64())})
+    for limit in (2_000_000, 0):  # broadcast path, then forced hash path
+        semi = semi_anti_join(rd.from_arrow(probe), "k", rd.from_arrow(build),
+                              "bk", anti=False, broadcast_limit=limit).to_pandas()
+        anti = semi_anti_join(rd.from_arrow(probe), "k", rd.from_arrow(build),
+                              "bk", anti=True, broadcast_limit=limit).to_pandas()
+        assert sorted(semi.k) == [2, 3] and sorted(anti.k) == [1], limit
+
+
 def test_kmv_partial_merge_equals_whole():
     """Splitting the key stream across blocks cannot change the sketch:
     merge(partials) == partial(whole). Idempotence too."""

@@ -133,6 +133,18 @@ def test_wav_codec_roundtrip_and_chunk_walk():
     with pytest.raises(ValueError):
         decode_wav(b"OGGS" + bytes(20))
 
+    # ADVICE r4: truncated data chunk (declared length > remaining bytes)
+    # and odd-length PCM16 data both raise descriptive errors, not numpy's
+    # opaque frombuffer ValueError
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(data[:-2])
+    pos = data.index(b"data")
+    odd = bytearray(data)
+    (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+    odd[pos + 4:pos + 8] = struct.pack("<I", ln - 1)
+    with pytest.raises(ValueError, match="odd byte length|truncated"):
+        decode_wav(bytes(odd))
+
 
 def test_mjpg_container_seek_decode():
     """MJPG container: header frame count, offset-table seek, per-frame
