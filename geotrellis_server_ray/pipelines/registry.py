@@ -5037,6 +5037,108 @@ SELECT CAST(rid AS BIGINT) AS request_id,
 FROM r WHERE rid % 3 = 2"""
 
 
+GMC_N = 256  # stored-PNG GetMap requests (the CRC-oracle render query)
+
+
+def q_getmap_requests_crc(sf_dir: str):
+    """The full GetMap render lifecycle with a VALUE oracle (VERDICT r4 next
+    #2; GetMap.scala:84-95 + Render.scala:28-75): catalog query -> MAML eval
+    -> closed-form color breaks -> ramp render -> STORED-block PNG encode.
+    The stored (BTYPE=00) zlib framing has no Huffman state, so the SQL
+    oracle rebuilds the ENTIRE PNG byte stream — scanlines, zlib header,
+    adler32, chunk CRCs — and replays the full-file CRC32 per request."""
+    import ray.data as rd
+
+    from .serving import getmap_crc_batch, synth_requests
+
+    return rd.from_arrow(synth_requests(GMC_N)) \
+        .map_batches(getmap_crc_batch, batch_format="pyarrow")
+
+
+def sql_getmap_requests_crc() -> str:
+    import struct as _s
+    import zlib as _z
+
+    from ..stages.focal import TILE
+
+    # container constants (structure, not data): PNG signature + IHDR chunk
+    # for a TILE x TILE RGBA8 image, the IEND chunk, and the stored-block
+    # zlib framing constants for one raw scanline payload
+    ihdr_body = b"IHDR" + _s.pack(">IIBBBBB", TILE, TILE, 8, 6, 0, 0, 0)
+    prefix = (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + ihdr_body
+              + _s.pack(">I", _z.crc32(ihdr_body)))
+    iend = _s.pack(">I", 0) + b"IEND" + _s.pack(">I", _z.crc32(b"IEND"))
+    raw_len = TILE * (TILE * 4 + 1)          # filter byte + RGBA per row
+    assert raw_len <= 65535                   # single stored block
+    zhdr = b"\x78\x01" + _s.pack("<BHH", 1, raw_len, raw_len ^ 0xFFFF)
+    idat_len = len(zhdr) + raw_len + 4        # + adler32
+    lst = lambda bs: "[" + ",".join(str(b) for b in bs) + "]"  # noqa: E731
+    tbl = "[" + ",".join(map(str, _crc32_table())) + "]"
+    crc = ("xor(list_reduce(list_prepend(4294967295, {v}), "
+           "(acc, b) -> xor(acc >> 8, t[xor(acc, b) % 256 + 1])), 4294967295)")
+    be4 = "[({v} >> 24) & 255, ({v} >> 16) & 255, ({v} >> 8) & 255, {v} & 255]"
+    return f"""
+WITH tbl AS (SELECT {tbl} AS t),
+req AS (SELECT rid, CASE WHEN rid % 2 = 0 THEN 'ndvi' ELSE 'red' END AS layer,
+               (rid * 13) % 16 AS tx, (rid * 29) % 16 AS ty
+        FROM (SELECT unnest(generate_series(0, {GMC_N - 1})) AS rid)),
+px AS (SELECT rid, layer, i, tx * {TILE} + (i % {TILE}) AS gx,
+              ty * {TILE} + (i // {TILE}) AS gy
+       FROM req CROSS JOIN generate_series(0, {TILE * TILE - 1}) s(i)),
+bands AS (SELECT rid, layer, i,
+                 CAST((gx * 64 + gy * 17) % 256 AS DOUBLE) AS red,
+                 CAST((gx * 31 + gy * 7) % 256 AS DOUBLE) AS nir FROM px),
+-- MAML eval: ndvi = (red-nir)/(red+nir), 0/0 -> NoData (NULL); red = band
+ev AS (SELECT rid, layer, i,
+              CASE WHEN layer = 'ndvi' THEN
+                     CASE WHEN red + nir = 0 THEN NULL
+                          ELSE (red - nir) / (red + nir) END
+                   ELSE red END AS val FROM bands),
+-- FixedHistogram(-1,256,64) closed-form color-break edges per request
+be AS (SELECT rid,
+         CASE WHEN count(val) = 0 THEN -1.0 ELSE -1.0 +
+           LEAST(GREATEST(floor(((min(val) - (-1.0)) / 257.0) * 64.0), 0), 63)
+             * 4.015625 END AS vmin,
+         CASE WHEN count(val) = 0 THEN -1.0 + 4.015625 ELSE -1.0 +
+           (LEAST(GREATEST(floor(((max(val) - (-1.0)) / 257.0) * 64.0), 0), 63)
+             + 1.0) * 4.015625 END AS vmax
+       FROM ev GROUP BY rid),
+-- ramp render: linspace(vmin,vmax,4) breaks, first break >= v wins;
+-- below-range / above-range / NoData -> transparent
+pxb AS (SELECT e.rid, e.i, CASE
+          WHEN e.val IS NULL OR e.val < b.vmin THEN [0, 0, 0, 0]
+          WHEN e.val <= b.vmin THEN [0, 0, 128, 255]
+          WHEN e.val <= b.vmin + 1.0 * ((b.vmax - b.vmin) / 3.0)
+            THEN [0, 128, 0, 255]
+          WHEN e.val <= b.vmin + 2.0 * ((b.vmax - b.vmin) / 3.0)
+            THEN [255, 255, 0, 255]
+          WHEN e.val <= b.vmax THEN [255, 0, 0, 255]
+          ELSE [0, 0, 0, 0] END AS pb
+        FROM ev e JOIN be b USING (rid)),
+agg AS (SELECT rid, flatten(list(pb ORDER BY i)) AS pix FROM pxb GROUP BY rid),
+-- scanlines: filter byte 0 + {TILE * 4} RGBA bytes per row
+rawb AS (SELECT rid, flatten(list_transform(range(0, {TILE}), rw ->
+           list_prepend(0, pix[rw * {TILE * 4} + 1 : rw * {TILE * 4} + {TILE * 4}])))
+         AS rb FROM agg),
+-- adler32 via a packed (s2 * 2^32 + s1) accumulator, init s1=1 s2=0
+ad AS (SELECT rid, rb,
+         (adacc // 4294967296) * 65536 + adacc % 4294967296 AS adler
+       FROM (SELECT rid, rb, list_reduce(list_prepend(CAST(1 AS BIGINT), rb), (acc, b) ->
+               ((acc // 4294967296 + (acc % 4294967296 + b) % 65521) % 65521)
+                 * 4294967296 + (acc % 4294967296 + b) % 65521) AS adacc
+             FROM rawb)),
+ib AS (SELECT rid, [73, 68, 65, 84] || {lst(zhdr)} || rb
+                || {be4.format(v='adler')} AS body FROM ad),
+ic AS (SELECT rid, body, {crc.format(v='body')} AS icrc FROM ib, tbl),
+f AS (SELECT rid, {lst(prefix)} || {lst(_s.pack('>I', idat_len))} || body
+           || {be4.format(v='icrc')} || {lst(iend)} AS fb FROM ic)
+SELECT CAST(rid AS BIGINT) AS request_id,
+       CASE WHEN rid % 2 = 0 THEN 'ndvi' ELSE 'red' END AS layer,
+       CAST(len(fb) AS BIGINT) AS img_len,
+       CAST({crc.format(v='fb')} & 2147483647 AS BIGINT) AS png_crc32
+FROM f, tbl"""
+
+
 def q_vocab_df(sf_dir: str):
     """Distributed vocabulary statistics (curation-suite op): per-token
     document frequency + term frequency. Per-block partials (stages/text
@@ -6412,6 +6514,7 @@ QUERIES: dict[str, tuple] = {
     # driver CORRECTNESS row in any prior round enter HERE, ahead of
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "getmap_requests_crc": (q_getmap_requests_crc, sql_getmap_requests_crc),
     "rollup_pricing": (q_rollup_pricing, sql_rollup_pricing),
     "lag_rank_events": (q_lag_rank_events, sql_lag_rank_events),
     "events_gapfill": (q_events_gapfill, sql_events_gapfill),

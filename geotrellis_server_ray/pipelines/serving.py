@@ -93,12 +93,16 @@ def _probe_known_layers(layers: np.ndarray) -> dict:
             for lay in dict.fromkeys(layers.tolist())}
 
 
-def getmap_batch(batch: pa.Table) -> pa.Table:
-    """One fused stage = steps 2-7 of the GetMap trace, VECTORIZED across the
-    request batch: ONE catalog query per distinct layer (not per request),
-    stacked band synthesis and MAML evaluation per layer group, closed-form
-    per-row histogram color breaks; only the per-image render/encode (which
-    is inherently per-image) loops."""
+_RAMP = np.array([0x000080FF, 0x008000FF, 0xFFFF00FF, 0xFF0000FF],
+                 dtype=np.uint32)  # rgba(0,0,128), (0,128,0), (255,255,0), (255,0,0)
+
+
+def _eval_requests(batch: pa.Table):
+    """Steps 2-5 of the GetMap trace, VECTORIZED across the request batch:
+    ONE catalog query per distinct layer (not per request), stacked band
+    synthesis and MAML evaluation per layer group, closed-form per-row
+    histogram color breaks. Shared by the format-dispatched encode path
+    (getmap_batch) and the SQL-replayable stored-PNG path (getmap_crc_batch)."""
     n = len(batch)
     rids = batch.column("request_id").to_numpy(zero_copy_only=False).astype(np.int64)
     layers = np.asarray(batch.column("layer").to_pylist(), dtype=object)
@@ -106,8 +110,6 @@ def getmap_batch(batch: pa.Table) -> pa.Table:
     ys = batch.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
     fmts = np.asarray(batch.column("format").to_pylist() if "format" in batch.schema.names
                       else ["png"] * n, dtype=object)
-    ramp = np.array([render.rgba(0, 0, 128), render.rgba(0, 128, 0),
-                     render.rgba(255, 255, 0), render.rgba(255, 0, 0)], dtype=np.uint32)
 
     # step 2: catalog query ONCE per distinct layer (WmsModel.getLayer) —
     # compiled to an Arrow expression and filtered zero-copy on the catalog
@@ -130,13 +132,21 @@ def getmap_batch(batch: pa.Table) -> pa.Table:
     tiles_f = values.copy()
     tiles_f[masks] = np.nan
     vmins, vmaxs = _break_edges(tiles_f)
+    return rids, layers, fmts, values, masks, vmins, vmaxs
+
+
+def getmap_batch(batch: pa.Table) -> pa.Table:
+    """One fused stage = steps 2-7 of the GetMap trace; only the per-image
+    render/encode (which is inherently per-image) loops."""
+    rids, layers, fmts, values, masks, vmins, vmaxs = _eval_requests(batch)
 
     # steps 6-7: per-image render + format-dispatched encode (S7)
+    n = len(rids)
     out_len = np.empty(n, dtype=np.int64)
     out_crc = np.empty(n, dtype=np.int64)
     for i in range(n):
         colors = render.color_ramp_render(values[i], float(vmins[i]), float(vmaxs[i]),
-                                          ramp, nodata_mask=masks[i])
+                                          _RAMP, nodata_mask=masks[i])
         img = render.encode_image(colors, TILE, TILE, fmt=fmts[i])
         out_len[i] = len(img)
         out_crc[i] = zlib.crc32(img) & 0x7FFFFFFF
@@ -145,6 +155,31 @@ def getmap_batch(batch: pa.Table) -> pa.Table:
         "format": pa.array(fmts.tolist(), type=pa.string()),
         "img_len": pa.array(out_len),
         "img_crc": pa.array(out_crc),
+    })
+
+
+def getmap_crc_batch(batch: pa.Table) -> pa.Table:
+    """getmap_batch with the STORED-block PNG encoder
+    (render.encode_png_rgba_stored): no Huffman state, so every byte of the
+    output container — scanlines, zlib framing, adler32, chunk CRCs — is
+    closed-form in the request params and the full-file CRC32 is replayable
+    in SQL. This gives the GetMap render path (GetMap.scala:84-95 +
+    Render.scala:28-75) a VALUE oracle, not just a rows-only check."""
+    rids, layers, fmts, values, masks, vmins, vmaxs = _eval_requests(batch)
+    n = len(rids)
+    out_len = np.empty(n, dtype=np.int64)
+    out_crc = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        colors = render.color_ramp_render(values[i], float(vmins[i]), float(vmaxs[i]),
+                                          _RAMP, nodata_mask=masks[i])
+        img = render.encode_png_rgba_stored(colors, TILE, TILE)
+        out_len[i] = len(img)
+        out_crc[i] = zlib.crc32(img) & 0x7FFFFFFF
+    return pa.table({
+        "request_id": pa.array(rids),
+        "layer": pa.array(layers.tolist(), type=pa.string()),
+        "img_len": pa.array(out_len),
+        "png_crc32": pa.array(out_crc),
     })
 
 

@@ -77,6 +77,39 @@ def test_png_encoder_valid():
     assert list(raw[1:5]) == [10, 20, 30, 255]
 
 
+def test_png_stored_encoder_decodes_identically():
+    """encode_png_rgba_stored (zlib STORED blocks — the SQL-replayable
+    GetMap CRC-oracle container) must decode to exactly the same raw
+    scanlines as the deflate (level 6) encoder, with valid chunk CRCs."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(7)
+    colors = rng.integers(0, 2**32, 64, dtype=np.uint64).astype(np.uint32)
+    a, b = R.encode_png_rgba(colors, 8, 8), R.encode_png_rgba_stored(colors, 8, 8)
+    raws = []
+    for png in (a, b):
+        at = png.index(b"IDAT")
+        ln = struct.unpack(">I", png[at - 4:at])[0]
+        body = png[at:at + 4 + ln]
+        assert struct.unpack(">I", png[at + 4 + ln:at + 8 + ln])[0] == zlib.crc32(body)
+        raws.append(zlib.decompress(body[4:]))
+    assert raws[0] == raws[1]
+    # stored framing: one final stored block, exact length arithmetic
+    assert b[b.index(b"IDAT") + 4:b.index(b"IDAT") + 11] == \
+        b"\x78\x01\x01" + struct.pack("<HH", 264, 264 ^ 0xFFFF)
+    # multi-block path: a raw payload > 65535 bytes splits into stored
+    # blocks that still decompress to the level-6 encoder's scanlines
+    big = rng.integers(0, 2**32, 160 * 160, dtype=np.uint64).astype(np.uint32)
+    pngs = []
+    for enc in (R.encode_png_rgba_stored, R.encode_png_rgba):
+        png = enc(big, 160, 160)  # raw = 160*641 bytes > 65535
+        at = png.index(b"IDAT")
+        ln = struct.unpack(">I", png[at - 4:at])[0]
+        pngs.append(zlib.decompress(png[at + 4:at + 4 + ln]))
+    assert pngs[0] == pngs[1] and len(pngs[0]) == 160 * 641
+
+
 def test_color_breaks_linspace():
     b = H.color_breaks(0.0, 10.0, 5)
     np.testing.assert_allclose(b, [0, 2.5, 5, 7.5, 10])
