@@ -1430,6 +1430,83 @@ SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
 FROM m GROUP BY x, y"""
 
 
+def _mixed_members() -> pa.Table:
+    """Two analytic member rasters on DIFFERENT grids (the normal STAC
+    mosaic case): A = 64x64 @ cell 1 over [0,32,64,96] (rank 0, wins),
+    B = 32x20 @ cell 4 over [32,0,160,80] (rank 1). NoData encoded as NaN
+    in the cells. Combined grid (reference rule): extent [0,0,160,96],
+    cell 4 (B is the maxBy(resolution) member) -> 40x24 target cells."""
+    ca, ra = np.meshgrid(np.arange(64), np.arange(64))
+    va = ((ca * 3 + ra * 7) % 100).astype(np.float64)
+    va[(ca + ra) % 11 == 0] = np.nan
+    cb, rb = np.meshgrid(np.arange(32), np.arange(20))
+    vb = ((cb * 5 + rb * 2) % 90).astype(np.float64)
+    vb[(cb + rb * 3) % 7 == 3] = np.nan
+    return pa.table({
+        "rank": pa.array([0, 1], I64),
+        "xmin": pa.array([0.0, 32.0]), "ymin": pa.array([32.0, 0.0]),
+        "xmax": pa.array([64.0, 160.0]), "ymax": pa.array([96.0, 80.0]),
+        "cw": pa.array([1.0, 4.0]), "ch": pa.array([1.0, 4.0]),
+        "cols": pa.array([64, 32], I64), "rows": pa.array([64, 20], I64),
+        "cells": pa.array([va.ravel().tolist(), vb.ravel().tolist()],
+                          pa.list_(pa.float64())),
+    })
+
+
+def q_mosaic_mixed_res(sf_dir: str):
+    """Mixed-resolution mosaic (S4 full case, VERDICT r4 next #3;
+    MosaicRasterSourceF.scala:109-140 resample-to-target + :197-206 grid
+    union): members on different grids -> metadata-only combined-GridExtent
+    fold -> NEAREST resample of every member to the target grid -> ranked
+    first-wins cell merge. Per-tile sums oracle-replayed with exact
+    closed-form nearest-index math in SQL."""
+    import ray.data as rd
+
+    from ..stages.focal import flat_cells
+    from ..stages.mosaic import mosaic_mixed
+
+    members = rd.from_arrow(_mixed_members()).repartition(2)
+    merged, _grid = mosaic_mixed(members, tile=8)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"x": pa.array([], I64), "y": pa.array([], I64),
+                             "merged_sum": pa.array([], I64),
+                             "n_valid": pa.array([], I64)})
+        width = len(b.column("cells")[0])
+        cells = flat_cells(b.column("cells"), width)
+        mask = flat_cells(b.column("mask"), width).astype(bool)
+        vals = np.where(mask, 0.0, cells)
+        return pa.table({
+            "x": pc.cast(b.column("x"), I64), "y": pc.cast(b.column("y"), I64),
+            "merged_sum": pa.array(vals.sum(axis=1).astype(np.int64)),
+            "n_valid": pa.array((~mask).sum(axis=1).astype(np.int64)),
+        })
+
+    return merged.map_batches(summarize, batch_format="pyarrow")
+
+
+def sql_mosaic_mixed_res() -> str:
+    # nearest resample of A (cell 1): target center (4c+2, 94-4r) -> A index
+    # (4c+2, 4r+2), valid c,r <= 15; of B (cell 4): index (c-8, r-4)
+    return """
+WITH cells AS (
+  SELECT c, r FROM generate_series(0, 39) s(c)
+              CROSS JOIN generate_series(0, 23) t(r)),
+v AS (
+  SELECT c, r,
+    CASE WHEN c <= 15 AND r <= 15 AND ((4*c+2) + (4*r+2)) % 11 <> 0
+         THEN ((4*c+2)*3 + (4*r+2)*7) % 100 END AS va,
+    CASE WHEN c >= 8 AND r >= 4 AND ((c-8) + (r-4)*3) % 7 <> 3
+         THEN ((c-8)*5 + (r-4)*2) % 90 END AS vb
+  FROM cells),
+m AS (SELECT c, r, coalesce(va, vb) AS mv FROM v)
+SELECT CAST(c // 8 AS BIGINT) AS x, CAST(r // 8 AS BIGINT) AS y,
+       CAST(coalesce(sum(mv), 0) AS BIGINT) AS merged_sum,
+       CAST(count(mv) AS BIGINT) AS n_valid
+FROM m GROUP BY 1, 2 HAVING count(mv) > 0"""
+
+
 def q_maml_focal_hillshade(sf_dir: str):
     """Focal hillshade through the same halo shuffle as slope (azimuth 315,
     altitude 45): per-tile sum of the 0..255 shade values, interior tiles."""
@@ -6515,6 +6592,7 @@ QUERIES: dict[str, tuple] = {
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "getmap_requests_crc": (q_getmap_requests_crc, sql_getmap_requests_crc),
+    "mosaic_mixed_res": (q_mosaic_mixed_res, sql_mosaic_mixed_res),
     "rollup_pricing": (q_rollup_pricing, sql_rollup_pricing),
     "lag_rank_events": (q_lag_rank_events, sql_lag_rank_events),
     "events_gapfill": (q_events_gapfill, sql_events_gapfill),

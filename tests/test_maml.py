@@ -144,6 +144,57 @@ def test_mosaic_left_bias():
     assert mask.tolist() == [False, False, False, True]  # both nodata -> nodata
 
 
+def test_mosaic_mixed_res_left_bias_under_resample(ray_session):
+    """Mixed-resolution mosaic (MosaicRasterSourceF.scala:109-140,197-206):
+    the combined grid takes the UNION extent and the maxBy(resolution)
+    member's cell size; members resample (nearest) to it BEFORE the ranked
+    first-wins merge, and rank order decides overlap cells."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.pipelines.registry import _mixed_members
+    from geotrellis_server_ray.stages.focal import flat_cells
+    from geotrellis_server_ray.stages.mosaic import mosaic_mixed
+
+    def cell_at(merged, c, r):
+        t = merged.to_pandas()
+        row = t[(t.x == c // 8) & (t.y == r // 8)].iloc[0]
+        i = (r % 8) * 8 + (c % 8)
+        return row["cells"][i], row["mask"][i]
+
+    members = _mixed_members()
+    merged, grid = mosaic_mixed(rd.from_arrow(members).repartition(2), tile=8)
+    assert grid == {"xmin": 0.0, "ymax": 96.0, "cw": 4.0, "ch": 4.0,
+                    "cols": 40, "rows": 24}
+    # overlap cell (c=10, r=8): A (rank 0, cell-1 grid) samples (42,34)=64,
+    # B (rank 1, cell-4 grid) samples (2,4)=18 -> A wins
+    v, m = cell_at(merged, 10, 8)
+    assert not m and v == 64.0
+
+    # swap ranks -> B wins the same cell with 18
+    swapped = members.set_column(0, "rank", pa.array([1, 0], pa.int64()))
+    merged2, _ = mosaic_mixed(rd.from_arrow(swapped).repartition(2), tile=8)
+    v2, m2 = cell_at(merged2, 10, 8)
+    assert not m2 and v2 == 18.0
+
+    # A-NoData overlap cell falls through to B: find one analytically —
+    # c=9, r=8: A index (38,34), (38+34)%11==6... pick a masked-A cell
+    # (col+row)%11==0 with col=4c+2,row=4r+2 in overlap: c=12,r=10 ->
+    # (50+42)=92, 92%11=4; c=14,r=13 -> (58,54) sum 112%11=2; use search:
+    found = False
+    for c in range(8, 16):
+        for r in range(4, 16):
+            col, row = 4 * c + 2, 4 * r + 2
+            if (col + row) % 11 == 0 and ((c - 8) + (r - 4) * 3) % 7 != 3:
+                v3, m3 = cell_at(merged, c, r)
+                assert not m3 and v3 == ((c - 8) * 5 + (r - 4) * 2) % 90
+                found = True
+                break
+        if found:
+            break
+    assert found
+
+
 def test_rescale_per_tile_in_batches():
     """Rescale stretches each tile's OWN range: batched (N, C) evaluation
     must match per-tile evaluation (batch composition must not leak)."""
