@@ -830,7 +830,7 @@ def q_ann_pq_topk(sf_dir: str):
     # shortlist is O(Q x R) rows — bounded driver state (the knn-summary
     # precedent), never corpus-proportional
     short = parts.groupby("query_id").map_groups(
-        _p(ANN.pq_final, k=PQ_RERANK), batch_format="pandas") \
+        _p(ANN.pq_final, k=PQ_RERANK), batch_format="pyarrow") \
         .select_columns(["query_id", "vec_id"]).take_all()
     members = {int(q): np.sort(np.array(
         [r["vec_id"] for r in short if r["query_id"] == q], np.int64))
@@ -841,7 +841,7 @@ def q_ann_pq_topk(sf_dir: str):
         _p(ANN.pq_rerank_partial, qlat=qlat, qids=qids, members=members),
         batch_format="pyarrow")
     out = rerank.groupby("query_id").map_groups(
-        _p(ANN.pq_final, k=ANN_K, col="exact_d2"), batch_format="pandas")
+        _p(ANN.pq_final, k=ANN_K, col="exact_d2"), batch_format="pyarrow")
     return _cast_cols(out, {"query_id": I64, "rank": I64, "vec_id": I64,
                             "exact_d2": I64})
 

@@ -14,14 +14,23 @@ buckets; probing only matching buckets turns the scan into a bucketed join
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
-def _topk_frame(qids, cand_ids, sims, k: int) -> pd.DataFrame:
-    df = pd.DataFrame({"query_id": qids, "vec_id": cand_ids, "sim": sims})
-    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
-    return df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+def _topk_table(qids, cand_ids, sims, k: int) -> pa.Table:
+    """Per-query top-k over flat partial arrays (sim desc, vec_id asc ties),
+    pure numpy — no pandas in the per-batch hot path."""
+    order = np.lexsort((cand_ids, -sims, qids))
+    qs, cs, ss = qids[order], cand_ids[order], sims[order]
+    new = np.r_[True, qs[1:] != qs[:-1]] if len(qs) else np.array([], bool)
+    grp = np.cumsum(new) - 1 if len(qs) else np.array([], np.int64)
+    starts = np.flatnonzero(new)
+    pos = np.arange(len(qs)) - starts[grp] if len(qs) else np.array([], np.int64)
+    keep = pos < k
+    return pa.table({"query_id": pa.array(qs[keep]),
+                     "vec_id": pa.array(cs[keep]),
+                     "sim": pa.array(ss[keep])})
 
 
 class CosineTopK:
@@ -55,16 +64,18 @@ class CosineTopK:
         # merge instead of being broken by array position / block layout
         kth = np.partition(sims, n - kk, axis=0)[n - kk]  # (Q,) kth largest
         qi, ri = np.nonzero(sims.T >= kth[:, None])  # query-major
-        out = _topk_frame(self.qids[qi], vec_ids[ri], sims[ri, qi], self.k)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _topk_table(self.qids[qi], vec_ids[ri], sims[ri, qi], self.k)
 
 
-def final_topk(group: pd.DataFrame, k: int = 5) -> pd.DataFrame:
-    """map_groups finalizer: merge partials -> global top-k with rank."""
-    g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g[["query_id", "rank", "vec_id"]]
+def final_topk(group: pa.Table, k: int = 5) -> pa.Table:
+    """map_groups finalizer: merge partials -> global top-k with rank
+    (Arrow-native; groups are Q x k x blocks rows, bounded)."""
+    idx = pc.sort_indices(group, sort_keys=[("sim", "descending"),
+                                            ("vec_id", "ascending")])
+    g = group.take(idx[:k])
+    return pa.table({"query_id": g.column("query_id"),
+                     "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                     "vec_id": g.column("vec_id")})
 
 
 def cosine_topk(ds, queries: tuple[np.ndarray, np.ndarray], k: int = 5):
@@ -81,7 +92,7 @@ def cosine_topk(ds, queries: tuple[np.ndarray, np.ndarray], k: int = 5):
         concurrency=(1, 8),
         num_cpus=1,
     )
-    return partials.groupby("query_id").map_groups(partial(final_topk, k=k), batch_format="pandas")
+    return partials.groupby("query_id").map_groups(partial(final_topk, k=k), batch_format="pyarrow")
 
 
 def kmeans_centroids(mat: np.ndarray, k: int = 16, iters: int = 5, seed: int = 11) -> np.ndarray:
@@ -141,9 +152,8 @@ class IvfTopK:
         # tie-inclusive partial (see CosineTopK)
         kth = np.partition(sims, n - kk, axis=0)[n - kk]
         qi, ri = np.nonzero(sims.T >= kth[:, None])
-        df = _topk_frame(self.qids[qi], vec_ids[ri], sims[ri, qi], self.k)
-        df = df[df["sim"] > -1.5]
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t = _topk_table(self.qids[qi], vec_ids[ri], sims[ri, qi], self.k)
+        return t.filter(pc.greater(t.column("sim"), -1.5))
 
 
 def ivf_topk(ds, queries: tuple[np.ndarray, np.ndarray], centroids: np.ndarray,
@@ -160,7 +170,7 @@ def ivf_topk(ds, queries: tuple[np.ndarray, np.ndarray], centroids: np.ndarray,
         concurrency=(1, 8),
         num_cpus=1,
     )
-    return parts.groupby("query_id").map_groups(partial(final_topk, k=k), batch_format="pandas")
+    return parts.groupby("query_id").map_groups(partial(final_topk, k=k), batch_format="pyarrow")
 
 
 # ------------------------------------------------------- distributed IVF
@@ -416,14 +426,21 @@ def ivf_exact_topk(ds, queries: tuple[np.ndarray, np.ndarray], dim: int, workdir
         ).take_all()
         rows.extend(p2)
 
-    # --- final deterministic merge
+    # --- final deterministic merge (driver-side, bounded Q x k x phases rows)
+    qa = np.array([r["query_id"] for r in rows], np.int64)
+    va = np.array([r["vec_id"] for r in rows], np.int64)
+    sa = np.array([r["sim"] for r in rows], np.float64)
+    order = np.lexsort((va, -sa, qa))
+    qa, va = qa[order], va[order]
+    new = np.r_[True, qa[1:] != qa[:-1]] if len(qa) else np.array([], bool)
+    starts = np.flatnonzero(new)
+    grp = np.cumsum(new) - 1 if len(qa) else np.array([], np.int64)
+    pos = np.arange(len(qa)) - starts[grp] if len(qa) else np.array([], np.int64)
+    keep = pos < k
     import pandas as pd
 
-    allp = pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
-    out = allp.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
-    out = out.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "rank", "vec_id"]].astype("int64")
+    return pd.DataFrame({"query_id": qa[keep], "rank": pos[keep] + 1,
+                         "vec_id": va[keep]}).astype("int64")
 
 
 class LshBuckets:
@@ -565,14 +582,18 @@ def pq_adc_partial(batch: pa.Table, dtab: np.ndarray, qids: np.ndarray,
                      "approx_d2": pa.array(approx[qi, ri])})
 
 
-def pq_final(group: pd.DataFrame, k: int = 5,
-             col: str = "approx_d2") -> pd.DataFrame:
+def pq_final(group: pa.Table, k: int = 5,
+             col: str = "approx_d2") -> pa.Table:
     """Exact grouped merge of distance partials: ascending distance, vec_id
     ties. Works for the ADC shortlist (col='approx_d2') and the re-rank
-    phase (col='exact_d2')."""
-    g = group.sort_values([col, "vec_id"]).head(k).reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g[["query_id", "rank", "vec_id", col]]
+    phase (col='exact_d2'). Arrow-native (bounded Q x R groups)."""
+    idx = pc.sort_indices(group, sort_keys=[(col, "ascending"),
+                                            ("vec_id", "ascending")])
+    g = group.take(idx[:k])
+    return pa.table({"query_id": g.column("query_id"),
+                     "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                     "vec_id": g.column("vec_id"),
+                     col: g.column(col)})
 
 
 def pq_rerank_partial(batch: pa.Table, qlat: np.ndarray, qids: np.ndarray,

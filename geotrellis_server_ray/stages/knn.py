@@ -27,7 +27,6 @@ from __future__ import annotations
 from functools import partial
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -130,23 +129,34 @@ def ring_safe_bound_m(qlon: np.ndarray, qlat: np.ndarray, ring_level: int,
     return np.minimum(np.minimum(d_north, d_south), np.minimum(d_west, d_east))
 
 
-def _final(group: pd.DataFrame, k: int) -> pd.DataFrame:
-    g = group.sort_values(["dist_m", "doc_id", "span_idx"], ascending=True).head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g[["query_id", "rank", "doc_id", "span_idx"]]
+def _final(group: pa.Table, k: int) -> pa.Table:
+    """map_groups finalizer (Arrow-native; groups are Q x k x blocks rows)."""
+    idx = pc.sort_indices(group, sort_keys=[("dist_m", "ascending"),
+                                            ("doc_id", "ascending"),
+                                            ("span_idx", "ascending")])
+    g = group.take(idx[:k])
+    return pa.table({"query_id": g.column("query_id"),
+                     "rank": pa.array(np.arange(1, len(g) + 1, dtype=np.int64)),
+                     "doc_id": g.column("doc_id"),
+                     "span_idx": g.column("span_idx")})
 
 
-def _final_with_stats(group: pd.DataFrame, k: int) -> pd.DataFrame:
+def _final_with_stats(group: pa.Table, k: int) -> pa.Table:
     """Ring-path grouped merge: top-k rows PLUS per-group validation stats
     (qn = rows kept, kth = the group's worst kept distance) so the driver
     can validate against the ring bound from O(Q) summary rows alone."""
-    g = group.sort_values(["dist_m", "doc_id", "span_idx"], ascending=True).head(k)
-    g = g.reset_index(drop=True)
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    g["qn"] = np.int64(len(g))
-    g["kth"] = float(g["dist_m"].iloc[-1]) if len(g) else np.inf
-    return g[["query_id", "rank", "doc_id", "span_idx", "qn", "kth"]]
+    idx = pc.sort_indices(group, sort_keys=[("dist_m", "ascending"),
+                                            ("doc_id", "ascending"),
+                                            ("span_idx", "ascending")])
+    g = group.take(idx[:k])
+    n = len(g)
+    kth = float(g.column("dist_m")[n - 1].as_py()) if n else np.inf
+    return pa.table({"query_id": g.column("query_id"),
+                     "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                     "doc_id": g.column("doc_id"),
+                     "span_idx": g.column("span_idx"),
+                     "qn": pa.array(np.full(n, n, dtype=np.int64)),
+                     "kth": pa.array(np.full(n, kth, dtype=np.float64))})
 
 
 def _probe(ds, queries_or_ref, k: int, ring_level=None, ring_k=None):
@@ -175,14 +185,14 @@ def knn(ds, queries: tuple[np.ndarray, np.ndarray, np.ndarray], k: int = 5,
     qref = ray.put(queries)
     if ring_level is None or ring_k is None:
         parts = _probe(ds, qref, k)
-        return parts.groupby("query_id").map_groups(partial(_final, k=k), batch_format="pandas")
+        return parts.groupby("query_id").map_groups(partial(_final, k=k), batch_format="pyarrow")
 
     # distributed grouped merge, same shape as the non-ring path (r3 VERDICT
     # wrong #3 fix: no to_pandas on the partial stream) — each group row also
     # carries (qn, kth) so validation reads O(Q) summary rows, never the data
     merged = _probe(ds, qref, k, ring_level, ring_k) \
         .groupby("query_id").map_groups(partial(_final_with_stats, k=k),
-                                        batch_format="pandas").materialize()
+                                        batch_format="pyarrow").materialize()
     bound = ring_safe_bound_m(qlon, qlat, ring_level, ring_k)
     bound_by_qid = dict(zip(qids.tolist(), bound.tolist()))
     # one summary row per query: the LAST kept row (rank == qn) carries the
@@ -202,7 +212,7 @@ def knn(ds, queries: tuple[np.ndarray, np.ndarray, np.ndarray], k: int = 5,
         bad_ids = set(qids[bad].tolist())
         sub = (qids[bad], qlon[bad], qlat[bad])
         fb = _probe(ds, ray.put(sub), k).groupby("query_id") \
-            .map_groups(partial(_final, k=k), batch_format="pandas")
+            .map_groups(partial(_final, k=k), batch_format="pyarrow")
         good = good.map_batches(
             lambda b: b.filter(pa.array(
                 ~np.isin(b.column("query_id").to_numpy(zero_copy_only=False),
