@@ -26,6 +26,52 @@ _WCS_NS = "http://www.opengis.net/wcs/1.1.1"
 # WMTS scale denominator: 0.28 mm per pixel (GeotrellisTileMatrix.scala:49)
 _METERS_PER_PIXEL = 0.00028
 
+# metersPerUnit (GeotrellisTileMatrix.scala:41-45): the reference maps only
+# LatLng (equatorial meters per degree) and WebMercator (1); the engine
+# extends the same rule to every projected-meter CRS proj.py supports
+# (LCC / polar stereo / Albers / UTM), whose unit IS the meter -> 1.
+_METERS_PER_DEGREE = 6378137.0 * 2.0 * 3.141592653589793 / 360.0
+
+
+def tile_matrix_set(identifier: str, epsg: int, extent: tuple,
+                    zooms: range = range(0, 20), tile_size: int = 256,
+                    base_layout: tuple = (1, 1)) -> dict:
+    """Matrix-set definition for ANY square-cell CRS
+    (GeotrellisTileMatrix.scala:30-62 generalized past the hardcoded
+    WebMercator set): level z has base_layout << z tiles per axis over
+    ``extent`` (in CRS units). Enforces the reference's square-cell
+    ``require`` (:38) and computes each level's scale denominator as
+    cellwidth / 0.00028 * metersPerUnit (:49). Returns {identifier, epsg,
+    extent, tile_size, matrices:[{id, cell, scale_denominator,
+    matrix_width, matrix_height}]}."""
+    x0, y0, x1, y1 = (float(v) for v in extent)
+    mpu = _METERS_PER_DEGREE if epsg == 4326 else 1.0
+    bc, br = base_layout
+    mats = []
+    for z in zooms:
+        cols, rows = bc << z, br << z
+        cw = (x1 - x0) / (cols * tile_size)
+        ch = (y1 - y0) / (rows * tile_size)
+        if abs(cw - ch) > 1e-9 * max(abs(cw), abs(ch)):
+            raise ValueError(
+                f"cell size width must be same as height: ({cw}, {ch})")
+        mats.append({"id": z, "cell": cw,
+                     "scale_denominator": cw / _METERS_PER_PIXEL * mpu,
+                     "matrix_width": cols, "matrix_height": rows})
+    return {"identifier": identifier, "epsg": epsg,
+            "extent": (x0, y0, x1, y1), "tile_size": tile_size,
+            "matrices": mats}
+
+
+def matrix_tile_extent(ms: dict, z_idx: int, col: int, row: int) -> tuple:
+    """Extent of one tile of a matrix set, row 0 at the TOP (the WMTS
+    TopLeftCorner convention, GeotrellisTileMatrix.scala:56)."""
+    x0, _, _, y1 = ms["extent"]
+    m = ms["matrices"][z_idx]
+    step = m["cell"] * ms["tile_size"]
+    return (x0 + col * step, y1 - (row + 1) * step,
+            x0 + (col + 1) * step, y1 - row * step)
+
 
 def _sub(parent, tag, text=None, **attrs):
     e = ET.SubElement(parent, tag, {k: str(v) for k, v in attrs.items()})
@@ -90,33 +136,54 @@ def wms_capabilities(layers: list[dict], service_title: str = "geotrellis_server
 
 
 def wmts_capabilities(layers: list[dict], matrix_set: str = "webmercator",
-                      zooms: range = range(0, 20), tile_size: int = 256) -> str:
-    """WMTS 1.0.0 capabilities with one WebMercator TileMatrixSet; each
+                      zooms: range = range(0, 20), tile_size: int = 256,
+                      matrix_sets: list[dict] | None = None) -> str:
+    """WMTS 1.0.0 capabilities. Default: one WebMercator TileMatrixSet; each
     TileMatrix carries the reference's scale denominator (cell width /
     0.00028, metersPerUnit = 1 for EPSG:3857) and the top-left corner of the
-    WebMercator world extent (GeotrellisTileMatrix.scala:30-55)."""
+    WebMercator world extent (GeotrellisTileMatrix.scala:30-55).
+
+    ``matrix_sets`` (VERDICT r4 next #6): a list of :func:`tile_matrix_set`
+    definitions replaces the hardcoded WebMercator set — any square-cell
+    projected CRS proj.py supports (LCC / polar stereo / Albers / UTM)
+    becomes a served TileMatrixSet, like GeotrellisTileMatrix building
+    matrices for arbitrary CRSs. Each layer dict may pin its set with a
+    ``matrix_set`` key (default: the first set's identifier)."""
     root = ET.Element("Capabilities", {"version": "1.0.0", "xmlns": _WMTS_NS,
                                        "xmlns:ows": _OWS_NS})
     contents = _sub(root, "Contents")
+    if matrix_sets is None:
+        matrix_sets = [{
+            "identifier": matrix_set, "epsg": 3857,
+            "extent": (-WORLD, -WORLD, WORLD, WORLD), "tile_size": tile_size,
+            "matrices": [{"id": z, "cell": tile_cell_size(z, tile_size),
+                          "scale_denominator":
+                              tile_cell_size(z, tile_size) / _METERS_PER_PIXEL,
+                          "matrix_width": 1 << z, "matrix_height": 1 << z}
+                         for z in zooms],
+        }]
+    default_set = matrix_sets[0]["identifier"]
     for lyr in layers:
         el = _sub(contents, "Layer")
         _sub(el, "ows:Title", lyr.get("title", lyr["name"]))
         _sub(el, "ows:Identifier", lyr["name"])
         _sub(el, "Format", "image/png")
         link = _sub(el, "TileMatrixSetLink")
-        _sub(link, "TileMatrixSet", matrix_set)
-    tms = _sub(contents, "TileMatrixSet")
-    _sub(tms, "ows:Identifier", matrix_set)
-    _sub(tms, "ows:SupportedCRS", "urn:ogc:def:crs:EPSG::3857")
-    for z in zooms:
-        m = _sub(tms, "TileMatrix")
-        _sub(m, "ows:Identifier", z)
-        _sub(m, "ScaleDenominator", repr(tile_cell_size(z, tile_size) / _METERS_PER_PIXEL))
-        _sub(m, "TopLeftCorner", f"{-WORLD!r} {WORLD!r}")
-        _sub(m, "TileWidth", tile_size)
-        _sub(m, "TileHeight", tile_size)
-        _sub(m, "MatrixWidth", 1 << z)
-        _sub(m, "MatrixHeight", 1 << z)
+        _sub(link, "TileMatrixSet", lyr.get("matrix_set", default_set))
+    for ms in matrix_sets:
+        tms = _sub(contents, "TileMatrixSet")
+        _sub(tms, "ows:Identifier", ms["identifier"])
+        _sub(tms, "ows:SupportedCRS", f"urn:ogc:def:crs:EPSG::{ms['epsg']}")
+        x0, _, _, y1 = ms["extent"]
+        for mm in ms["matrices"]:
+            m = _sub(tms, "TileMatrix")
+            _sub(m, "ows:Identifier", mm["id"])
+            _sub(m, "ScaleDenominator", repr(float(mm["scale_denominator"])))
+            _sub(m, "TopLeftCorner", f"{float(x0)!r} {float(y1)!r}")
+            _sub(m, "TileWidth", ms["tile_size"])
+            _sub(m, "TileHeight", ms["tile_size"])
+            _sub(m, "MatrixWidth", mm["matrix_width"])
+            _sub(m, "MatrixHeight", mm["matrix_height"])
     return ET.tostring(root, encoding="unicode")
 
 

@@ -248,3 +248,78 @@ def test_getmap_exceptions_batch_emits_layer_not_defined():
     root = ET.fromstring(doc)
     assert root.find("ServiceException").get("code") == "LayerNotDefined"
     assert "Layer nope not found" in doc
+
+
+def test_wmts_non_webmercator_matrix_sets():
+    """VERDICT r4 next #6: TileMatrixSets for projected CRSs beyond the
+    hardcoded 3857 — an LCC (Lambert-93, EPSG:2154) set built from a
+    proj.py-projected extent, with the reference scale-denominator formula
+    (GeotrellisTileMatrix.scala:49) and a tile-extent cross-check against
+    proj.py's forward transform."""
+    import numpy as np
+
+    from geotrellis_server_ray.functions.capabilities import (
+        matrix_tile_extent, tile_matrix_set)
+    from geotrellis_server_ray.functions.proj import transform
+
+    # Project the Lambert-93 anchor graticule with proj.py and build a
+    # square-cell extent around it (metric CRS -> metersPerUnit = 1)
+    (cx,), (cy,) = transform("EPSG:4326", "EPSG:2154", [3.0], [46.5])
+    half = 1_048_576.0  # 2^20 m: square by construction
+    ext = (cx - half, cy - half, cx + half, cy + half)
+    ms = tile_matrix_set("lambert93", 2154, ext, zooms=range(0, 4))
+    doc = wmts_capabilities(LAYERS, matrix_sets=[ms])
+    root = ET.fromstring(doc)
+    ns = {"w": "http://www.opengis.net/wmts/1.0",
+          "o": "http://www.opengis.net/ows/1.1"}
+    tms = root.find("w:Contents/w:TileMatrixSet", ns)
+    assert tms.find("o:SupportedCRS", ns).text == "urn:ogc:def:crs:EPSG::2154"
+    assert [e.text for e in tms.findall("w:TileMatrix/o:Identifier", ns)] \
+        == ["0", "1", "2", "3"]
+    # scale denominator at z: cell / 0.00028 * 1 (meters CRS)
+    cell0 = 2 * half / 256
+    got = float(tms.find("w:TileMatrix/w:ScaleDenominator", ns).text)
+    assert np.isclose(got, cell0 / 0.00028)
+    tl = tms.find("w:TileMatrix/w:TopLeftCorner", ns).text.split()
+    assert float(tl[0]) == ext[0] and float(tl[1]) == ext[3]
+    # layers link to the set by identifier
+    assert root.find(".//w:TileMatrixSetLink/w:TileMatrixSet", ns).text == "lambert93"
+
+    # tile-extent cross-check: z=1 splits the extent in quadrants; tile
+    # (1, 0) is the top-right quadrant whose corners proj.py can verify
+    te = matrix_tile_extent(ms, 1, 1, 0)
+    assert te == (cx, cy, cx + half, cy + half)
+    # the tile's top-right corner inverse->forward round-trips through
+    # proj.py to itself (the matrix is consistent with the projection)
+    from geotrellis_server_ray.functions.proj import parse_crs
+    lcc = parse_crs("EPSG:2154")
+    lon, lat = lcc.inverse(np.array([te[2]]), np.array([te[3]]))
+    bx, by = lcc.forward(lon, lat)
+    assert np.isclose(bx[0], te[2]) and np.isclose(by[0], te[3])
+
+    # 4326 sets use the reference's meters-per-degree factor (:42-43)
+    ms4326 = tile_matrix_set("wgs84grid", 4326, (-180.0, -90.0, 180.0, 90.0),
+                             zooms=range(0, 2), base_layout=(2, 1))
+    mpd = 6378137.0 * 2.0 * np.pi / 360.0
+    assert np.isclose(ms4326["matrices"][0]["scale_denominator"],
+                      (360.0 / 512) / 0.00028 * mpd)
+
+    # the reference's square-cell require (:38) still guards
+    import pytest
+
+    with pytest.raises(ValueError, match="same as height"):
+        tile_matrix_set("bad", 2154, (0.0, 0.0, 100.0, 50.0))
+
+
+def test_wmts_default_set_unchanged():
+    """The parameterization must not move the legacy WebMercator golden."""
+    doc = wmts_capabilities(LAYERS, zooms=range(0, 3))
+    root = ET.fromstring(doc)
+    ns = {"w": "http://www.opengis.net/wmts/1.0",
+          "o": "http://www.opengis.net/ows/1.1"}
+    tms = root.find("w:Contents/w:TileMatrixSet", ns)
+    assert tms.find("o:SupportedCRS", ns).text == "urn:ogc:def:crs:EPSG::3857"
+    from geotrellis_server_ray.functions.tiles import WORLD, tile_cell_size
+    got = float(tms.find("w:TileMatrix/w:ScaleDenominator", ns).text)
+    assert got == tile_cell_size(0, 256) / 0.00028
+    assert tms.find("w:TileMatrix/w:TopLeftCorner", ns).text == f"{-WORLD!r} {WORLD!r}"
