@@ -35,10 +35,21 @@ def add_salt(batch: pa.Table, id_col: str, num_salts: int, out_col: str = "salt"
     return batch.append_column(out_col, pa.array(salt))
 
 
-def salted_counts(ds, key_cols: list[str], id_col: str, num_salts: int = 8,
-                  count_as: str = "n"):
+def salted_counts(ds, key_cols: list[str], id_col: str,
+                  num_salts: int | str = "auto", count_as: str = "n"):
     """Two-stage skew-safe count: groupby (keys + salt) partials, then
-    groupby keys over the partials."""
+    groupby keys over the partials. ``num_salts="auto"`` (single int64 key
+    only) derives the salt from the measured per-key load via the exact
+    heavy-hitter pre-pass (:func:`derive_salt`) instead of a hand-set
+    constant."""
+    if num_salts == "auto":
+        from ..config import shuffle_partitions
+
+        assert len(key_cols) == 1, "auto salt supports a single int64 key"
+        num_salts = derive_salt(ds.map_batches(
+            lambda b: b.select([key_cols[0]]), batch_format="pyarrow"),
+            key_cols[0], shuffle_partitions())
+
     def prep(batch: pa.Table) -> pa.Table:
         batch = add_salt(batch, id_col, num_salts)
         return batch.append_column(count_as, pa.array(np.ones(len(batch), dtype=np.int64)))
@@ -64,6 +75,11 @@ def mg_compress(keys: np.ndarray, counts: np.ndarray, k: int):
 
 
 def heavy_hitters(ds, key_col: str, support: float, count_as: str = "n"):
+    """Dataset of exact heavy hitters (see :func:`heavy_hitters_exact`)."""
+    return heavy_hitters_exact(ds, key_col, support, count_as)[0]
+
+
+def heavy_hitters_exact(ds, key_col: str, support: float, count_as: str = "n"):
     """PROVABLY-EXACT support-based heavy hitters in two passes (the classic
     distributed Misra-Gries + rescan plan — bounded memory at any scale):
 
@@ -79,9 +95,9 @@ def heavy_hitters(ds, key_col: str, support: float, count_as: str = "n"):
     False negatives are impossible (the guarantee), false positives are
     filtered by the exact recount — so the output equals the exact
     ``GROUP BY ... HAVING count > support * n`` at any data size, while no
-    stage ever holds more than k counters per block. Returns a Dataset of
-    (key_col, count_as) and consumes a MATERIALIZED keyed projection so the
-    two passes share one read."""
+    stage ever holds more than k counters per block. Returns
+    ``(Dataset of (key_col, count_as), total_rows)`` and consumes a
+    MATERIALIZED keyed projection so the two passes share one read."""
     import ray
     import ray.data as rd
 
@@ -131,4 +147,35 @@ def heavy_hitters(ds, key_col: str, support: float, count_as: str = "n"):
 
         return b.filter(pc.greater(b.column(count_as), pa.scalar(float(floor))))
 
-    return exact.map_batches(keep, batch_format="pyarrow")
+    return exact.map_batches(keep, batch_format="pyarrow"), total
+
+
+def derive_salt(ds, key_col: str, num_partitions: int, max_salt: int = 64,
+                lanes_per_partition: int = 8) -> int:
+    """MEASURED auto-salt for a skewed hash exchange (VERDICT r4 next #4:
+    hand-set salt constants don't survive re-tuning at 100 TB).
+
+    Rule: a hash exchange over P partitions is balanced only when no single
+    key carries more than one *lane target* = total / (lanes_per_partition
+    * P) of the rows — the 8x key-multiplicity headroom makes the
+    balls-in-bins assignment of keys to partitions even out (a key space of
+    ~P keys hashes 3-4 keys into some partition and 0 into others; 8P-way
+    granularity caps that relative deviation). The heaviest measured key
+    then needs ceil(max_count / lane_target) salt lanes.
+
+    Measurement is the exact heavy-hitter pre-pass (:func:`heavy_hitters_
+    exact`, support = 1 / (lanes_per_partition * P)): one narrow extra pass
+    over the keyed projection, bounded MG state per block, <= 2 *
+    lanes_per_partition * P candidate rows on the driver. Keys below the
+    lane target never need salting, so the pre-pass's support floor is
+    exactly the decision boundary. Returns 1 (no salting) when nothing
+    exceeds the lane target — toy inputs and already-wide key spaces pay
+    only the pre-pass."""
+    support = 1.0 / max(1, lanes_per_partition * num_partitions)
+    hh, total = heavy_hitters_exact(ds, key_col, support=support)
+    rows = hh.take_all()  # <= ~2 * lanes_per_partition * P rows
+    if not rows or total == 0:
+        return 1
+    max_n = max(int(r["n"]) for r in rows)
+    lane_target = max(1.0, total * support)
+    return int(np.clip(int(np.ceil(max_n / lane_target)), 1, max_salt))

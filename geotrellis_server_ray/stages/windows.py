@@ -165,7 +165,7 @@ def asof_join(ds, key_col: str, ts_col: str, left_pred, right_pred,
 
 def interval_join(events_ds, intervals_ds, ts_col: str, start_col: str,
                   end_col: str, bucket_us: int, num_partitions: int | None = None,
-                  salt: int = 1):
+                  salt: int | str = "auto"):
     """Range (interval) join: pair every event with every interval
     containing its timestamp — NO equi key, the classic all-to-all range
     predicate — expressed as one bounded-replication hash exchange:
@@ -196,8 +196,25 @@ def interval_join(events_ds, intervals_ds, ts_col: str, start_col: str,
     values, and the join key becomes (bucket, salt) — emission is
     unchanged (an event meets each same-bucket replica in exactly one salt
     lane), only the tiny side replicates x salt. Both sides stream; only
-    the bucket exchange shuffles."""
+    the bucket exchange shuffles.
+
+    ``salt="auto"`` (the default) MEASURES the per-bucket event load with
+    the exact heavy-hitter pre-pass and derives the salt from it
+    (stages/salting.derive_salt) — one narrow extra pass over the event
+    timestamps; pass an int to skip the pre-pass on known-balanced inputs."""
     import pyarrow.compute as pc
+
+    if num_partitions is None:
+        from ..config import shuffle_partitions
+        num_partitions = shuffle_partitions()
+    if salt == "auto":
+        from .salting import derive_salt
+
+        keyed = events_ds.map_batches(
+            lambda b: pa.table(
+                {"bucket": pa.array(_ts_us(b.column(ts_col)) // bucket_us)}),
+            batch_format="pyarrow")
+        salt = derive_salt(keyed, "bucket", num_partitions)
 
     def ev_bucket(b: pa.Table) -> pa.Table:
         ts = _ts_us(b.column(ts_col))
@@ -234,9 +251,6 @@ def interval_join(events_ds, intervals_ds, ts_col: str, start_col: str,
 
     ev = events_ds.map_batches(ev_bucket, batch_format="pyarrow")
     iv = intervals_ds.map_batches(iv_replicate, batch_format="pyarrow")
-    if num_partitions is None:
-        from ..config import shuffle_partitions
-        num_partitions = shuffle_partitions()
     kw = {"num_partitions": num_partitions}
     on = ("bucket", "_salt") if salt > 1 else ("bucket",)
     joined = ev.join(iv, join_type="inner", on=on, **kw)
