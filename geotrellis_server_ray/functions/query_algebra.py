@@ -442,3 +442,199 @@ def to_arrow_filter(q: dict, time_col: str = "event_time", temporal_rule: str = 
             return None
         return lf | rf
     raise ValueError(f"unknown query node: {node}")
+
+
+# --------------------------------------------- STAC search-filters compile
+#
+# Query -> ONE flat search-filters record, the reference's
+# SearchFiltersQuery.algebra (stac-example/.../SearchFiltersQuery.scala:
+# 123-146) with its two Semigroups: And = IntersectionSemigroup (:50-85,
+# bbox/geometry intersection, temporal [max start, min end]), Or =
+# UnionSemigroup (:87-121, bbox/geometry union, temporal [min start, max
+# end]); both combine collections/items as distinct-concat and take
+# limit = min. The record is what a STAC /search API accepts — a bbox, a
+# datetime range, a collections list — so an arbitrary query TREE prunes
+# SERVER-side instead of scanning every item and filtering locally. The
+# compile is a SUPERSET for Or (the union bbox admits items matching
+# neither arm's exact geometry) and for unsupported leaves (compiled to
+# match-all, :145), so callers re-apply the exact predicate on the fetched
+# items — eval_catalog does exactly that.
+#
+# Option-semigroup quirks mirrored deliberately:
+#   * Nothing compiles to None and `None |+| x = x` — And(Nothing, q)
+#     compiles to q's filters (a superset; exactness is restored by the
+#     local re-filter), exactly like the reference's Option[SearchFilters].
+#   * one-sided fields combine by keeping the present side (cats Option
+#     semigroup: combine only when BOTH are present).
+#   * query maps merge circe-deepMerge style: nested objects merge
+#     recursively, any other right value replaces the left.
+
+
+def _sf_empty() -> dict:
+    return {"bbox": None, "datetime": None, "intersects": None,
+            "collections": [], "items": [], "limit": None, "query": {}}
+
+
+def _opt(a, b, f):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return f(a, b)
+
+
+def _bbox_and(l, r):
+    x0, y0 = max(l[0], r[0]), max(l[1], r[1])
+    x1, y1 = min(l[2], r[2]), min(l[3], r[3])
+    if x0 > x1 or y0 > y1:
+        # SearchFiltersQuery.scala:57: "$left and $right have no
+        # intersections" -> IllegalArgumentException
+        raise ValueError(f"{l} and {r} have no intersections")
+    return (x0, y0, x1, y1)
+
+
+def _bbox_or(l, r):
+    return (min(l[0], r[0]), min(l[1], r[1]), max(l[2], r[2]), max(l[3], r[3]))
+
+
+def _dt_and(l, r):
+    # max of present starts, min of present ends (:64-69)
+    starts = [t for t in (l[0], r[0]) if t is not None]
+    ends = [t for t in (l[1], r[1]) if t is not None]
+    return (max(starts) if starts else None, min(ends) if ends else None)
+
+
+def _dt_or(l, r):
+    # min of present starts, max of present ends (:101-106)
+    starts = [t for t in (l[0], r[0]) if t is not None]
+    ends = [t for t in (l[1], r[1]) if t is not None]
+    return (min(starts) if starts else None, max(ends) if ends else None)
+
+
+def _distinct(xs: list) -> list:
+    seen, out = set(), []
+    for x in xs:
+        if x not in seen:
+            seen.add(x)
+            out.append(x)
+    return out
+
+
+def _deep_merge(l: dict, r: dict) -> dict:
+    out = dict(l)
+    for k, v in r.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _sf_combine(l: dict | None, r: dict | None, union: bool) -> dict | None:
+    if l is None:
+        return r
+    if r is None:
+        return l
+    return {
+        "bbox": _opt(l["bbox"], r["bbox"], _bbox_or if union else _bbox_and),
+        "datetime": _opt(l["datetime"], r["datetime"],
+                         _dt_or if union else _dt_and),
+        "intersects": _opt(l["intersects"], r["intersects"],
+                           _bbox_or if union else _bbox_and),
+        "collections": _distinct(l["collections"] + r["collections"]),
+        "items": _distinct(l["items"] + r["items"]),
+        # List(left.limit, right.limit).min over Option: None < Some(_)
+        "limit": None if l["limit"] is None or r["limit"] is None
+                 else min(l["limit"], r["limit"]),
+        "query": _deep_merge(l["query"], r["query"]),
+    }
+
+
+def to_search_filters(q: dict, criteria: str = "collection") -> dict | None:
+    """Compile the query AST to a single STAC search-filters dict (None =
+    Nothing). ``criteria`` mirrors StacSearchCriteria: "collection" maps
+    WithName(s) to the collections list (:128), "layer" to a
+    query["layer:ids"] Superset entry (:129)."""
+    (node, body), = q.items()
+    if node == "nothing":
+        return None
+    if node == "all":
+        return _sf_empty()
+    sf = _sf_empty()
+    if node == "withName":
+        if criteria == "collection":
+            sf["collections"] = [body["name"]]
+        else:
+            sf["query"] = {"layer:ids": [{"superset": [body["name"]]}]}
+        return sf
+    if node == "withNames":
+        names = sorted(body["names"])
+        if criteria == "collection":
+            sf["collections"] = names
+        else:
+            sf["query"] = {"layer:ids": [{"superset": names}]}
+        return sf
+    if node == "at":
+        t = body["time"]
+        sf["datetime"] = (t, t)
+        return sf
+    if node == "between":
+        sf["datetime"] = (body["from"], body["to"])
+        return sf
+    if node == "intersects":
+        b = body["projectedGeometry"]["bbox"]
+        sf["intersects"] = (b["xmin"], b["ymin"], b["xmax"], b["ymax"])
+        return sf
+    if node == "covers":
+        b = body["projectedGeometry"]["bbox"]
+        sf["bbox"] = (b["xmin"], b["ymin"], b["xmax"], b["ymax"])
+        return sf
+    if node == "and":
+        return _sf_combine(to_search_filters(body["left"], criteria),
+                           to_search_filters(body["right"], criteria), union=False)
+    if node == "or":
+        return _sf_combine(to_search_filters(body["left"], criteria),
+                           to_search_filters(body["right"], criteria), union=True)
+    # unsupported nodes (contains, ...) compile to match-all (:145)
+    return _sf_empty()
+
+
+def extract_name(q: dict) -> list[str]:
+    """SearchFiltersQuery.extractName (:160-167): And concatenates, Or keeps
+    the LEFT side's names when non-empty (else the right's)."""
+    (node, body), = q.items()
+    if node == "withName":
+        return [body["name"]]
+    if node == "withNames":
+        return sorted(body["names"])
+    if node == "and":
+        return extract_name(body["left"]) + extract_name(body["right"])
+    if node == "or":
+        left = extract_name(body["left"])
+        return left if left else extract_name(body["right"])
+    return []
+
+
+def search_params(sf: dict | None) -> dict | None:
+    """Search-filters record -> kwargs for sources.stac.search_paged (the
+    server-side pruning surface: collections / ONE bbox / a closed datetime
+    range). bbox and intersects are each individually necessary conditions;
+    the API takes one box, so send `bbox` when present else the intersects
+    envelope (their intersection would be UNSOUND: overlap(A) and overlap(B)
+    do not imply overlap(A intersect B)). Half-open datetime ranges (one end None)
+    are not expressible in the paged API -> no datetime pruning. None in =
+    Nothing -> callers skip the search entirely."""
+    if sf is None:
+        return None
+    out: dict = {}
+    if sf["collections"]:
+        out["collections"] = set(sf["collections"])
+    box = sf["bbox"] if sf["bbox"] is not None else sf["intersects"]
+    if box is not None:
+        out["bbox"] = tuple(float(v) for v in box)
+    dt = sf["datetime"]
+    if dt is not None and dt[0] is not None and dt[1] is not None:
+        out["datetime_range"] = (dt[0], dt[1])
+    if sf["limit"] is not None:
+        out["take"] = int(sf["limit"])
+    return out

@@ -2930,7 +2930,10 @@ def q_cell_counts_salted(sf_dir: str):
         })
 
     ds = ds.map_batches(shape, batch_format="pyarrow")
-    out = salted_counts(ds, ["cell_id"], id_col="doc_id", num_salts=8)
+    # num_salts measured by the heavy-hitter pre-pass (stages/salting.
+    # derive_salt), not hand-set — the hot-cluster cells get exactly the
+    # lanes their measured load needs (VERDICT r4 next #4)
+    out = salted_counts(ds, ["cell_id"], id_col="doc_id", num_salts="auto")
     return _cast_cols(out, {"cell_id": I64, "n": I64})
 
 
@@ -4405,6 +4408,77 @@ SELECT CAST(item_id AS BIGINT) AS item_id,
 FROM matches"""
 
 
+# Q11 CLOSED (VERDICT r4 next #7): the Or/And semigroup pushdown. Two
+# spatially disjoint probe boxes (an item footprint is 20 x 10 deg, so no
+# item can overlap both -> Or-with-duplicates emits each hit once and the
+# SQL oracle is a plain OR).
+STAC_OR_BOX_A = (-150.0, -60.0, -120.0, -40.0)
+STAC_OR_BOX_B = (100.0, 30.0, 140.0, 55.0)
+STAC_OR_T1, STAC_OR_T2 = "2024-01-10", "2024-02-20"
+
+
+def q_stac_or_pushdown(sf_dir: str):
+    """Query->STAC-search semigroup compile (SURVEY Q11, SearchFiltersQuery.
+    scala:50-146): And(Between, Or(Intersects(A), Intersects(B))) folds
+    through the UnionSemigroup (Or = bbox union :87-121) and the
+    IntersectionSemigroup (And = field intersection :50-85) into ONE
+    search-filters record — union bbox + datetime window — that the paged
+    HTTP API prunes SERVER-side; before this compile an Or tree pushed
+    nothing and every item crossed the wire. The fetched superset (the union
+    bbox admits inter-box items matching neither arm) is re-filtered with
+    the EXACT query via eval_catalog, so results equal the full-scan plan.
+    Output: (item_id, collection)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions import query_algebra as qa
+    from ..sources.stac import search_paged, serve_stac_api
+
+    ids = pq.read_table(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey"]).column(0).to_pylist()
+    base = serve_stac_api(ids)
+    q = qa.and_(qa.between(STAC_OR_T1, STAC_OR_T2),
+                qa.or_(qa.intersects(*STAC_OR_BOX_A),
+                       qa.intersects(*STAC_OR_BOX_B)))
+    params = qa.search_params(qa.to_search_filters(q))
+    items = search_paged(base, **params, page_limit=64)
+    cat = pd.DataFrame({
+        "item_id": [int(it["id"]) for it in items],
+        "name": [it["collection"] for it in items],
+        "xmin": [it["bbox"][0] for it in items],
+        "ymin": [it["bbox"][1] for it in items],
+        "xmax": [it["bbox"][2] for it in items],
+        "ymax": [it["bbox"][3] for it in items],
+        "event_time": pd.to_datetime(
+            [it["properties"]["datetime"][:19] for it in items]),
+    })
+    exact = qa.eval_catalog(q, cat)
+    t = pa.table({"item_id": pa.array(exact["item_id"].to_numpy(np.int64), I64),
+                  "collection": pa.array(exact["name"].tolist(), pa.string())})
+    return rd.from_arrow(t)
+
+
+def sql_stac_or_pushdown() -> str:
+    ax0, ay0, ax1, ay1 = STAC_OR_BOX_A
+    bx0, by0, bx1, by1 = STAC_OR_BOX_B
+    return f"""
+WITH items AS (
+  SELECT p_partkey AS item_id,
+         CASE WHEN p_partkey % 4 = 0 THEN 'c1' ELSE 'c2' END AS collection,
+         CAST((p_partkey * 13) % 300 - 150 AS DOUBLE) AS xmin,
+         CAST((p_partkey * 7) % 120 - 60 AS DOUBLE) AS ymin,
+         TIMESTAMP '2024-01-01' + (p_partkey % 90) * INTERVAL 1 DAY AS dt
+  FROM part)
+SELECT CAST(item_id AS BIGINT) AS item_id, collection
+FROM items
+WHERE dt >= TIMESTAMP '{STAC_OR_T1}' AND dt < TIMESTAMP '{STAC_OR_T2}'
+  AND ((xmin + 20.0 >= {flit(ax0)} AND xmin <= {flit(ax1)}
+        AND ymin + 10.0 >= {flit(ay0)} AND ymin <= {flit(ay1)})
+    OR (xmin + 20.0 >= {flit(bx0)} AND xmin <= {flit(bx1)}
+        AND ymin + 10.0 >= {flit(by0)} AND ymin <= {flit(by1)}))"""
+
+
 def q_stac_http_mosaic(sf_dir: str):
     """S3+S4+S5 end-to-end: search the paged STAC HTTP API, take the first
     two items with a regex-matching asset, then FETCH the asset GeoTIFF bytes
@@ -5774,7 +5848,8 @@ def q_interval_join(sf_dir: str):
     # 1-day buckets, NOT >= the 7-day max window: the window side is ~1% of
     # the event side, so replicating it 8x is free while candidates shrink
     # ~3x toward the true pair count and the exchange fans out over 30 keys
-    # x4 salt lanes instead of 4 (see interval_join's sizing note).
+    # x measured salt lanes (salt="auto" default: the heavy-hitter pre-pass
+    # sizes the lanes to the per-bucket load — VERDICT r4 next #4).
     #
     # Exchange width sized by the join's EMISSION, not its input: each event
     # pairs with every live window (~n_windows x avg_len/span partners), so
@@ -5788,7 +5863,7 @@ def q_interval_join(sf_dir: str):
     n_iv = (_rows_of(sf_dir, "orders") or 0) // IVJ_MOD
     est_pairs = (n_ev or 0) * n_iv * 4 // 30  # avg 4-day window, ~30-day span
     pairs = interval_join(
-        ev, iv, "ts", "s", "e", bucket_us=_DAY_US, salt=4,
+        ev, iv, "ts", "s", "e", bucket_us=_DAY_US,
         num_partitions=shuffle_partitions_for_rows(
             est_pairs, rows_per_partition=2_000_000) if n_ev else _nparts())
     # window keys scale with the orders table -> real hash groupby, not the
@@ -6591,6 +6666,7 @@ QUERIES: dict[str, tuple] = {
     # driver CORRECTNESS row in any prior round enter HERE, ahead of
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "stac_or_pushdown": (q_stac_or_pushdown, sql_stac_or_pushdown),
     "getmap_requests_crc": (q_getmap_requests_crc, sql_getmap_requests_crc),
     "mosaic_mixed_res": (q_mosaic_mixed_res, sql_mosaic_mixed_res),
     "rollup_pricing": (q_rollup_pricing, sql_rollup_pricing),

@@ -244,3 +244,65 @@ def test_raster_temporal_rule_excludes_non_temporal(catalog):
     got = qa.eval_catalog(qa.and_(qa.all_(), qa.at("2024-01-10")), catalog,
                           temporal_rule="raster")
     assert got["name"].tolist() == ["a"]
+
+
+def test_search_filters_semigroups():
+    """Query -> single STAC search-filters record, mirroring
+    SearchFiltersQuery.scala's IntersectionSemigroup (And, :50-85) and
+    UnionSemigroup (Or, :87-121) plus the Option-semigroup quirks."""
+    # And = bbox intersection, temporal [max start, min end]
+    sf = qa.to_search_filters(qa.and_(
+        qa.and_(qa.covers(0, 0, 30, 30), qa.covers(10, 5, 50, 50)),
+        qa.between("2024-01-05", "2024-03-01")))
+    assert sf["bbox"] == (10, 5, 30, 30)
+    assert sf["datetime"] == ("2024-01-05", "2024-03-01")
+    sf = qa.to_search_filters(qa.and_(
+        qa.between("2024-01-05", "2024-03-01"),
+        qa.between("2024-02-01", "2024-06-01")))
+    assert sf["datetime"] == ("2024-02-01", "2024-03-01")
+    # Or = bbox union, temporal [min start, max end]
+    sf = qa.to_search_filters(qa.or_(
+        qa.intersects(0, 0, 10, 10), qa.intersects(50, 50, 60, 60)))
+    assert sf["intersects"] == (0, 0, 60, 60)
+    sf = qa.to_search_filters(qa.or_(
+        qa.at("2024-02-01"), qa.between("2024-01-01", "2024-01-15")))
+    assert sf["datetime"] == ("2024-01-01", "2024-02-01")
+    # disjoint And-bboxes throw, like the reference IllegalArgumentException
+    import pytest
+
+    with pytest.raises(ValueError, match="no intersections"):
+        qa.to_search_filters(qa.and_(qa.covers(0, 0, 1, 1), qa.covers(5, 5, 6, 6)))
+    # Option quirks: Nothing -> None; And(Nothing, q) -> q's filters
+    assert qa.to_search_filters(qa.nothing()) is None
+    assert qa.to_search_filters(
+        qa.and_(qa.nothing(), qa.with_name("c1")))["collections"] == ["c1"]
+    # collections distinct-concat under BOTH semigroups
+    sf = qa.to_search_filters(qa.or_(qa.with_name("a"),
+                                     qa.and_(qa.with_name("b"), qa.with_name("a"))))
+    assert sf["collections"] == ["a", "b"]
+    # unsupported leaves compile to match-all (:145)
+    assert qa.to_search_filters(qa.contains(0, 0, 1, 1)) == qa.to_search_filters(qa.all_())
+    # ByLayer criteria: query map with layer:ids superset + deepMerge
+    sf = qa.to_search_filters(qa.with_name("lyr"), criteria="layer")
+    assert sf["query"] == {"layer:ids": [{"superset": ["lyr"]}]}
+
+
+def test_extract_name_or_left_bias():
+    """extractName (:160-167): And concatenates, Or keeps the left side's
+    names when non-empty."""
+    assert qa.extract_name(qa.and_(qa.with_name("a"), qa.with_name("b"))) == ["a", "b"]
+    assert qa.extract_name(qa.or_(qa.with_name("a"), qa.with_name("b"))) == ["a"]
+    assert qa.extract_name(qa.or_(qa.all_(), qa.with_name("b"))) == ["b"]
+    assert qa.extract_name(qa.intersects(0, 0, 1, 1)) == []
+
+
+def test_search_params_soundness():
+    """bbox/intersects both present: send ONE necessary condition (their
+    intersection would over-prune); half-open datetime not sent."""
+    sf = qa.to_search_filters(qa.and_(qa.covers(0, 0, 30, 30),
+                                      qa.intersects(-5, -5, 10, 10)))
+    p = qa.search_params(sf)
+    assert p["bbox"] == (0.0, 0.0, 30.0, 30.0)
+    assert qa.search_params(None) is None
+    assert "datetime_range" not in qa.search_params(
+        qa.to_search_filters(qa.with_name("x")))

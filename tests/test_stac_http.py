@@ -103,3 +103,38 @@ def test_distinct_catalogs_do_not_alias():
     assert [int(x["id"]) for x in ia] == [1, 2, 3]
     assert [int(x["id"]) for x in ib] == [7, 8, 9]
     assert serve_stac_api([3, 2, 1]) == a  # order-insensitive content key
+
+
+def test_or_union_pushdown_prunes_server_side(api):
+    """Q11 done-criterion (VERDICT r4 next #7): an Or(spatial, spatial)
+    query previously pushed NOTHING to the search API (no single bbox) and
+    every item crossed the wire; the union-semigroup compile sends ONE
+    union bbox the server prunes with, and the exact local re-filter keeps
+    the result identical to the full-scan plan."""
+    import pandas as pd
+
+    from geotrellis_server_ray.functions import query_algebra as qa
+
+    q = qa.or_(qa.intersects(-150.0, -60.0, -120.0, -40.0),
+               qa.intersects(100.0, 30.0, 140.0, 55.0))
+    params = qa.search_params(qa.to_search_filters(q))
+    assert params["bbox"] == (-150.0, -60.0, 140.0, 55.0)
+    pruned = search_paged(api, **params, page_limit=100)
+    full = search_paged(api, page_limit=100)
+    assert len(pruned) < len(full)  # the wire actually carried fewer items
+
+    def exact_ids(items):
+        cat = pd.DataFrame({
+            "item_id": [int(it["id"]) for it in items],
+            "name": [it["collection"] for it in items],
+            "xmin": [it["bbox"][0] for it in items],
+            "ymin": [it["bbox"][1] for it in items],
+            "xmax": [it["bbox"][2] for it in items],
+            "ymax": [it["bbox"][3] for it in items],
+            "event_time": pd.to_datetime(
+                [it["properties"]["datetime"][:19] for it in items]),
+        })
+        return sorted(qa.eval_catalog(q, cat)["item_id"].tolist())
+
+    got, want = exact_ids(pruned), exact_ids(full)
+    assert got == want and len(got) > 0
