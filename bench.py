@@ -325,9 +325,159 @@ def run_interval_scale() -> dict:
     return out
 
 
+def run_text_scale() -> dict:
+    """Search-side text family + ExactSubstr 64x collapse datapoints
+    (VERDICT r4 next #5 and #8): the sf0.1 documents table replicated 64x
+    with per-replica token TAGS (every token of replica r gets the same
+    2-char suffix; doc_id += r * 1e6) so replicas are structurally
+    identical but share NO token and no >=40-char substring — the
+    adversarial shape where any cross-replica leakage or driver-state
+    collapse shows up as a count/byte mismatch, not just a slowdown.
+
+    The tag is the SAME character twice, drawn from an alphabet disjoint
+    from the documents' own (lowercase a-y + space): replica r's text is
+    then a char-for-char substitution image of replica 0's, a doc char can
+    never equal a tag char, and both tag chars agree with each other — so
+    two equal-length raw-text spans are equal in replica r iff they are
+    equal in replica r' (the ExactSubstr dup-window structure is exactly
+    isomorphic across replicas, which is what the per-replica-totals
+    assertion checks). Max token length is 8 << W-2, so every W-char
+    window contains a full tag and no window repeats ACROSS replicas.
+
+    Exactness checks (all asserted, reported in the JSON):
+      * exact_substring_dedup: 64x output restricted to replica 0 is
+        BYTE-identical to the 1x run (incl. scrubbed text); per-replica
+        (dup windows, kept chars) totals identical across all 64 replicas.
+      * inverted_index: 64x postings restricted to replica-0 tokens are
+        byte-identical to 1x; total postings rows = 64 x 1x.
+      * tfidf_topk: per-replica (rank, score) multisets identical across
+        all 64 replicas (scores are N-dependent, so 1x comparison is by
+        structure not bytes); rows = 64 x 1x."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from geotrellis_server_ray.pipelines.registry import (
+        q_exact_substring_dedup, q_inverted_index, q_tfidf_topk)
+
+    F, OFF = 64, 1_000_000
+    base = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = base.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = base.column("text").to_pylist()
+
+    # 64 distinct chars, none in the doc alphabet; digits first so the
+    # replica-0 tag ("00") survives the tokenizer's lower() unchanged.
+    tag_chars = ("0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                 "!#$%&()*+,-./:;<=>?@[]^_{|}~")
+    assert len(tag_chars) >= F and len(set(tag_chars.lower())) == len(tag_chars)
+    assert max(len(t) for s in texts for t in s.split(" ")) <= 38 - 2
+
+    def tagged(r: int) -> pa.Table:
+        tag = tag_chars[r] * 2
+        return pa.table({
+            "doc_id": pa.array(ids + r * OFF),
+            "text": pa.array([" ".join(t + tag for t in s.split(" "))
+                              for s in texts]),
+        })
+
+    d1 = "/tmp/gsr_text_scale/sf1x"
+    d64 = "/tmp/gsr_text_scale/sf64x"
+    for d in (d1, d64):
+        os.makedirs(d, exist_ok=True)
+    pq.write_table(tagged(0), f"{d1}/documents.parquet")
+    pq.write_table(pa.concat_tables([tagged(r) for r in range(F)]),
+                   f"{d64}/documents.parquet")
+
+    out = {"metric": "text_scale", "sf": SF_DIR, "num_cpus": NUM_CPUS,
+           "factor": F, "docs_1x": len(ids)}
+
+    # --- ExactSubstr
+    t0 = time.perf_counter()
+    s1 = q_exact_substring_dedup(d1).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    t1x = time.perf_counter() - t0
+    import pyarrow.compute as pc
+
+    t0 = time.perf_counter()
+    ds64m = q_exact_substring_dedup(d64).materialize()
+    t64x = time.perf_counter() - t0
+    meta = ds64m.map_batches(
+        lambda b: b.select(["doc_id", "n_dup_windows", "n_chars_kept"]),
+        batch_format="pyarrow").to_pandas()
+    rep = meta["doc_id"] // OFF
+    per = meta.groupby(rep).agg(w=("n_dup_windows", "sum"),
+                                k=("n_chars_kept", "sum"))
+    assert per["w"].nunique() == 1 and per["k"].nunique() == 1, \
+        "replica totals diverge"
+    r0 = ds64m.map_batches(
+        lambda b: b.filter(pc.less(b.column("doc_id"), OFF)),
+        batch_format="pyarrow").to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert r0.equals(s1), "replica-0 at 64x != 1x run (byte compare)"
+    out["exact_substring"] = {
+        "dup_windows_1x": int(s1["n_dup_windows"].sum()),
+        "dup_windows_64x": int(meta["n_dup_windows"].sum()),
+        "linear": int(meta["n_dup_windows"].sum())
+                  == F * int(s1["n_dup_windows"].sum()),
+        "replica0_byte_identical": True,
+        "sec_1x": round(t1x, 2), "sec_64x": round(t64x, 2)}
+
+    # --- inverted index
+    t0 = time.perf_counter()
+    ii1 = q_inverted_index(d1).to_pandas().sort_values("token") \
+        .reset_index(drop=True)
+    it1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ii64 = q_inverted_index(d64).to_pandas()
+    it64 = time.perf_counter() - t0
+    tag0 = ii64[ii64["token"].str.endswith(tag_chars[0] * 2)] \
+        .sort_values("token") \
+        .reset_index(drop=True)
+    assert tag0.equals(ii1), "tag-0 postings at 64x != 1x (byte compare)"
+    assert len(ii64) == F * len(ii1), "postings rows not linear"
+    out["inverted_index"] = {
+        "postings_rows_1x": len(ii1), "postings_rows_64x": len(ii64),
+        "linear": len(ii64) == F * len(ii1),
+        "tag0_byte_identical": True,
+        "sec_1x": round(it1, 2), "sec_64x": round(it64, 2)}
+
+    # --- tfidf top-k
+    t0 = time.perf_counter()
+    tf1 = q_tfidf_topk(d1).to_pandas()
+    tt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tf64 = q_tfidf_topk(d64).to_pandas()
+    tt64 = time.perf_counter() - t0
+    assert len(tf64) == F * len(tf1), "tfidf rows not linear"
+    g = tf64.assign(rep=tf64["doc_id"] // OFF,
+                    base=tf64["doc_id"] % OFF,
+                    tok=tf64["token"].str[:-2])
+    sig = g.groupby("rep").apply(
+        lambda d: hash(tuple(sorted(map(tuple,
+            d[["base", "rank", "tok", "score_e6"]].values.tolist())))),
+        include_groups=False)
+    assert sig.nunique() == 1, "tfidf replica signatures diverge"
+    out["tfidf_topk"] = {
+        "rows_1x": len(tf1), "rows_64x": len(tf64),
+        "linear": True, "replica_signatures_equal": True,
+        "sec_1x": round(tt1, 2), "sec_64x": round(tt64, 2)}
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--interval-scale" in sys.argv:
         print(json.dumps(run_interval_scale()))
+    elif "--text-scale" in sys.argv:
+        print(json.dumps(run_text_scale()))
     elif "--scaling-query" in sys.argv:
         print(json.dumps(run_scaling(sys.argv[sys.argv.index("--scaling-query") + 1])))
     elif "--scaling" in sys.argv:

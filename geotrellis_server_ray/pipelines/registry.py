@@ -6653,6 +6653,67 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM ranked WHERE rn = 1 GROUP BY doc_id"""
 
 
+SUBSTR_W = 40  # ExactSubstr min repeated-substring length, chars
+
+
+def q_exact_substring_dedup(sf_dir: str):
+    """Exact-substring dedup (Lee et al. 2021 ExactSubstr; VERDICT r4 next
+    #8 — the one LLM dedup modality passage_scrub's fixed non-overlapping
+    8-token windows could not express): every LATER occurrence of any
+    substring of length >= 40 chars that repeats anywhere in the corpus is
+    cut from its document; first occurrences survive. Stride-1 char-window
+    rolling hashes -> hash-partition keep-first -> doc-partition coverage
+    scrub (stages/dedup.exact_substring_dedup; two data-proportional
+    exchanges, 32-byte window rows, no broadcast, no driver state). The
+    oracle replays the window grouping on the raw SUBSTRINGS (exact text,
+    no hash) and the per-char coverage in SQL. Output: (doc_id,
+    n_dup_windows, n_chars_kept, text_dedup)."""
+    from ..stages.dedup import exact_substring_dedup
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_substring_dedup(ds, w=SUBSTR_W,
+                                num_partitions=_nparts_for(sf_dir, "documents"))
+    return _cast_cols(out, {"doc_id": I64, "n_dup_windows": I64,
+                            "n_chars_kept": I64, "text_dedup": pa.string()})
+
+
+def sql_exact_substring_dedup() -> str:
+    W = SUBSTR_W
+    return f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos, substr(text, i, {W}) AS g
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text) - {W - 1})) AS u(i)),
+dups AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM grams) WHERE rn > 1),
+cov AS (
+  SELECT DISTINCT doc_id, c
+  FROM dups, LATERAL unnest(generate_series(pos, pos + {W - 1})) AS v(c)),
+chars AS (
+  SELECT d.doc_id, i, substr(d.text, i, 1) AS ch
+  FROM documents d,
+       LATERAL unnest(generate_series(1, length(d.text))) AS u(i)),
+kept AS (
+  SELECT chars.doc_id, chars.i, chars.ch
+  FROM chars LEFT JOIN cov
+    ON cov.doc_id = chars.doc_id AND cov.c = chars.i
+  WHERE cov.c IS NULL)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(dn.n, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(k.nk, 0) AS BIGINT) AS n_chars_kept,
+       COALESCE(k.txt, '') AS text_dedup
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM dups GROUP BY 1) dn
+  ON dn.doc_id = d.doc_id
+LEFT JOIN (SELECT doc_id, count(*) AS nk,
+                  string_agg(ch, '' ORDER BY i) AS txt
+           FROM kept GROUP BY 1) k
+  ON k.doc_id = d.doc_id"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Ordering policy (VERDICT r2 #1): the correctness driver witnesses the FIRST
@@ -6666,6 +6727,7 @@ QUERIES: dict[str, tuple] = {
     # driver CORRECTNESS row in any prior round enter HERE, ahead of
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "exact_substring_dedup": (q_exact_substring_dedup, sql_exact_substring_dedup),
     "stac_or_pushdown": (q_stac_or_pushdown, sql_stac_or_pushdown),
     "getmap_requests_crc": (q_getmap_requests_crc, sql_getmap_requests_crc),
     "mosaic_mixed_res": (q_mosaic_mixed_res, sql_mosaic_mixed_res),

@@ -826,3 +826,218 @@ def reassemble_segments(t: pa.Table, id_col: str = "doc_id",
     for c in carry_cols:  # per-doc metadata: constant within a doc group
         cols[c] = t.column(c).take(pa.array(starts))
     return pa.table(cols)
+
+
+# ------------------------------------------- exact-substring dedup (ExactSubstr)
+#
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better"), the ExactSubstr variant: remove every LATER occurrence of any
+# substring of length >= W that appears more than once in the corpus. The
+# paper builds one suffix array over the concatenated corpus; the
+# distributed reduction here is the stride-1 window identity: a repeated
+# substring of length >= W exists iff some W-char window repeats, and the
+# union of the repeated windows' spans covers EXACTLY the characters of the
+# maximal repeated substrings. So:
+#
+#   1. every document emits a (h1, h2, doc_id, pos) row per W-char window,
+#      stride 1 — two independent 64-bit rolling polynomial hashes (the
+#      house 128-bit content-key construction: a collision must vanish
+#      mod 2^64 at two unrelated odd points). Rows are 32 bytes regardless
+#      of W; the window TEXT never rides the exchange (at stride 1 that
+#      would be a Wx text blowup — the reason this stage, unlike
+#      passage_scrub's non-overlapping segments, keys on the hash pair).
+#   2. hash-partition on h1: within each partition one vectorized lexsort
+#      marks every window occurrence that has an earlier (doc_id, pos)
+#      occurrence of the same (h1, h2). Only those dup rows survive.
+#   3. dup rows and documents co-partition by doc_id; one vectorized
+#      coverage pass per partition (global cumsum-of-diffs over the
+#      partition's concatenated bytes) cuts the covered chars from each
+#      document.
+#
+# Scale shape: the window stream is O(total chars) rows — inherent to
+# ExactSubstr (the paper's suffix array is likewise O(chars)) — but it is
+# produced, exchanged once on a 16-byte key, filtered to the (small) dup
+# set, and never materialized on the driver. Both exchanges are
+# data-proportional hash exchanges; no broadcast; no driver state.
+
+
+def char_window_hashes(batch: pa.Table, w: int, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """(doc_id, pos, h1, h2) for every w-char window of every document
+    (0-based pos, stride 1; docs shorter than w emit nothing). Same hash
+    convention as poly_hash_strings on the window text: h = sum(byte_i *
+    B^(w-1-i)) mod 2^64 — computed for ALL windows at once from prefix
+    sums of byte_k * invB^k over the batch's concatenated UTF-8 buffer
+    (H(i) = (T(i+w) - T(i)) * B^(i+w-1)), never a per-window loop."""
+    arr = batch.column(text_col)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    arr = pc.cast(arr, pa.large_string()) if pa.types.is_string(arr.type) else arr
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64()),
+                      "h1": pa.array([], pa.int64()),
+                      "h2": pa.array([], pa.int64())})
+    if len(arr) == 0:
+        return empty
+    buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    start = buf_off[0]
+    b = data[start:buf_off[-1]].astype(np.uint64)
+    offs = (buf_off - start).astype(np.int64)
+    n = len(b)
+    if n < w:
+        return empty
+    out_id, out_pos, out_h = [], [], []
+    lens = np.diff(offs)
+    with np.errstate(over="ignore"):
+        for base in (_B, _B2):
+            inv = np.uint64(pow(int(base), -1, 1 << 64))
+            # invB^k and B^k, k = 0..n (cumprod wraps mod 2^64)
+            invp = np.empty(n + 1, np.uint64)
+            invp[0] = np.uint64(1)
+            np.cumprod(np.full(n, inv, np.uint64), out=invp[1:])
+            powp = np.empty(n + 1, np.uint64)
+            powp[0] = np.uint64(1)
+            np.cumprod(np.full(n, base, np.uint64), out=powp[1:])
+            T = np.zeros(n + 1, np.uint64)
+            np.cumsum(b * invp[:n], out=T[1:])
+            i = np.arange(n - w + 1, dtype=np.int64)
+            H = (T[i + w] - T[i]) * powp[i + w - 1]
+            out_h.append(H)
+    # window starts must lie inside a single doc: doc d contributes starts
+    # offs[d] .. offs[d+1]-w (none when the doc is shorter than w)
+    counts = np.maximum(lens - w + 1, 0)
+    keep_doc = counts > 0
+    ck = counts[keep_doc]
+    cum = np.zeros(len(ck) + 1, np.int64)
+    np.cumsum(ck, out=cum[1:])
+    pos_of = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], ck)
+    gi = np.repeat(offs[:-1][keep_doc], ck) + pos_of
+    doc_of = np.repeat(ids[keep_doc], ck)
+    return pa.table({id_col: pa.array(doc_of),
+                     "pos": pa.array(pos_of),
+                     "h1": pa.array(out_h[0][gi].view(np.int64)),
+                     "h2": pa.array(out_h[1][gi].view(np.int64))})
+
+
+def later_window_occurrences(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Per hash-partition: keep ONLY window occurrences that have an
+    EARLIER (doc_id, pos) occurrence of the same (h1, h2) — the rows whose
+    spans ExactSubstr cuts. One lexsort + adjacent-equality; the first
+    occurrence of every window survives uncut."""
+    if len(t) == 0:
+        return t.select([id_col, "pos"])
+    h1 = t.column("h1").to_numpy(zero_copy_only=False)
+    h2 = t.column("h2").to_numpy(zero_copy_only=False)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    pos = t.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, ids, h2, h1))
+    first = np.ones(len(t), dtype=bool)
+    first[1:] = (h1[order][1:] != h1[order][:-1]) | (h2[order][1:] != h2[order][:-1])
+    dup_idx = order[~first]
+    return pa.table({id_col: pa.array(ids[dup_idx]),
+                     "pos": pa.array(pos[dup_idx])})
+
+
+def scrub_covered_spans(t: pa.Table, w: int, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        text_out: str = "text_dedup") -> pa.Table:
+    """Per doc-partition: documents (pos = -1, text set) union dup-window
+    rows (pos >= 0) -> (doc_id, n_dup_windows, n_chars_kept, text_dedup).
+    Coverage is ONE cumsum-of-diffs over the partition's concatenated
+    bytes: +1 at each dup start, -1 at start+w, covered = running > 0;
+    kept bytes slice out per doc via offsets. Every document emits a row
+    (docs with no dup windows keep their text whole)."""
+    is_doc = pc.equal(t.column("pos"), pa.scalar(-1, pa.int64())) \
+        .to_numpy(zero_copy_only=False)
+    docs = t.filter(pa.array(is_doc)).sort_by([(id_col, "ascending")])
+    dups = t.filter(pa.array(~is_doc))
+    out_empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_dup_windows": pa.array([], pa.int64()),
+                          "n_chars_kept": pa.array([], pa.int64()),
+                          text_out: pa.array([], pa.string())})
+    if len(docs) == 0:
+        return out_empty
+    arr = docs.column(text_col)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    arr = pc.cast(arr, pa.large_string()) if pa.types.is_string(arr.type) else arr
+    ids = docs.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    start = buf_off[0]
+    flat = data[start:buf_off[-1]]
+    offs = (buf_off - start).astype(np.int64)
+    n = len(flat)
+    did = dups.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    dpos = dups.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    # map dup doc_ids to local doc index (dups for docs not in this
+    # partition cannot exist: both sides used the same partitioner)
+    loc = np.searchsorted(ids, did)
+    g = offs[loc] + dpos
+    diff = np.zeros(n + 1, np.int64)
+    np.add.at(diff, g, 1)
+    np.add.at(diff, g + w, -1)  # g + w <= doc end <= n by construction
+    covered = np.cumsum(diff[:n]) > 0
+    keep = ~covered
+    kept_flat = flat[keep]
+    kept_per_doc = np.add.reduceat(keep.astype(np.int64),
+                                   np.minimum(offs[:-1], max(n - 1, 0))) \
+        if n else np.zeros(len(ids), np.int64)
+    kept_per_doc[np.diff(offs) == 0] = 0  # reduceat artifacts on empty docs
+    kept_offs = np.zeros(len(ids) + 1, np.int64)
+    np.cumsum(kept_per_doc, out=kept_offs[1:])
+    dup_per_doc = np.zeros(len(ids), np.int64)
+    np.add.at(dup_per_doc, loc, 1)
+    texts = pa.Array.from_buffers(
+        pa.large_string(), len(ids),
+        [None, pa.py_buffer(kept_offs.astype(np.int64).tobytes()),
+         pa.py_buffer(kept_flat.tobytes())])
+    return pa.table({id_col: pa.array(ids),
+                     "n_dup_windows": pa.array(dup_per_doc),
+                     "n_chars_kept": pa.array(kept_per_doc),
+                     text_out: pc.cast(texts, pa.string())})
+
+
+def exact_substring_dedup(docs_ds, w: int = 40, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          num_partitions: int | None = None):
+    """The full ExactSubstr pipeline (module comment above): window-hash ->
+    hash-partition keep-first -> doc-partition coverage scrub. Returns a
+    Dataset of (doc_id, n_dup_windows, n_chars_kept, text_dedup)."""
+    from functools import partial
+
+    from .focal import add_key_partition
+
+    if num_partitions is None:
+        from ..config import shuffle_partitions
+
+        num_partitions = shuffle_partitions()
+    wins = docs_ds.map_batches(
+        partial(char_window_hashes, w=w, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")
+    wins = wins.map_batches(
+        partial(add_key_partition, key_cols=["h1"], num_partitions=num_partitions),
+        batch_format="pyarrow")
+    dup = wins.groupby("part").map_groups(
+        partial(later_window_occurrences, id_col=id_col), batch_format="pyarrow")
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b.column(id_col),
+                         "pos": pa.array(np.full(len(b), -1, np.int64)),
+                         text_col: b.column(text_col)})
+
+    def dup_rows(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b.column(id_col),
+                         "pos": b.column("pos"),
+                         text_col: pa.array([""] * len(b), pa.string())})
+
+    both = docs_ds.map_batches(doc_rows, batch_format="pyarrow") \
+        .union(dup.map_batches(dup_rows, batch_format="pyarrow"))
+    both = both.map_batches(
+        partial(add_key_partition, key_cols=[id_col], num_partitions=num_partitions),
+        batch_format="pyarrow")
+    return both.groupby("part").map_groups(
+        partial(scrub_covered_spans, w=w, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow")

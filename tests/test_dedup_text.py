@@ -264,3 +264,50 @@ def test_doc_chunks_window_math(ray_session):
     assert row.n_tokens == 3 and row.n_chars == len("one two three")
     row4 = out[(out.doc_id == 4)].iloc[0]
     assert row4.n_tokens == 1 and row4.n_chars == 0  # the empty token
+
+
+def test_exact_substring_dedup_matches_bruteforce(ray_session):
+    """ExactSubstr (Lee et al. 2021) over a hand corpus with self-repeats,
+    cross-doc repeats, short docs, and an empty doc — the distributed
+    pipeline (forced multi-partition) equals the brute-force reference."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.stages.dedup import exact_substring_dedup
+
+    W = 8
+    texts = ["abcdefghij" * 3,            # period-10 self repeat
+             "xxabcdefghijqq",            # cross-doc repeat, offset 2
+             "short",                     # < W: untouchable
+             "zzzzzzzzzz",                # period-1 self repeat
+             "", "unique sentence here."]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "text": pa.array(texts)})).repartition(3)
+    out = exact_substring_dedup(ds, w=W, num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # brute force: a window is cut iff an earlier (doc, pos) occurrence of
+    # the same W-gram exists anywhere in the corpus
+    seen = {}
+    dups = []
+    for d, s in zip(ids, texts):
+        for i in range(max(0, len(s) - W + 1)):
+            g = s[i:i + W]
+            if g in seen:
+                dups.append((d, i))
+            else:
+                seen[g] = (d, i)
+    for d, s in zip(ids, texts):
+        cov = np.zeros(len(s), bool)
+        for dd, pp in dups:
+            if dd == d:
+                cov[pp:pp + W] = True
+        kept = "".join(c for c, m in zip(s, cov) if not m)
+        row = out[out["doc_id"] == d].iloc[0]
+        assert row["text_dedup"] == kept, (d, row["text_dedup"], kept)
+        assert row["n_chars_kept"] == len(kept)
+        assert row["n_dup_windows"] == sum(dd == d for dd, _ in dups)
+    assert out["text_dedup"][0] == "abcdefghij"  # first copy survives
+    assert out["text_dedup"][2] == "short"       # sub-W docs untouched
