@@ -6653,6 +6653,105 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM ranked WHERE rn = 1 GROUP BY doc_id"""
 
 
+BM25_VOCAB_BROADCAST = TFIDF_VOCAB_BROADCAST
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-3 Okapi BM25 terms per document (k1=1.2, b=0.75), INTEGER-EXACT:
+    every floor in the length-normalized score is explicit and replayed
+    bit-for-bit by the SQL oracle (stages/text.py BM25 block for the exact
+    e3/e6 scaling chain; the monotone log is dropped from the idf ratio so
+    the ranking survives with no float in the comparison). Same dual plan
+    as tfidf_topk: Zipf-sublinear (vocab, df) folds to the driver and
+    broadcasts below BM25_VOCAB_BROADCAST — one fused per-block
+    score+topk pass, ZERO extra shuffles (dl is doc-local) — above it the
+    tf rows hash-join the df table and top-k runs per doc-id hash
+    partition. Corpus stats (N docs, L total tokens) are two driver
+    scalars. Both paths agree in tests via a forced threshold."""
+    import os as _os
+
+    import ray
+
+    from ..config import parquet_rows
+    from ..stages.text import BM25_K, bm25_topk_batch
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = parquet_rows(path) if _os.path.exists(path) else \
+        read(sf_dir, "documents", ["doc_id"]).count()
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    dfs = grouped_sums(
+        ds.map_batches(T.vocab_df_partial_batch, batch_format="pyarrow"),
+        ["token"], ["df", "tf"])
+    if dfs.count() > BM25_VOCAB_BROADCAST:  # pragma: no cover - scale path
+        total_tokens = int(dfs.sum("tf"))
+        return _bm25_join_path(ds, dfs, n_docs, total_tokens, sf_dir)
+    vt = _fold_blocks(dfs).sort_by([("token", "ascending")])
+    total_tokens = int(pc.sum(vt.column("tf")).as_py())
+    vocab_ref = ray.put(vt.column("token").combine_chunks())
+    df_ref = ray.put(vt.column("df").to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+
+    def score(b: pa.Table) -> pa.Table:
+        return bm25_topk_batch(b, ray.get(vocab_ref), ray.get(df_ref),
+                               n_docs, total_tokens, BM25_K)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _bm25_join_path(ds, dfs, n_docs: int, total_tokens: int, sf_dir: str):
+    """Corpus-scale BM25: hash join tf rows x df table on token, then
+    per-doc top-k inside doc-id hash partitions (a doc's rows co-locate, so
+    its dl = partition-local tf sum is exact)."""
+    from functools import partial as _p
+
+    from ..stages.focal import add_key_partition
+    from ..stages.text import BM25_K, bm25_partition_topk
+
+    jp = _nparts_for(sf_dir, "documents")
+    tf_rows = ds.map_batches(T.doc_tf_batch, batch_format="pyarrow")
+    j = tf_rows.join(dfs.select_columns(["token", "df"]), join_type="inner",
+                     num_partitions=jp, on=("token",))
+    return j.map_batches(_p(add_key_partition, key_cols=["doc_id"],
+                            num_partitions=jp), batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bm25_partition_topk(
+                g.select(["doc_id", "token", "tf", "df"]),
+                n_docs, total_tokens, BM25_K),
+            batch_format="pyarrow")
+
+
+def sql_bm25_topk() -> str:
+    from ..stages.text import BM25_K
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+per AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM per GROUP BY 1),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM per GROUP BY 1),
+g AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+             (SELECT CAST(sum(tf) AS BIGINT) FROM per) AS l),
+sc AS (
+  SELECT p.doc_id, p.token,
+         (((1000 * (2 * (g.n - d.df) + 1)) // (2 * d.df + 1))
+          * ((CAST(1000000 AS BIGINT) * 2200 * p.tf)
+             // (1000 * p.tf + 300
+                 + (900 * ((1000 * dl.dl * g.n) // g.l)) // 1000))) // 1000
+           AS score_e6
+  FROM per p JOIN df d ON d.token = p.token
+             JOIN dl ON dl.doc_id = p.doc_id, g),
+r AS (
+  SELECT doc_id, token, score_e6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_e6 DESC, token) AS rn
+  FROM sc)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rank,
+       token, CAST(score_e6 AS BIGINT) AS score_e6
+FROM r WHERE rn <= {BM25_K}"""
+
+
 SUBSTR_W = 40  # ExactSubstr min repeated-substring length, chars
 
 
@@ -6727,6 +6826,7 @@ QUERIES: dict[str, tuple] = {
     # driver CORRECTNESS row in any prior round enter HERE, ahead of
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "bm25_topk": (q_bm25_topk, sql_bm25_topk),
     "exact_substring_dedup": (q_exact_substring_dedup, sql_exact_substring_dedup),
     "stac_or_pushdown": (q_stac_or_pushdown, sql_stac_or_pushdown),
     "getmap_requests_crc": (q_getmap_requests_crc, sql_getmap_requests_crc),

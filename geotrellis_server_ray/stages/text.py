@@ -297,3 +297,115 @@ def tfidf_topk_batch(batch: pa.Table, vocab: pa.Array, df: np.ndarray,
                      "rank": pa.array(rank[keep]),
                      "token": batch.column("token").take(pa.array(sel)),
                      "score_e6": pa.array(score[sel])})
+
+
+# ------------------------------------------------------------- BM25 top-k
+#
+# Okapi BM25 (Robertson et al., TREC-3) with k1 = 1.2, b = 0.75, made
+# INTEGER-EXACT so the SQL oracle replays every floor bit-for-bit (the
+# house tfidf_topk contract, extended to a length-normalized scorer):
+#
+#   r_e3      = (1000 * dl * N) // L            # dl / avgdl, milli-units
+#   den_e3    = 1000*tf + 300 + (900 * r_e3) // 1000
+#                 # 1000 * (tf + k1*(1-b) + k1*b*dl/avgdl)
+#   tfp_e6    = (1_000_000 * 2200 * tf) // den_e3   # (k1+1)*tf / den, e6
+#   idf_e3    = (1000 * (2*(N - df) + 1)) // (2*df + 1)
+#                 # (N - df + 0.5)/(df + 0.5) in milli-units — the Okapi
+#                 # idf ratio, log dropped: log is monotone, so within a
+#                 # fixed corpus the RANKING is preserved and the score
+#                 # stays in exact integer arithmetic (no float log whose
+#                 # ULPs could diverge between numpy and the oracle)
+#   score_e6  = (idf_e3 * tfp_e6) // 1000
+#
+# All quantities are non-negative so floor == trunc in both engines.
+# int64 headroom: tfp_e6 <= 2.2e6; idf_e3 <= 1000*(2N+1) — the product
+# overflows only past N ~ 4e9 documents per corpus partition-set, at which
+# point idf_e3 should move to e0 scaling (documented, not gated).
+
+BM25_K = 3
+
+
+def _bm25_scores(doc: np.ndarray, tf: np.ndarray, df: np.ndarray,
+                 dl: np.ndarray, n_docs: int, total_tokens: int) -> np.ndarray:
+    """score_e6 per (doc, token, tf) row; all inputs int64, vectorized."""
+    r_e3 = (1000 * dl * np.int64(n_docs)) // np.int64(max(total_tokens, 1))
+    den_e3 = 1000 * tf + 300 + (900 * r_e3) // 1000
+    tfp_e6 = (1_000_000 * 2200 * tf) // den_e3
+    idf_e3 = (1000 * (2 * (np.int64(n_docs) - df) + 1)) // (2 * df + 1)
+    return (idf_e3 * tfp_e6) // 1000
+
+
+def _topk_select(doc: np.ndarray, score: np.ndarray, tie: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row indices, ranks) of the top-k rows per doc: score desc, tie asc.
+    One lexsort + boundary-run rank assignment (shared with tfidf)."""
+    order = np.lexsort((tie, -score, doc))
+    d2 = doc[order]
+    starts = np.flatnonzero(np.concatenate(([True], d2[1:] != d2[:-1])))
+    rank = np.arange(len(d2), dtype=np.int64) - np.repeat(
+        starts, np.diff(np.concatenate((starts, [len(d2)])))) + 1
+    keep = rank <= k
+    return order[keep], rank[keep]
+
+
+def bm25_topk_batch(batch: pa.Table, vocab: pa.Array, df: np.ndarray,
+                    n_docs: int, total_tokens: int, k: int) -> pa.Table:
+    """Top-k BM25 terms per document from raw (doc_id, text) rows against a
+    broadcast SORTED vocabulary + df vector (the tfidf broadcast-path
+    shape). dl is doc-local (sum of tf), so the whole scorer fuses into one
+    map_batches with zero shuffles."""
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "score_e6": pa.array([], pa.int64())})
+    tfr = doc_tf_batch(batch)
+    if tfr.num_rows == 0:
+        return out_empty
+    pos = pc.index_in(tfr.column("token"), value_set=vocab) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = tfr.column("tf").to_numpy(zero_copy_only=False)
+    doc = tfr.column("doc_id").to_numpy(zero_copy_only=False)
+    # dl per row: segment-sum tf over each doc's contiguous run (doc_tf_batch
+    # emits a doc's rows adjacent by construction of the group_by)
+    uid, inv = np.unique(doc, return_inverse=True)
+    dls = np.zeros(len(uid), np.int64)
+    np.add.at(dls, inv, tf)
+    score = _bm25_scores(doc, tf, df[pos], dls[inv], n_docs, total_tokens)
+    sel, rank = _topk_select(doc, score, pos, k)
+    return pa.table({"doc_id": pa.array(doc[sel]),
+                     "rank": pa.array(rank),
+                     "token": tfr.column("token").take(pa.array(sel)),
+                     "score_e6": pa.array(score[sel])})
+
+
+def bm25_partition_topk(g: pa.Table, n_docs: int, total_tokens: int,
+                        k: int) -> pa.Table:
+    """Join-path finalizer: one doc-id hash partition of
+    (doc_id, token, tf, df) rows (tf rows inner-joined to the global df
+    table — every token matches, so a doc's full length is present) ->
+    top-k BM25 rows. Tie-break by token byte order via a partition-local
+    sorted-unique position (byte order is global, so local positions rank
+    identically to global ones)."""
+    if g.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string()),
+                         "score_e6": pa.array([], pa.int64())})
+    tok = g.column("token")
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    vocab = pc.unique(tok).sort()
+    pos = pc.index_in(tok, value_set=vocab) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = g.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    df = g.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    uid, inv = np.unique(doc, return_inverse=True)
+    dls = np.zeros(len(uid), np.int64)
+    np.add.at(dls, inv, tf)
+    score = _bm25_scores(doc, tf, df, dls[inv], n_docs, total_tokens)
+    sel, rank = _topk_select(doc, score, pos, k)
+    return pa.table({"doc_id": pa.array(doc[sel]),
+                     "rank": pa.array(rank),
+                     "token": tok.take(pa.array(sel)),
+                     "score_e6": pa.array(score[sel])})

@@ -405,3 +405,41 @@ def test_kmv_tagged_merge_flags_survive_block_splits():
     merged = kmv_tagged_merge(pa.concat_tables(parts))
     assert merged.equals(whole)
     assert kmv_tagged_merge(merged).equals(whole)  # idempotent
+
+
+def test_bm25_paths_agree_and_hand_scores(ray_session, monkeypatch):
+    """The BM25 broadcast path and the corpus-scale join path emit
+    identical top-k rows (forced via the vocab threshold), and the
+    integer-exact score chain matches a hand replay of the spec'd floors
+    on a tiny corpus."""
+    import numpy as np
+    import pyarrow as pa
+
+    import geotrellis_server_ray.pipelines.registry as R
+    from geotrellis_server_ray.stages.text import _bm25_scores
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_id", "rank"]
+    a = R.q_bm25_topk(sf).to_pandas().sort_values(cols).reset_index(drop=True)
+    monkeypatch.setattr(R, "BM25_VOCAB_BROADCAST", 0)
+    b = R.q_bm25_topk(sf).to_pandas().sort_values(cols).reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b)
+
+    # hand replay: docs "a a b" (dl=3) and "a c" (dl=2); N=2, L=5
+    # token a: df=2; b/c: df=1
+    def hand(tf, df, dl, n, L):
+        r_e3 = (1000 * dl * n) // L
+        den_e3 = 1000 * tf + 300 + (900 * r_e3) // 1000
+        tfp_e6 = (1_000_000 * 2200 * tf) // den_e3
+        idf_e3 = (1000 * (2 * (n - df) + 1)) // (2 * df + 1)
+        return (idf_e3 * tfp_e6) // 1000
+
+    doc = np.array([0, 0, 1, 1], np.int64)
+    tf = np.array([2, 1, 1, 1], np.int64)       # a, b | a, c
+    df = np.array([2, 1, 1, 1], np.int64)
+    dl = np.array([3, 3, 2, 2], np.int64)
+    got = _bm25_scores(doc, tf, df, dl, 2, 5)
+    want = [hand(*t, 2, 5) for t in zip(tf.tolist(), df.tolist(), dl.tolist())]
+    assert got.tolist() == want
+    # rarer token in the shorter doc outranks the common token
+    assert hand(1, 1, 2, 2, 5) > hand(1, 2, 2, 2, 5)
