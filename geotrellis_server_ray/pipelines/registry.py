@@ -6653,6 +6653,62 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM ranked WHERE rn = 1 GROUP BY doc_id"""
 
 
+OUTER_EARLY_END = "1996-01-01"   # first-year activity window
+OUTER_LATE_START = "2001-01-01"  # final-year activity window
+
+
+def q_customer_activity_outer(sf_dir: str):
+    """FULL OUTER join through the native hash-shuffle exchange join — the
+    one engine-join family member not yet exercised (null-extending outer
+    semantics on BOTH sides; inner/semi/anti/asof/interval/broadcast are
+    covered elsewhere). Per-customer order counts in two disjoint date
+    windows (before {EARLY_END} vs from {LATE_START}), each pre-aggregated
+    per block so the exchange carries O(customers) rows, then
+    Dataset.join(full_outer) on the coalesced key: early-only customers
+    null-extend n_late, late-only null-extend n_early (489 / 200 such
+    rows at sf0.01 — both classes exercised). Scale shape: two combiner
+    aggregates + one keyed exchange join, no broadcast, no driver state."""
+    from ..pipelines.relational import grouped_sums as _gs
+
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    early_end = np.datetime64(OUTER_EARLY_END, "us")
+    late_start = np.datetime64(OUTER_LATE_START, "us")
+
+    def window(b: pa.Table, lo, hi, out: str) -> pa.Table:
+        d = b.column("o_orderdate")
+        m = pc.and_(pc.greater_equal(d, pa.scalar(lo)),
+                    pc.less(d, pa.scalar(hi))) if lo is not None else \
+            pc.less(d, pa.scalar(hi))
+        t = b.filter(m)
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         out: pa.array(np.ones(len(t), np.int64))})
+
+    jp = _nparts_for(sf_dir, "orders")
+    early = _gs(ds.map_batches(
+        lambda b: window(b, None, early_end, "n_early"),
+        batch_format="pyarrow"), ["o_custkey"], ["n_early"])
+    late = _gs(ds.map_batches(
+        lambda b: window(b, late_start, np.datetime64("9999-01-01", "us"),
+                         "n_late"),
+        batch_format="pyarrow"), ["o_custkey"], ["n_late"])
+    out = early.join(late, join_type="full_outer", num_partitions=jp,
+                     on=("o_custkey",))
+    return _cast_cols(out, {"o_custkey": I64, "n_early": I64, "n_late": I64})
+
+
+def sql_customer_activity_outer() -> str:
+    return f"""
+WITH e AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_early
+  FROM orders WHERE o_orderdate < TIMESTAMP '{OUTER_EARLY_END}' GROUP BY 1),
+l AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_late
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{OUTER_LATE_START}' GROUP BY 1)
+SELECT CAST(COALESCE(e.o_custkey, l.o_custkey) AS BIGINT) AS o_custkey,
+       e.n_early, l.n_late
+FROM e FULL JOIN l ON e.o_custkey = l.o_custkey"""
+
+
 BM25_VOCAB_BROADCAST = TFIDF_VOCAB_BROADCAST
 
 
@@ -6826,6 +6882,7 @@ QUERIES: dict[str, tuple] = {
     # driver CORRECTNESS row in any prior round enter HERE, ahead of
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "customer_activity_outer": (q_customer_activity_outer, sql_customer_activity_outer),
     "bm25_topk": (q_bm25_topk, sql_bm25_topk),
     "exact_substring_dedup": (q_exact_substring_dedup, sql_exact_substring_dedup),
     "stac_or_pushdown": (q_stac_or_pushdown, sql_stac_or_pushdown),
