@@ -47,8 +47,12 @@ def _consume(res) -> int:
 def run_bench() -> dict:
     import ray
 
+    # log_to_driver=False: raylet/worker warnings otherwise land on STDOUT
+    # asynchronously and can trail the final JSON metric line out of the
+    # driver's 2000-byte tail window (the BENCH parsed:null failure mode)
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     import ray.data as rd
 
     ctx = rd.DataContext.get_current()
@@ -127,7 +131,8 @@ def run_query_child(name: str) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
@@ -199,7 +204,8 @@ def run_cc() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
@@ -265,7 +271,8 @@ def run_interval_scale() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
@@ -359,7 +366,8 @@ def run_text_scale() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False

@@ -231,6 +231,72 @@ SELECT {xe} AS x, {ye} AS y, CAST(count(*) AS BIGINT) AS n_spans
 FROM spans_flat WHERE is_media GROUP BY 1, 2"""
 
 
+def q_pyramid_rollup(sf_dir: str):
+    """Tile-pyramid build z8 -> z4: per-tile span counts at the base zoom
+    rolled up parent-by-parent (parent key = (x >> s, y >> s) — the WMTS
+    TileMatrix level ladder the reference serves,
+    ogc/src/main/scala/geotrellis/server/ogc/wmts/GeotrellisTileMatrix.scala:30-49;
+    zoom-level selection over the same ladder is rastersource.select_overview).
+
+    Scale shape: ONE corpus-proportional exchange builds the base level;
+    everything above it operates on GRID-bounded rows (<= 4^z tiles worldwide
+    no matter the corpus size), so the rollup cost is corpus-independent. The
+    base level is materialized once (bounded by grid size, not data) so the
+    per-level aggregations do not re-scan the corpus; counts are associative,
+    so each level can fold the base directly (x >> s) — the level-by-level
+    chain is only required for non-associative pyramid ops (raster resample).
+    """
+    ds = geo.anchored_spans(sf_dir, zoom=8, cell_level=8)
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "z": pa.array(np.full(len(b), 8, dtype=np.int64)),
+            "x": pc.cast(b.column("x"), I64),
+            "y": pc.cast(b.column("y"), I64),
+            "n_spans": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+
+    base = grouped_sums(ds.map_batches(ones, batch_format="pyarrow"),
+                        ["z", "x", "y"], ["n_spans"], small_key_space=True)
+    base = _cast_cols(base, {"n_spans": I64}).materialize()  # <= 4^8 rows
+
+    def up(b: pa.Table, z: int) -> pa.Table:
+        s = 8 - z
+        x = b.column("x").to_numpy(zero_copy_only=False) >> s
+        y = b.column("y").to_numpy(zero_copy_only=False) >> s
+        return pa.table({
+            "z": pa.array(np.full(len(b), z, dtype=np.int64)),
+            "x": pa.array(x), "y": pa.array(y),
+            "n_spans": b.column("n_spans"),
+        })
+
+    levels = [
+        _cast_cols(
+            grouped_sums(base.map_batches(partial(up, z=z), batch_format="pyarrow"),
+                         ["z", "x", "y"], ["n_spans"], small_key_space=True),
+            {"n_spans": I64},
+        )
+        for z in (7, 6, 5, 4)
+    ]
+    return base.union(*levels)
+
+
+def sql_pyramid_rollup() -> str:
+    xe, ye = _tile_xy_sql(8)
+    lvls = "\n  UNION ALL ".join(
+        f"SELECT {z} AS z, x // {1 << (8 - z)} AS x, y // {1 << (8 - z)} AS y,"
+        f" sum(n) AS n_spans FROM t8 GROUP BY 2, 3"
+        for z in (7, 6, 5, 4)
+    )
+    return f"""{SPANS}
+, t8 AS (SELECT {xe} AS x, {ye} AS y, count(*) AS n
+         FROM spans_flat WHERE is_media GROUP BY 1, 2)
+SELECT CAST(z AS BIGINT) AS z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(n_spans AS BIGINT) AS n_spans
+FROM (SELECT 8 AS z, x, y, n AS n_spans FROM t8
+  UNION ALL {lvls})"""
+
+
 # ------------------------------------------------------- relational operators
 
 def q_q1_pricing(sf_dir: str):
@@ -5650,21 +5716,23 @@ def _sql_xorshift(ref: str, s: int) -> str:
 
 
 def _sql_splitmix64_ctes(key_expr: str, from_clause: str,
-                         prefix: str = "") -> str:
+                         prefix: str = "", carry: str = "") -> str:
     """CTE chain {prefix}z0..{prefix}h replaying stages/sketch.mix64
     (splitmix64) over ``key_expr`` rows of ``from_clause``; the final CTE is
     {prefix}h(v), v in [0, 2^64). ``prefix`` lets two hash chains coexist in
-    one query (the tagged-KMV intersection oracle)."""
+    one query (the tagged-KMV intersection oracle). ``carry`` threads extra
+    columns (comma-terminated, e.g. ``"doc_id, n_chars, "``) through every
+    stage for consumers that need the hash NEXT TO its source row."""
     from ..stages.sketch import SM_GAMMA, SM_M1, SM_M2
 
-    xorshift, mulmod, p = _sql_xorshift, _sql_mulmod, prefix
+    xorshift, mulmod, p, c = _sql_xorshift, _sql_mulmod, prefix, carry
     return f"""{p}z0 AS (
-  SELECT (CAST({key_expr} AS HUGEINT) + {SM_GAMMA}) % {_M64} AS v FROM {from_clause}),
-{p}z1 AS (SELECT {xorshift('v', 30)} AS v FROM {p}z0),
-{p}z2 AS (SELECT {mulmod('v', SM_M1)} AS v FROM {p}z1),
-{p}z3 AS (SELECT {xorshift('v', 27)} AS v FROM {p}z2),
-{p}z4 AS (SELECT {mulmod('v', SM_M2)} AS v FROM {p}z3),
-{p}h AS (SELECT {xorshift('v', 31)} AS v FROM {p}z4)"""
+  SELECT {c}(CAST({key_expr} AS HUGEINT) + {SM_GAMMA}) % {_M64} AS v FROM {from_clause}),
+{p}z1 AS (SELECT {c}{xorshift('v', 30)} AS v FROM {p}z0),
+{p}z2 AS (SELECT {c}{mulmod('v', SM_M1)} AS v FROM {p}z1),
+{p}z3 AS (SELECT {c}{xorshift('v', 27)} AS v FROM {p}z2),
+{p}z4 AS (SELECT {c}{mulmod('v', SM_M2)} AS v FROM {p}z3),
+{p}h AS (SELECT {c}{xorshift('v', 31)} AS v FROM {p}z4)"""
 
 
 def sql_hll_registers() -> str:
@@ -6882,6 +6950,7 @@ QUERIES: dict[str, tuple] = {
     # driver CORRECTNESS row in any prior round enter HERE, ahead of
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "pyramid_rollup": (q_pyramid_rollup, sql_pyramid_rollup),
     "customer_activity_outer": (q_customer_activity_outer, sql_customer_activity_outer),
     "bm25_topk": (q_bm25_topk, sql_bm25_topk),
     "exact_substring_dedup": (q_exact_substring_dedup, sql_exact_substring_dedup),

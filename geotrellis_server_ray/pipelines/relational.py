@@ -22,6 +22,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..rayfix import ensure_join_finalize_patch
+
+# native Dataset.join call sites below (and in every module importing this
+# one) rely on the sparse-exchange guard — see rayfix.py for the mechanism
+ensure_join_finalize_patch()
+
 
 def read(sf_dir: str, table: str, columns: list[str] | None = None,
          proportional_blocks: bool = False):

@@ -24,6 +24,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..rayfix import ensure_join_finalize_patch
+
+ensure_join_finalize_patch()  # sparse-exchange guard for Dataset.join sites
+
 _B = np.uint64(1099511628211)  # FNV prime as polynomial base
 # Precomputed powers of the base mod 2^64: exponents wrap at the table size
 # (strings longer than the table still hash consistently — only consistency

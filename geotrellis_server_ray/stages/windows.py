@@ -16,7 +16,10 @@ from functools import partial
 import numpy as np
 import pyarrow as pa
 
+from ..rayfix import ensure_join_finalize_patch
 from .focal import add_key_partition
+
+ensure_join_finalize_patch()  # sparse-exchange guard for Dataset.join sites
 
 
 def _ts_us(col) -> np.ndarray:
