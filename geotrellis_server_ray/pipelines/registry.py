@@ -3952,6 +3952,117 @@ SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
 FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)"""
 
 
+def q_ntile_windows(sf_dir: str):
+    """NTILE(4) / percent_rank / cume_dist per key stream — the rank-family
+    windows the engine did not cover yet (row_number/rank live in
+    lag_rank_events and top_parts_per_brand). Ordering is made UNIQUE
+    ((value, event_id)) so rank == row_number and the three functions are
+    tie-free on both engines; percent_rank/cume_dist are single IEEE
+    divisions of exact integers, bit-stable cross-engine.
+
+    Scale shape: identical exchange to lag_rank_events — hash-partition by
+    key, ONE vectorized lexsort pass per partition computes every key's
+    ranks; no global sort."""
+    from ..stages.focal import add_key_partition
+
+    K = 4
+
+    def rank_partition(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "event_id": pa.array([], I64),
+                             "ntile4": pa.array([], I64),
+                             "prank": pa.array([], pa.float64()),
+                             "cdist": pa.array([], pa.float64())})
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        codes = np.unique(et, return_inverse=True)[1]
+        order = np.lexsort((eid, val, codes))
+        k, e, c = et[order], eid[order], codes[order]
+        n = len(k)
+        pos = np.arange(n, dtype=np.int64)
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = c[1:] != c[:-1]
+        starts = np.nonzero(newkey)[0]
+        seg = np.cumsum(newkey) - 1
+        rn = pos - starts[seg] + 1
+        cnt = np.diff(np.concatenate([starts, [n]]))[seg]
+        # SQL NTILE: the first (cnt % K) buckets hold (cnt // K + 1) rows
+        m, r = cnt // K, cnt % K
+        big = r * (m + 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nt = np.where(rn <= big, (rn - 1) // np.maximum(m + 1, 1) + 1,
+                          r + np.where(m > 0, (rn - 1 - big) // np.maximum(m, 1), 0) + 1)
+            prank = np.where(cnt > 1, (rn - 1).astype(np.float64) / (cnt - 1).astype(np.float64), 0.0)
+        cdist = rn.astype(np.float64) / cnt.astype(np.float64)
+        return pa.table({"event_type": pa.array(k), "event_id": pa.array(e),
+                         "ntile4": pa.array(nt.astype(np.int64)),
+                         "prank": pa.array(prank), "cdist": pa.array(cdist)})
+
+    return read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        partial(add_key_partition, key_cols=["event_type"],
+                num_partitions=_nparts_for(sf_dir, "events")),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(rank_partition, batch_format="pyarrow")
+
+
+def sql_ntile_windows() -> str:
+    return """
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id,
+  CAST(ntile(4) OVER w AS BIGINT) AS ntile4,
+  percent_rank() OVER w AS prank,
+  cume_dist() OVER w AS cdist
+FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"""
+
+
+LATE_WIN_US = 3_600_000_000          # 1h tumbling event-time windows
+LATE_MAX_DELAY_US = 600_000_000      # synthetic arrival delay in [0, 10min)
+LATE_GRACE_US = 300_000_000          # watermark allowance past window end
+
+
+def q_late_events(sf_dir: str):
+    """Watermark / late-data accounting: per 1-hour event-time window, how
+    many events arrive AFTER the window's watermark (window end + 5-minute
+    grace). Arrival time is event time plus a deterministic synthetic
+    transport delay (splitmix64(event_id) mod 10 min) — the engine is batch,
+    so the stream's arrival process is replayed exactly rather than
+    observed; the accounting kernel (assign window, compare against
+    watermark, count) is the piece a streaming ingest would reuse.
+
+    Scale shape: pure map + combiner groupby on the window key — the
+    events_hourly exchange; no sort, no join."""
+    from ..stages.sketch import mix64
+
+    ds = read(sf_dir, "events", ["event_id", "ts"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        delay = (mix64(eid) % np.uint64(LATE_MAX_DELAY_US)).astype(np.int64)
+        ws = t - t % LATE_WIN_US
+        late = (t + delay) > (ws + LATE_WIN_US + LATE_GRACE_US)
+        return pa.table({"ws": pa.array(ws),
+                         "n_late": pa.array(late.astype(np.int64))})
+
+    out = grouped_sums(ds.map_batches(tag, batch_format="pyarrow"),
+                       ["ws"], ["n_late"], count_as="n_events")
+    return _cast_cols(out, {"ws": I64, "n_late": I64, "n_events": I64})
+
+
+def sql_late_events() -> str:
+    ctes = _sql_splitmix64_ctes(
+        "event_id", "(SELECT epoch_us(ts) AS t, event_id FROM events)",
+        carry="t, ")
+    return f"""
+WITH {ctes},
+a AS (SELECT t, t - t % {LATE_WIN_US} AS ws, CAST(v % {LATE_MAX_DELAY_US} AS BIGINT) AS delay FROM h)
+SELECT CAST(ws AS BIGINT) AS ws,
+       CAST(sum(CASE WHEN t + delay > ws + {LATE_WIN_US + LATE_GRACE_US} THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM a GROUP BY 1"""
+
+
 # ---------------------------------------------------- stream-shaped windows
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -5585,6 +5696,120 @@ WHERE (CAST(doc_id AS HUGEINT) * {C} % {_M64}) // {1 << 33}
       < (CAST({STRAT_CAP} AS HUGEINT) * {1 << 31}) // cnt"""
 
 
+WS_K = 100
+
+
+def q_weighted_sample(sf_dir: str):
+    """Sequential Poisson sampling (Ohlsson 1998, the πps workhorse of
+    official statistics): a deterministic weight-proportional sample WITHOUT
+    replacement — priority = h(doc_id) / weight, keep the K smallest. The
+    priority is a single IEEE division of two integer-exact doubles
+    (splitmix64 hash, byte-length weight), so the engine and the SQL oracle
+    order identically bit-for-bit — unlike exponential clocks (-ln(u)/w)
+    there is no transcendental whose rounding could differ across libms.
+
+    Scale shape: combiner top-k (the top_orders plan) — every block emits
+    its own K best rows, the exchange carries K x blocks rows, one
+    coalesced finalize takes the global K. No global sort, no corpus
+    materialization; ties at the boundary break on doc_id on both sides.
+    Extends the engine's deterministic-sampling family (quality_filter's
+    1-in-N multiplicative hash, stratified_sample's per-stratum caps) with
+    the weighted variant a token-budget curation pass needs (sample docs
+    proportional to byte cost). Reference-side anchor: the sampled-eval
+    family (functions/sampling.py, LayerHistogramSpec corner windows)."""
+    from ..stages.sketch import mix64
+
+    def part(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        w = b.column("n_chars").to_numpy(zero_copy_only=False)
+        u = mix64(ids.astype(np.uint64)).astype(np.float64)
+        pri = u / w.astype(np.float64)
+        if len(ids) > WS_K:
+            sel = np.argpartition(pri, WS_K - 1)[:WS_K]
+        else:
+            sel = np.arange(len(ids))
+        return pa.table({"doc_id": pa.array(ids[sel]),
+                         "n_chars": pa.array(w[sel]),
+                         "pri": pa.array(pri[sel])})
+
+    ds = read(sf_dir, "documents", ["doc_id", "n_chars"]) \
+        .map_batches(part, batch_format="pyarrow")
+
+    def final(b: pa.Table) -> pa.Table:
+        pri = b.column("pri").to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, pri))[:WS_K]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "n_chars": pa.array(b.column("n_chars").to_numpy(zero_copy_only=False)[order]),
+                         "pri": pa.array(pri[order])})
+
+    return _cast_cols(ds.repartition(1).map_batches(final, batch_format="pyarrow"),
+                      {"doc_id": I64, "n_chars": I64})
+
+
+def sql_weighted_sample() -> str:
+    ctes = _sql_splitmix64_ctes("doc_id", "documents", carry="doc_id, n_chars, ")
+    return f"""
+WITH {ctes}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(v AS DOUBLE) / CAST(n_chars AS DOUBLE) AS pri
+FROM h ORDER BY pri, doc_id LIMIT {WS_K}"""
+
+
+def q_copurchase_triangles(sf_dir: str):
+    """Triangle counting on the co-purchase graph (parts sharing an order),
+    with degree orientation (Schank & Wagner 2005; Suri & Vassilvitskii
+    WWW'11 MapReduce form — see stages/graph.py). Per-node triangle
+    participation counts: each triangle increments its three corners.
+
+    Scale shape: co-occurrence pair generation is bounded BY THE SCHEMA
+    (TPC-H orders hold <= 7 lineitems -> <= 21 pairs/order) and runs as
+    hash-partition + one vectorized call per partition; the wedge stage's
+    emission is bounded by the orientation (out-degree <= O(sqrt(2m)) under
+    the (degree, id) total order), which defuses celebrity-node skew
+    structurally instead of by salting. Joins the engine's graph family
+    (pagerank, connected components)."""
+    from ..stages.focal import add_key_partition
+    from ..stages.graph import order_part_pairs, triangle_node_counts
+
+    jp = _nparts_for(sf_dir, "lineitem")
+    li = read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    op = grouped_sums(li, ["l_orderkey", "l_partkey"], [], count_as="n")
+    op = op.map_batches(lambda b: b.select(["l_orderkey", "l_partkey"]),
+                        batch_format="pyarrow")
+    pairs = op.map_batches(
+        partial(add_key_partition, key_cols=["l_orderkey"], num_partitions=jp),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(
+        partial(order_part_pairs, seg_col="l_orderkey", item_col="l_partkey"),
+        batch_format="pyarrow")
+    edges = grouped_sums(pairs, ["a", "b"], [], count_as="n") \
+        .map_batches(lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+    return _cast_cols(triangle_node_counts(edges, jp),
+                      {"node": I64, "n_tri": I64})
+
+
+def sql_copurchase_triangles() -> str:
+    return """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) GROUP BY 1),
+ke AS (SELECT a, b, da.d * 4294967296 + a AS ka, db.d * 4294967296 + b AS kb
+       FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+oe AS (SELECT CASE WHEN ka < kb THEN a ELSE b END AS u,
+              CASE WHEN ka < kb THEN b ELSE a END AS v,
+              CASE WHEN ka < kb THEN kb ELSE ka END AS kv
+       FROM ke),
+tri AS (SELECT w1.u AS c1, w1.v AS c2, w2.v AS c3
+        FROM oe w1 JOIN oe w2 ON w1.u = w2.u AND w1.kv < w2.kv
+        JOIN oe e3 ON e3.u = w1.v AND e3.v = w2.v)
+SELECT CAST(n AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_tri
+FROM (SELECT c1 AS n FROM tri UNION ALL SELECT c2 FROM tri
+      UNION ALL SELECT c3 FROM tri)
+GROUP BY 1"""
+
+
 KM_K, KM_ITERS = 8, 3
 
 
@@ -6951,6 +7176,10 @@ QUERIES: dict[str, tuple] = {
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "pyramid_rollup": (q_pyramid_rollup, sql_pyramid_rollup),
+    "weighted_sample": (q_weighted_sample, sql_weighted_sample),
+    "copurchase_triangles": (q_copurchase_triangles, sql_copurchase_triangles),
+    "ntile_windows": (q_ntile_windows, sql_ntile_windows),
+    "late_events": (q_late_events, sql_late_events),
     "customer_activity_outer": (q_customer_activity_outer, sql_customer_activity_outer),
     "bm25_topk": (q_bm25_topk, sql_bm25_topk),
     "exact_substring_dedup": (q_exact_substring_dedup, sql_exact_substring_dedup),
