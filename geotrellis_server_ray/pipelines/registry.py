@@ -1368,6 +1368,96 @@ SELECT layer_name, feature_id,
 FROM cells GROUP BY 1, 2, 3, 4"""
 
 
+LR_LEVEL = 10
+
+
+def q_line_rasterize(sf_dir: str):
+    """Polyline rasterization (the LINE half of the geotrellis Rasterizer
+    the zone queries burn rectangles with): each document's media-span
+    trajectory (consecutive geo anchors in span order) drawn as an integer
+    Bresenham line on the level-10 cell grid, output = per-cell visit
+    counts. The Bresenham minor-axis offset has the closed form
+    (2*i*minor + major) // (2*major), so step generation is VECTORIZED
+    (repeat + cumsum, no per-step Python loop) and the oracle replays it
+    with generate_series + the same floor division — no recursion on either
+    side.
+
+    Scale shape: segments partition by doc hash (trajectories are per-doc
+    local — ONE exchange), emission is path-length-proportional, and the
+    closing cell-count groupby is the standard combiner exchange."""
+    from ..stages.focal import add_key_partition
+
+    ds = geo.anchored_spans(sf_dir, zoom=LR_LEVEL, cell_level=LR_LEVEL)
+    ds = ds.map_batches(lambda b: pa.table({
+        "doc_id": b.column("doc_id"), "span_idx": b.column("span_idx"),
+        "x": pc.cast(b.column("x"), I64), "y": pc.cast(b.column("y"), I64)}),
+        batch_format="pyarrow")
+
+    def lines_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table({"x": pa.array([], I64), "y": pa.array([], I64)})
+        if len(t) == 0:
+            return empty
+        codes = np.unique(t.column("doc_id").to_numpy(zero_copy_only=False),
+                          return_inverse=True)[1]  # doc_id is a STRING key
+        si = t.column("span_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        order = np.lexsort((si, codes))
+        d, x, y = codes[order], x[order], y[order]
+        same = d[1:] == d[:-1]
+        x0, y0 = x[:-1][same], y[:-1][same]
+        x1, y1 = x[1:][same], y[1:][same]
+        if len(x0) == 0:
+            return empty
+        dx, dy = np.abs(x1 - x0), np.abs(y1 - y0)
+        sx, sy = np.sign(x1 - x0), np.sign(y1 - y0)
+        n = np.maximum(dx, dy) + 1
+        total = int(n.sum())
+        seg = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        csum = np.concatenate([[0], np.cumsum(n)])
+        i = np.arange(total, dtype=np.int64) - csum[seg]
+        xmaj = (dx >= dy)[seg]
+        off_xmaj = (2 * i * dy[seg] + dx[seg]) // np.maximum(2 * dx[seg], 1)
+        off_ymaj = (2 * i * dx[seg] + dy[seg]) // np.maximum(2 * dy[seg], 1)
+        gx = np.where(xmaj, x0[seg] + sx[seg] * i, x0[seg] + sx[seg] * off_ymaj)
+        gy = np.where(xmaj, y0[seg] + sy[seg] * off_xmaj, y0[seg] + sy[seg] * i)
+        return pa.table({"x": pa.array(gx), "y": pa.array(gy)})
+
+    cells = ds.map_batches(
+        partial(add_key_partition, key_cols=["doc_id"],
+                num_partitions=_nparts_for(sf_dir, "documents")),
+        batch_format="pyarrow",
+    ).groupby("part").map_groups(lines_partition, batch_format="pyarrow")
+    return _cast_cols(grouped_sums(cells, ["x", "y"], [], count_as="n_visits"),
+                      {"x": I64, "y": I64, "n_visits": I64})
+
+
+def sql_line_rasterize() -> str:
+    xe, ye = _tile_xy_sql(LR_LEVEL)
+    return f"""{SPANS}
+, c AS (SELECT doc_id, span_idx, {xe} AS x, {ye} AS y
+        FROM spans_flat WHERE is_media),
+s AS (SELECT x AS x0, y AS y0,
+             lead(x) OVER (PARTITION BY doc_id ORDER BY span_idx) AS x1,
+             lead(y) OVER (PARTITION BY doc_id ORDER BY span_idx) AS y1
+      FROM c),
+g AS (SELECT x0, y0, abs(x1 - x0) AS dx, abs(y1 - y0) AS dy,
+             CASE WHEN x1 > x0 THEN 1 WHEN x1 < x0 THEN -1 ELSE 0 END AS sx,
+             CASE WHEN y1 > y0 THEN 1 WHEN y1 < y0 THEN -1 ELSE 0 END AS sy
+      FROM s WHERE x1 IS NOT NULL),
+st AS (SELECT g.*, i
+       FROM g, LATERAL unnest(generate_series(0, greatest(dx, dy))) AS u(i)),
+cells AS (SELECT
+    CASE WHEN dx >= dy THEN x0 + sx * i
+         ELSE x0 + sx * ((2 * i * dx + dy) // greatest(2 * dy, 1)) END AS x,
+    CASE WHEN dx >= dy THEN y0 + sy * ((2 * i * dy + dx) // greatest(2 * dx, 1))
+         ELSE y0 + sy * i END AS y
+  FROM st)
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST(count(*) AS BIGINT) AS n_visits
+FROM cells GROUP BY 1, 2"""
+
+
 def q_zonal_burn(sf_dir: str):
     """The full raster<->vector ROUND TRIP of the north rule: vector zones
     -> rasterized burn masks (cell-center rule, shared mask_components
@@ -1413,6 +1503,93 @@ def sql_zonal_burn() -> str:
 SELECT layer_name, feature_id,
        CAST(count(*) AS BIGINT) AS n_cells,
        CAST(sum({_dem_sql('gx', 'gy')}) AS BIGINT) AS dem_sum
+FROM cells GROUP BY 1, 2"""
+
+
+OV_NX, OV_NY = 64, 32
+OV_W, OV_H = 360.0 / OV_NX, 180.0 / OV_NY  # 5.625 deg — exact binary doubles
+
+
+def q_zonal_overlay_weighted(sf_dir: str):
+    """Area-weighted zonal overlay — the PARTIAL-CELL half of polygonal
+    summaries (geotrellis polygonalSummary over a LatLng LayoutDefinition;
+    zonal_burn covers the cell-center whole-cell rule): for every zone
+    feature, the exact rect-x-cell intersection areas on the plate-carree
+    grid, quantized to integer micro-units per cell BEFORE summation (the
+    house float-sum discipline), plus the area-weighted DEM fold.
+
+    All geometry is +-*x/ on integer-derived doubles and flit-replayed rect
+    literals — no transcendentals — so engine and oracle agree bit-for-bit
+    per cell. Features are the dimension-bounded small side; the exchange
+    is the standard small-key-space combiner."""
+    import ray.data as rd
+
+    def expand(b: pa.Table) -> pa.Table:
+        x0 = b.column("x0").to_numpy(zero_copy_only=False)
+        y0 = b.column("y0").to_numpy(zero_copy_only=False)
+        x1 = b.column("x1").to_numpy(zero_copy_only=False)
+        y1 = b.column("y1").to_numpy(zero_copy_only=False)
+        ix0 = np.maximum(np.floor((x0 + 180.0) / OV_W).astype(np.int64), 0)
+        ix1 = np.minimum(np.floor((x1 + 180.0) / OV_W).astype(np.int64), OV_NX - 1)
+        iy0 = np.maximum(np.floor((y0 + 90.0) / OV_H).astype(np.int64), 0)
+        iy1 = np.minimum(np.floor((y1 + 90.0) / OV_H).astype(np.int64), OV_NY - 1)
+        nx = np.maximum(ix1 - ix0 + 1, 0)
+        ny = np.maximum(iy1 - iy0 + 1, 0)
+        n = nx * ny
+        total = int(n.sum())
+        f = np.repeat(np.arange(len(b), dtype=np.int64), n)
+        csum = np.concatenate([[0], np.cumsum(n)])
+        k = np.arange(total, dtype=np.int64) - csum[f]
+        i = ix0[f] + k % np.maximum(nx[f], 1)
+        j = iy0[f] + k // np.maximum(nx[f], 1)
+        wx = np.maximum(0.0, np.minimum(x1[f], (i + 1) * OV_W - 180.0)
+                        - np.maximum(x0[f], i * OV_W - 180.0))
+        wy = np.maximum(0.0, np.minimum(y1[f], (j + 1) * OV_H - 90.0)
+                        - np.maximum(y0[f], j * OV_H - 90.0))
+        au = np.floor(wx * wy / (OV_W * OV_H) * 1e6).astype(np.int64)
+        dem = i * 3 + j * 2 + (i * j) % 7
+        return pa.table({
+            "layer_name": b.column("layer_name").take(pa.array(f)),
+            "feature_id": b.column("feature_id").take(pa.array(f)),
+            "area_units": pa.array(au),
+            "wdem_units": pa.array(au * dem),
+        })
+
+    parts = rd.from_arrow(_zone_feature_table()).map_batches(
+        expand, batch_format="pyarrow")
+    out = grouped_sums(parts, ["layer_name", "feature_id"],
+                       ["area_units", "wdem_units"], count_as="n_cells",
+                       small_key_space=True)
+    return _cast_cols(out, {"feature_id": I64, "area_units": I64,
+                            "wdem_units": I64, "n_cells": I64})
+
+
+def sql_zonal_overlay_weighted() -> str:
+    rows = ", ".join(
+        f"('{ln}', {fid}, {flit(x0)}, {flit(y0)}, {flit(x1)}, {flit(y1)})"
+        for ln, fid, x0, y0, x1, y1 in _zone_rect_rows()
+    )
+    W, H = flit(OV_W), flit(OV_H)
+    area = flit(OV_W * OV_H)
+    return f"""
+WITH f(layer_name, feature_id, x0, y0, x1, y1) AS (VALUES {rows}),
+gx AS (SELECT f.*, i FROM f, LATERAL unnest(generate_series(
+         GREATEST(CAST(floor((x0 + 180.0e0) / {W}) AS BIGINT), 0),
+         LEAST(CAST(floor((x1 + 180.0e0) / {W}) AS BIGINT), {OV_NX - 1}))) AS u(i)),
+gxy AS (SELECT gx.*, j FROM gx, LATERAL unnest(generate_series(
+         GREATEST(CAST(floor((y0 + 90.0e0) / {H}) AS BIGINT), 0),
+         LEAST(CAST(floor((y1 + 90.0e0) / {H}) AS BIGINT), {OV_NY - 1}))) AS v(j)),
+cells AS (SELECT layer_name, feature_id, i, j,
+       CAST(floor(GREATEST(0.0e0, LEAST(x1, (i + 1) * {W} - 180.0e0)
+                                  - GREATEST(x0, i * {W} - 180.0e0))
+                  * GREATEST(0.0e0, LEAST(y1, (j + 1) * {H} - 90.0e0)
+                                    - GREATEST(y0, j * {H} - 90.0e0))
+                  / {area} * 1000000.0e0) AS BIGINT) AS au
+  FROM gxy)
+SELECT layer_name, CAST(feature_id AS BIGINT) AS feature_id,
+       CAST(sum(au) AS BIGINT) AS area_units,
+       CAST(sum(au * (i * 3 + j * 2 + (i * j) % 7)) AS BIGINT) AS wdem_units,
+       CAST(count(*) AS BIGINT) AS n_cells
 FROM cells GROUP BY 1, 2"""
 
 
@@ -7180,6 +7357,8 @@ QUERIES: dict[str, tuple] = {
     "copurchase_triangles": (q_copurchase_triangles, sql_copurchase_triangles),
     "ntile_windows": (q_ntile_windows, sql_ntile_windows),
     "late_events": (q_late_events, sql_late_events),
+    "line_rasterize": (q_line_rasterize, sql_line_rasterize),
+    "zonal_overlay_weighted": (q_zonal_overlay_weighted, sql_zonal_overlay_weighted),
     "customer_activity_outer": (q_customer_activity_outer, sql_customer_activity_outer),
     "bm25_topk": (q_bm25_topk, sql_bm25_topk),
     "exact_substring_dedup": (q_exact_substring_dedup, sql_exact_substring_dedup),
