@@ -534,6 +534,71 @@ def sql_distinct_flags() -> str:
     return "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2"
 
 
+SETOP_A = ("1994-01-01", "1995-01-01")
+SETOP_B = ("1995-01-01", "1996-01-01")
+
+
+def q_customer_set_ops(sf_dir: str):
+    """Bag set operations INTERSECT / EXCEPT / right-EXCEPT over two keyed
+    sets (customers ordering in 1994 vs 1995) in ONE pass: per-block
+    (custkey, in_a, in_b) flag partials, a single flag-OR groupby (max), and
+    a stateless classify map — the kmv_intersection tagged-merge shape
+    applied to exact sets. No join, no second scan; completes the set-op
+    family next to Or-union-with-duplicates (Q6) and distinct (O7).
+
+    Scale: the exchange carries one row per distinct key per block
+    (combiner partials), the classify map is flag arithmetic."""
+    lo_a = pa.scalar(np.datetime64(SETOP_A[0], "us"))
+    hi_a = pa.scalar(np.datetime64(SETOP_A[1], "us"))
+    lo_b = pa.scalar(np.datetime64(SETOP_B[0], "us"))
+    hi_b = pa.scalar(np.datetime64(SETOP_B[1], "us"))
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        in_a = pc.and_(pc.greater_equal(d, lo_a), pc.less(d, hi_a))
+        in_b = pc.and_(pc.greater_equal(d, lo_b), pc.less(d, hi_b))
+        keep = pc.or_(in_a, in_b)
+        t = pa.table({"o_custkey": b.column("o_custkey"),
+                      "in_a": pc.cast(in_a, pa.int64()),
+                      "in_b": pc.cast(in_b, pa.int64())}).filter(keep)
+        g = t.group_by(["o_custkey"]).aggregate([("in_a", "max"), ("in_b", "max")])
+        return g.rename_columns(["o_custkey", "in_a", "in_b"])
+
+    from ray.data.aggregate import Max
+
+    merged = ds.map_batches(flags, batch_format="pyarrow") \
+        .groupby("o_custkey") \
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+
+    def classify(b: pa.Table) -> pa.Table:
+        a = b.column("in_a").to_numpy(zero_copy_only=False).astype(bool)
+        bb = b.column("in_b").to_numpy(zero_copy_only=False).astype(bool)
+        op = np.where(a & bb, "intersect", np.where(a, "a_except_b", "b_except_a"))
+        return pa.table({"o_custkey": pc.cast(b.column("o_custkey"), I64),
+                         "setop": pa.array(op)})
+
+    return merged.map_batches(classify, batch_format="pyarrow")
+
+
+def sql_customer_set_ops() -> str:
+    a0, a1 = SETOP_A
+    b0, b1 = SETOP_B
+    return f"""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= '{a0}' AND o_orderdate < '{a1}'),
+b AS (SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= '{b0}' AND o_orderdate < '{b1}')
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey, 'intersect' AS setop
+FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+UNION ALL
+SELECT CAST(o_custkey AS BIGINT), 'a_except_b'
+FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+UNION ALL
+SELECT CAST(o_custkey AS BIGINT), 'b_except_a'
+FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)"""
+
+
 def q_first_order(sf_dir: str):
     """First-match-wins per key (O4: headOption with deterministic rank) —
     grouped min + count."""
@@ -5666,6 +5731,124 @@ SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS tf
 FROM per GROUP BY token"""
 
 
+PMI_K, PMI_MIN_C = 50, 5
+
+
+def q_pmi_collocations(sf_dir: str):
+    """Collocation extraction: top-K adjacent-bigram pairs by pointwise
+    mutual information, min support c_xy >= PMI_MIN_C. The ranking statistic
+    is the PMI exponential c_xy * N / (c_x * c_y) (the constant bigram-mass
+    factor does not change the order), computed as ONE double expression
+    with the identical op sequence on both engines; ties break on the pair
+    itself.
+
+    Scale shape: per-block bigram/unigram count partials (additive — a doc
+    never spans blocks) -> Zipf-bounded hash exchanges; count attach is two
+    hash joins pair-stream x vocab (the triangles degree-attach pattern);
+    top-K folds per-block partials through one coalesced finalize (the
+    top_orders plan). N is a single driver scalar from a one-row fold."""
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        parent, flat = T._explode_tokens(b)
+        if isinstance(parent, pa.ChunkedArray):
+            parent = parent.combine_chunks()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_xy": pa.array([], I64)})
+        p = parent.to_numpy(zero_copy_only=False)
+        same = pa.array(p[1:] == p[:-1])
+        t = pa.table({"w1": pc.filter(flat.slice(0, n - 1), same),
+                      "w2": pc.filter(flat.slice(1, n - 1), same)})
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": g.column("w1"), "w2": g.column("w2"),
+                         "c_xy": pc.cast(g.column("count_all"), I64)})
+
+    docs = read(sf_dir, "documents", ["text"])
+    big = grouped_sums(docs.map_batches(bigram_partial, batch_format="pyarrow"),
+                       ["w1", "w2"], ["c_xy"])
+    # vocab reused by BOTH count-attach joins and the N fold -> materialize
+    # once (Zipf-bounded rows, spill-backed)
+    uni = grouped_sums(docs.map_batches(T.vocab_df_partial_batch, batch_format="pyarrow"),
+                       ["token"], ["tf"]) \
+        .map_batches(lambda b: pa.table({"token": b.column("token"),
+                                         "c": pc.cast(b.column("tf"), I64)}),
+                     batch_format="pyarrow").materialize()
+    tot = grouped_sums(uni.map_batches(
+        lambda b: pa.table({"k": pa.array(np.zeros(len(b), dtype=np.int64)),
+                            "c": b.column("c")}), batch_format="pyarrow"),
+        ["k"], ["c"], small_key_space=True).take_all()
+    N = float(tot[0]["c"])
+
+    jp = _nparts_for(sf_dir, "documents")
+    j = big.join(uni, join_type="inner", num_partitions=jp,
+                 on=("w1",), right_on=("token",))
+    j = j.map_batches(lambda b: pa.table({
+        "w1": b.column("w1"), "w2": b.column("w2"),
+        "c_xy": b.column("c_xy"), "c_x": b.column("c")}), batch_format="pyarrow")
+    j = j.join(uni, join_type="inner", num_partitions=jp,
+               on=("w2",), right_on=("token",))
+
+    def topk(b: pa.Table) -> pa.Table:
+        c_xy = b.column("c_xy").to_numpy(zero_copy_only=False)
+        keep = c_xy >= PMI_MIN_C
+        b = b.filter(pa.array(keep))
+        if len(b) == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_xy": pa.array([], I64), "c_x": pa.array([], I64),
+                             "c_y": pa.array([], I64),
+                             "score": pa.array([], pa.float64())})
+        c_xy = b.column("c_xy").to_numpy(zero_copy_only=False).astype(np.float64)
+        c_x = b.column("c_x").to_numpy(zero_copy_only=False).astype(np.float64)
+        c_y = b.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = (c_xy * N) / (c_x * c_y)
+        w1 = b.column("w1").to_numpy(zero_copy_only=False)
+        w2 = b.column("w2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1, -s))[:PMI_K]
+        return pa.table({
+            "w1": pa.array(w1[order]), "w2": pa.array(w2[order]),
+            "c_xy": pc.cast(pa.array(b.column("c_xy").to_numpy(zero_copy_only=False)[order]), I64),
+            "c_x": pc.cast(pa.array(b.column("c_x").to_numpy(zero_copy_only=False)[order]), I64),
+            "c_y": pc.cast(pa.array(b.column("c").to_numpy(zero_copy_only=False)[order]), I64),
+            "score": pa.array(s[order]),
+        })
+
+    def final(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        s = b.column("score").to_numpy(zero_copy_only=False)
+        w1 = b.column("w1").to_numpy(zero_copy_only=False)
+        w2 = b.column("w2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w2, w1, -s))[:PMI_K]
+        return b.take(pa.array(order))
+
+    parts = j.map_batches(topk, batch_format="pyarrow")
+    return parts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def sql_pmi_collocations() -> str:
+    return f"""
+WITH fl AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+            FROM documents),
+uni AS (SELECT unnest(l) AS w FROM fl),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+bg AS (SELECT unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS z
+       FROM fl WHERE length(l) >= 2),
+bc AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+n AS (SELECT sum(c) AS N FROM uc)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(a.c AS BIGINT) AS c_x, CAST(b.c AS BIGINT) AS c_y,
+       (CAST(c_xy AS DOUBLE) * CAST(N AS DOUBLE))
+         / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS score
+FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2 CROSS JOIN n
+WHERE c_xy >= {PMI_MIN_C}
+ORDER BY score DESC, w1, w2 LIMIT {PMI_K}"""
+
+
 def q_inverted_index(sf_dir: str):
     """Distributed inverted-index build: token -> (df, comma-joined
     ASCENDING doc-id postings). Block-local distinct (token, doc_id)
@@ -7359,6 +7542,8 @@ QUERIES: dict[str, tuple] = {
     "late_events": (q_late_events, sql_late_events),
     "line_rasterize": (q_line_rasterize, sql_line_rasterize),
     "zonal_overlay_weighted": (q_zonal_overlay_weighted, sql_zonal_overlay_weighted),
+    "pmi_collocations": (q_pmi_collocations, sql_pmi_collocations),
+    "customer_set_ops": (q_customer_set_ops, sql_customer_set_ops),
     "customer_activity_outer": (q_customer_activity_outer, sql_customer_activity_outer),
     "bm25_topk": (q_bm25_topk, sql_bm25_topk),
     "exact_substring_dedup": (q_exact_substring_dedup, sql_exact_substring_dedup),
