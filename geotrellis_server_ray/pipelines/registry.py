@@ -1493,7 +1493,8 @@ def q_line_rasterize(sf_dir: str):
                 num_partitions=_nparts_for(sf_dir, "documents")),
         batch_format="pyarrow",
     ).groupby("part").map_groups(lines_partition, batch_format="pyarrow")
-    return _cast_cols(grouped_sums(cells, ["x", "y"], [], count_as="n_visits"),
+    return _cast_cols(grouped_sums(cells, ["x", "y"], [], count_as="n_visits",
+                                   wide=True),  # cell keys: 4^L space
                       {"x": I64, "y": I64, "n_visits": I64})
 
 
@@ -5769,7 +5770,7 @@ def q_pmi_collocations(sf_dir: str):
 
     docs = read(sf_dir, "documents", ["text"])
     big = grouped_sums(docs.map_batches(bigram_partial, batch_format="pyarrow"),
-                       ["w1", "w2"], ["c_xy"])
+                       ["w1", "w2"], ["c_xy"], wide=True)
     # vocab reused by BOTH count-attach joins and the N fold -> materialize
     # once (Zipf-bounded rows, spill-backed)
     uni = grouped_sums(docs.map_batches(T.vocab_df_partial_batch, batch_format="pyarrow"),
@@ -6116,6 +6117,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
 FROM h ORDER BY pri, doc_id LIMIT {WS_K}"""
 
 
+TRI_MIN_SUP = 2
+
+
 def q_copurchase_triangles(sf_dir: str):
     """Triangle counting on the co-purchase graph (parts sharing an order),
     with degree orientation (Schank & Wagner 2005; Suri & Vassilvitskii
@@ -6134,7 +6138,8 @@ def q_copurchase_triangles(sf_dir: str):
 
     jp = _nparts_for(sf_dir, "lineitem")
     li = read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    op = grouped_sums(li, ["l_orderkey", "l_partkey"], [], count_as="n")
+    op = grouped_sums(li, ["l_orderkey", "l_partkey"], [], count_as="n",
+                      wide=True)  # (order, part) keys are corpus-scaled
     op = op.map_batches(lambda b: b.select(["l_orderkey", "l_partkey"]),
                         batch_format="pyarrow")
     pairs = op.map_batches(
@@ -6143,16 +6148,24 @@ def q_copurchase_triangles(sf_dir: str):
     ).groupby("part").map_groups(
         partial(order_part_pairs, seg_col="l_orderkey", item_col="l_partkey"),
         batch_format="pyarrow")
-    edges = grouped_sums(pairs, ["a", "b"], [], count_as="n") \
-        .map_batches(lambda b: b.select(["a", "b"]), batch_format="pyarrow")
+    # min co-purchase support (the market-basket sparsifier): keep pairs
+    # co-bought in >= TRI_MIN_SUP distinct orders. Without it the co-purchase
+    # graph densifies with corpus size (avg degree ~ m/n) and the wedge stage
+    # legitimately explodes; with it, edge survival needs REPEATED pairings,
+    # which random baskets do not produce — degree stays O(1) at any scale.
+    edges = grouped_sums(pairs, ["a", "b"], [], count_as="n", wide=True) \
+        .map_batches(lambda b: b.filter(
+            pc.greater_equal(b.column("n"), TRI_MIN_SUP)).select(["a", "b"]),
+            batch_format="pyarrow")
     return _cast_cols(triangle_node_counts(edges, jp),
                       {"node": I64, "n_tri": I64})
 
 
 def sql_copurchase_triangles() -> str:
-    return """
+    return f"""
 WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-e0 AS (SELECT DISTINCT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+e0 AS (SELECT x.p AS a, y.p AS b FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+       GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_SUP}),
 deg AS (SELECT n, count(*) AS d
         FROM (SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0) GROUP BY 1),
 ke AS (SELECT a, b, da.d * 4294967296 + a AS ka, db.d * 4294967296 + b AS kb

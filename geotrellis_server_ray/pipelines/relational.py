@@ -60,7 +60,7 @@ def _partial_agg(batch: pa.Table, keys: list[str], sums: list[str], count_as: st
 
 
 def grouped_sums(ds, keys: list[str], sums: list[str], count_as: str | None = None,
-                 small_key_space: bool = False):
+                 small_key_space: bool = False, wide: bool = False):
     """Combiner-style grouped aggregation: pyarrow group_by per batch (partial)
     then a global combine over the partials. The wide exchange sees
     O(keys x blocks) rows, not O(rows).
@@ -69,7 +69,21 @@ def grouped_sums(ds, keys: list[str], sums: list[str], count_as: str | None = No
     (a catalog/enum/zone id — not corpus-scaled): the partials then coalesce
     into one block for a single pyarrow combine instead of paying a Ray
     hash-shuffle aggregate — a combiner tree. Leave it False whenever keys
-    grow with the fact table."""
+    grow with the fact table.
+
+    ``wide=True`` declares the key cardinality HIGH (hundreds of thousands
+    of distinct keys and up — raster cells, co-occurrence pairs, content
+    hashes): Ray's built-in sort-based aggregate walks group boundaries in
+    Python, i.e. O(distinct keys) interpreter steps (~45 s at 400 k keys,
+    measured), so the combine runs as the engine's own exchange instead —
+    hash-partition on the key (add_key_partition), then ONE vectorized
+    pyarrow group_by per partition (the stages/windows.py shape). The Ray
+    groupby this rides on only ever sees the partition ids (= cluster
+    width), never the key space.
+
+    Default (both False): Ray's native groupby — right for Zipf-bounded
+    mid-cardinality keys (vocab, doc ids) where per-key cost is small and
+    the built-in combiner semantics are free."""
     from ray.data.aggregate import Sum
 
     ds = ds.map_batches(
@@ -77,13 +91,23 @@ def grouped_sums(ds, keys: list[str], sums: list[str], count_as: str | None = No
         batch_format="pyarrow",
     )
     out_cols = sums + ([count_as] if count_as else [])
-    if small_key_space:
-        def combine(b: pa.Table) -> pa.Table:
-            g = b.group_by(keys).aggregate([(c, "sum") for c in out_cols])
-            return g.select(keys + [f"{c}_sum" for c in out_cols]) \
-                .rename_columns(keys + out_cols)
 
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate([(c, "sum") for c in out_cols])
+        return g.select(keys + [f"{c}_sum" for c in out_cols]) \
+            .rename_columns(keys + out_cols)
+
+    if small_key_space:
         return ds.repartition(1).map_batches(combine, batch_format="pyarrow")
+    if wide:
+        from ..config import shuffle_partitions
+        from ..stages.focal import add_key_partition
+
+        P = shuffle_partitions()
+        return ds.map_batches(
+            partial(add_key_partition, key_cols=keys, num_partitions=P),
+            batch_format="pyarrow",
+        ).groupby("part").map_groups(combine, batch_format="pyarrow")
     aggs = [Sum(c, alias_name=c) for c in sums]
     if count_as:
         aggs.append(Sum(count_as, alias_name=count_as))

@@ -107,7 +107,7 @@ def triangle_node_counts(edges_ds, num_partitions: int):
         return pa.table({"n": pa.array(np.concatenate([a, bb]))})
 
     deg = grouped_sums(edges.map_batches(flat_ends, batch_format="pyarrow"),
-                       ["n"], [], count_as="d")
+                       ["n"], [], count_as="d", wide=True)  # node-scaled keys
 
     # orientation key k(n) = d * 2^32 + n: a TOTAL order (ties on degree
     # break by id), so every edge orients one way and every triangle is
@@ -152,4 +152,4 @@ def triangle_node_counts(edges_ds, num_partitions: int):
             [_i64(b, "apex"), _i64(b, "wv"), _i64(b, "ww")]))})
 
     return grouped_sums(tri.map_batches(corners, batch_format="pyarrow"),
-                        ["node"], [], count_as="n_tri")
+                        ["node"], [], count_as="n_tri", wide=True)
