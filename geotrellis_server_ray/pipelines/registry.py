@@ -5850,6 +5850,239 @@ WHERE c_xy >= {PMI_MIN_C}
 ORDER BY score DESC, w1, w2 LIMIT {PMI_K}"""
 
 
+LM_SCALE = 1_000_000
+# bigram-model rows above which the model stops broadcasting and the scoring
+# rides hash joins instead (the TFIDF_VOCAB_BROADCAST precedent)
+LM_MODEL_BROADCAST = 5_000_000
+
+
+def _doc_bigram_partial(b: pa.Table) -> pa.Table:
+    """Per-block (doc_id, w1, w2, cnt) adjacent-bigram occurrence counts.
+    Complete per block (a document never spans blocks), so downstream
+    per-doc sums over these rows need no exchange."""
+    parent, flat = T._explode_tokens(b)
+    if isinstance(parent, pa.ChunkedArray):
+        parent = parent.combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    empty = pa.table({"doc_id": pa.array([], I64),
+                      "w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "cnt": pa.array([], I64)})
+    if n < 2:
+        return empty
+    p = parent.to_numpy(zero_copy_only=False)
+    same = pa.array(p[1:] == p[:-1])
+    doc = b.column("doc_id").take(pa.array(p[:-1], type=pa.int64()))
+    t = pa.table({"doc_id": pc.filter(doc, same),
+                  "w1": pc.filter(flat.slice(0, n - 1), same),
+                  "w2": pc.filter(flat.slice(1, n - 1), same)})
+    if len(t) == 0:
+        return empty
+    g = t.group_by(["doc_id", "w1", "w2"]).aggregate([([], "count_all")])
+    return pa.table({"doc_id": g.column("doc_id"), "w1": g.column("w1"),
+                     "w2": g.column("w2"),
+                     "cnt": pc.cast(g.column("count_all"), I64)})
+
+
+def q_bigram_lm_score(sf_dir: str):
+    """Bigram language-model familiarity score per document — the LM-based
+    quality signal of published curation pipelines (CCNet/KenLM perplexity
+    filtering), integer-exact: per bigram occurrence, add-one-smoothed
+    p_e6 = ((c_xy + 1) * 1e6) // (c_x + V); per doc, lm_score_e6 = sum of
+    cnt * p_e6 over its distinct bigrams and n_bigrams = total occurrences.
+    Higher = more corpus-typical text (the monotone analog of low
+    perplexity) with NO float anywhere in the comparison.
+
+    Dual plan on the model size (the tfidf precedent). Model training is
+    always distributed: per-block bigram/unigram count partials (additive —
+    a doc never spans blocks) -> Zipf-bounded hash exchanges. Below
+    LM_MODEL_BROADCAST the trained model folds to the driver and broadcasts
+    (ray.put once); scoring is then ONE fused per-block pass — pc.index_in
+    hash probes against the broadcast key arrays, per-doc sums folded
+    block-locally (a doc never spans blocks), ZERO scoring exchanges. Above
+    it the doc bigram stream hash-joins the model tables on (w1, w2) / w1
+    and one grouped-sum keyed by doc_id finishes — nothing driver-side
+    except the scalar V. Both paths agree in tests via a forced
+    threshold."""
+    import ray
+
+    def corpus_bigram_partial(b: pa.Table) -> pa.Table:
+        d = _doc_bigram_partial(b)
+        g = d.group_by(["w1", "w2"]).aggregate([("cnt", "sum")])
+        return pa.table({"w1": g.column("w1"), "w2": g.column("w2"),
+                         "c_xy": pc.cast(g.column("cnt_sum"), I64)})
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    big = grouped_sums(
+        docs.map_batches(corpus_bigram_partial, batch_format="pyarrow"),
+        ["w1", "w2"], ["c_xy"], wide=True).materialize()
+    uni = grouped_sums(
+        docs.map_batches(T.vocab_df_partial_batch, batch_format="pyarrow"),
+        ["token"], ["tf"]) \
+        .map_batches(lambda b: pa.table({"token": b.column("token"),
+                                         "c_x": pc.cast(b.column("tf"), I64)}),
+                     batch_format="pyarrow").materialize()
+    V = uni.count()
+    if big.count() > LM_MODEL_BROADCAST:  # pragma: no cover - scale path
+        return _bigram_lm_join_path(docs, big, uni, V)
+
+    # integer-encode the model so the per-block probe is a binary search on
+    # int64 pair keys (id1 * V + id2), not a model-sized string hash build:
+    # only the Zipf-bounded vocab is hash-probed per block (pc.index_in)
+    bt = _fold_blocks(big)
+    ut = _fold_blocks(uni)
+    vocab = ut.column("token").combine_chunks()
+    cx_aligned = ut.column("c_x").to_numpy(zero_copy_only=False).astype(np.int64)
+    id1 = pc.index_in(bt.column("w1").combine_chunks(), value_set=vocab) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    id2 = pc.index_in(bt.column("w2").combine_chunks(), value_set=vocab) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    pkey = id1 * V + id2
+    order = np.argsort(pkey, kind="stable")
+    pkey_ref = ray.put(pkey[order])
+    cxy_ref = ray.put(bt.column("c_xy").to_numpy(zero_copy_only=False)
+                      .astype(np.int64)[order])
+    vocab_ref = ray.put(vocab)
+    cx_ref = ray.put(cx_aligned)
+
+    def score_block(b: pa.Table) -> pa.Table:
+        d = _doc_bigram_partial(b)
+        if len(d) == 0:
+            return pa.table({"doc_id": pa.array([], I64),
+                             "n_bigrams": pa.array([], I64),
+                             "lm_score_e6": pa.array([], I64)})
+        voc = ray.get(vocab_ref)
+        ui1 = pc.index_in(d.column("w1").combine_chunks(), value_set=voc) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ui2 = pc.index_in(d.column("w2").combine_chunks(), value_set=voc) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ray.get(pkey_ref), ui1 * V + ui2)
+        c_xy = ray.get(cxy_ref)[pos]
+        c_x = ray.get(cx_ref)[ui1]
+        cnt = d.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        p_e6 = ((c_xy + 1) * LM_SCALE) // (c_x + V)
+        g = pa.table({"doc_id": d.column("doc_id"), "cnt": pa.array(cnt),
+                      "w": pa.array(cnt * p_e6)}) \
+            .group_by(["doc_id"]).aggregate([("cnt", "sum"), ("w", "sum")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "n_bigrams": g.column("cnt_sum"),
+                         "lm_score_e6": g.column("w_sum")})
+
+    return docs.map_batches(score_block, batch_format="pyarrow")
+
+
+def _bigram_lm_join_path(docs, big, uni, V: int):
+    """Corpus-scale bigram LM scoring: hash joins doc-bigram stream x model
+    tables, then one grouped-sum keyed by doc_id."""
+    from ..config import shuffle_partitions
+
+    jp = shuffle_partitions()
+    j = docs.map_batches(_doc_bigram_partial, batch_format="pyarrow") \
+        .join(big, join_type="inner", num_partitions=jp, on=("w1", "w2"))
+    j = j.join(uni, join_type="inner", num_partitions=jp,
+               on=("w1",), right_on=("token",))
+
+    def score(b: pa.Table) -> pa.Table:
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        c_xy = b.column("c_xy").to_numpy(zero_copy_only=False).astype(np.int64)
+        c_x = b.column("c_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        p_e6 = ((c_xy + 1) * LM_SCALE) // (c_x + V)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "cnt": pa.array(cnt),
+                         "w": pa.array(cnt * p_e6)})
+
+    out = grouped_sums(j.map_batches(score, batch_format="pyarrow"),
+                       ["doc_id"], ["cnt", "w"])
+    return out.map_batches(lambda b: pa.table({
+        "doc_id": b.column("doc_id"),
+        "n_bigrams": b.column("cnt"),
+        "lm_score_e6": b.column("w"),
+    }), batch_format="pyarrow")
+
+
+def sql_bigram_lm_score() -> str:
+    return f"""
+WITH fl AS (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+            FROM documents),
+uni AS (SELECT unnest(l) AS w FROM fl),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+v AS (SELECT count(*) AS V FROM uc),
+bg AS (SELECT doc_id, unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS z
+       FROM fl WHERE length(l) >= 2),
+dbg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2, count(*) AS cnt
+        FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS c_xy FROM bg GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(sum(cnt * (((bc.c_xy + 1) * {LM_SCALE}) // (uc.c + v.V))) AS BIGINT)
+         AS lm_score_e6
+FROM dbg JOIN bc ON bc.w1 = dbg.w1 AND bc.w2 = dbg.w2
+JOIN uc ON uc.w = dbg.w1 CROSS JOIN v
+GROUP BY doc_id"""
+
+
+SOURCE_CAP_K = 20
+
+
+def q_source_caps(sf_dir: str):
+    """Per-source document cap — the domain-cap curation rule (keep at most
+    K docs per source/domain so no single crawl dominates a training mix):
+    rank docs within each source by (n_chars DESC, doc_id) and keep
+    rank <= K.
+
+    Scale shape: grouped top-K without an all-to-all over documents —
+    per-block vectorized top-K per source (lexsort + group-head mask, the
+    top_parts_per_brand kernel), then one coalesce of the partial stream
+    (<= K x sources x blocks rows, output-sized) and the same kernel with
+    rank attached. The source key space is dimension-bounded (crawl/feed
+    ids), so the final combine is a combiner fold, not a shuffle."""
+
+    def topk(b: pa.Table, with_rank: bool) -> pa.Table:
+        if len(b) == 0:
+            cols = {"source": pa.array([], pa.string()),
+                    "doc_id": pa.array([], I64), "n_chars": pa.array([], I64)}
+            if with_rank:
+                cols["rank"] = pa.array([], I64)
+            return pa.table(cols)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, -nch, src))
+        ss = src[order]
+        nb = np.ones(len(ss), dtype=bool)
+        nb[1:] = ss[1:] != ss[:-1]
+        starts = np.nonzero(nb)[0]
+        seg = np.cumsum(nb) - 1
+        pos = np.arange(len(ss)) - starts[seg]
+        keep = pos < SOURCE_CAP_K
+        take = pa.array(order[keep], type=pa.int64())
+        out = pa.table({"source": b.column("source").take(take),
+                        "doc_id": b.column("doc_id").take(take),
+                        "n_chars": b.column("n_chars").take(take)})
+        if with_rank:
+            out = out.append_column(
+                "rank", pa.array((pos[keep] + 1).astype(np.int64)))
+        return out
+
+    ds = read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+    partials = ds.map_batches(partial(topk, with_rank=False),
+                              batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        partial(topk, with_rank=True), batch_format="pyarrow")
+
+
+def sql_source_caps() -> str:
+    return f"""
+SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+WHERE rank <= {SOURCE_CAP_K}"""
+
+
 def q_inverted_index(sf_dir: str):
     """Distributed inverted-index build: token -> (df, comma-joined
     ASCENDING doc-id postings). Block-local distinct (token, doc_id)
@@ -7548,6 +7781,8 @@ QUERIES: dict[str, tuple] = {
     # driver CORRECTNESS row in any prior round enter HERE, ahead of
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "bigram_lm_score": (q_bigram_lm_score, sql_bigram_lm_score),
+    "source_caps": (q_source_caps, sql_source_caps),
     "pyramid_rollup": (q_pyramid_rollup, sql_pyramid_rollup),
     "weighted_sample": (q_weighted_sample, sql_weighted_sample),
     "copurchase_triangles": (q_copurchase_triangles, sql_copurchase_triangles),

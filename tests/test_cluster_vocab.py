@@ -173,6 +173,20 @@ def test_tfidf_paths_agree(ray_session, monkeypatch):
     assert len(a) > 0 and a.equals(b)
 
 
+def test_bigram_lm_paths_agree(ray_session, monkeypatch):
+    """The broadcast-model path and the corpus-scale join path emit the
+    identical per-doc LM scores (forced via the model-size threshold)."""
+    import geotrellis_server_ray.pipelines.registry as R
+
+    sf = "/root/testdata/sf0.001"
+    a = R.q_bigram_lm_score(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(R, "LM_MODEL_BROADCAST", 0)
+    b = R.q_bigram_lm_score(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0 and a.equals(b[a.columns])
+
+
 def test_cms_partials_merge_and_guarantee():
     """Count-Min partials are mergeable by cell-wise sum (two half-batches
     sum to the whole-batch sketch) and point estimates never undercount;
