@@ -6083,6 +6083,148 @@ SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank FROM (
 WHERE rank <= {SOURCE_CAP_K}"""
 
 
+_FUNNEL = ("view", "click", "purchase")
+
+
+def q_funnel_stages(sf_dir: str):
+    """Ordered-funnel conversion per user: stage 1 = has a view, stage 2 =
+    has a click STRICTLY AFTER the first view, stage 3 = has a purchase
+    strictly after that click — the sequence-order semantics a plain
+    GROUP BY cannot see. Output (user_id, stage) for every user who
+    reached stage 1.
+
+    Scale shape: one hash exchange on user_id (a user's events must
+    co-locate; the session_windows partitioning), then a fully vectorized
+    per-partition kernel — np.unique user segments, minimum.reduceat per
+    event class, two chained after-the-prior-stage mins. No driver-side
+    state, no per-user Python loop."""
+    from functools import partial as _p
+
+    from ..stages.focal import add_key_partition
+
+    jp = _nparts_for(sf_dir, "events")
+    ds = read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("event_type"),
+                                    value_set=pa.array(_FUNNEL))),
+        batch_format="pyarrow")
+    ds = ds.map_batches(_p(add_key_partition, key_cols=["user_id"],
+                           num_partitions=jp), batch_format="pyarrow")
+
+    def stages(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"user_id": pa.array([], I64),
+                             "stage": pa.array([], I64)})
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        users, uidx = np.unique(u, return_inverse=True)
+        NONE = np.iinfo(np.int64).max
+
+        def first_after(kind: str, after: np.ndarray) -> np.ndarray:
+            # per-user min ts of `kind` events with ts > after[user]
+            sel = (et == kind) & (ts > after[uidx])
+            out = np.full(len(users), NONE, dtype=np.int64)
+            if sel.any():
+                ui, ti = uidx[sel], ts[sel]
+                order = np.argsort(ui, kind="stable")
+                ui, ti = ui[order], ti[order]
+                heads = np.ones(len(ui), dtype=bool)
+                heads[1:] = ui[1:] != ui[:-1]
+                mins = np.minimum.reduceat(ti, np.nonzero(heads)[0])
+                out[ui[heads]] = mins
+            return out
+
+        v = first_after("view", np.full(len(users), np.iinfo(np.int64).min))
+        c = first_after("click", v)
+        p = first_after("purchase", c)
+        has_v = v != NONE
+        stage = (1 + (c != NONE).astype(np.int64) + (p != NONE).astype(np.int64))
+        return pa.table({"user_id": pa.array(users[has_v]),
+                         "stage": pa.array(stage[has_v])})
+
+    return ds.groupby("part").map_groups(
+        lambda g: stages(g.select(["user_id", "ts", "event_type"])),
+        batch_format="pyarrow")
+
+
+def sql_funnel_stages() -> str:
+    return """
+WITH e AS (SELECT user_id, ts, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+v AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+SELECT v.user_id,
+       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id"""
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_CHARS = 6  # 30 bits: 15 lon + 15 lat
+
+
+def q_geohash_encode(sf_dir: str):
+    """Standard text geohash (base32, lon bit first) of every media-span
+    anchor at 6-character precision — the interoperable spatial key
+    alternative to the engine's morton/hilbert cell ids (bisection bits ==
+    binary digits of the normalized fraction, so floor-quantize to 2^15 and
+    bit-interleave reproduces the classic algorithm exactly).
+
+    Per-row vectorized map, zero shuffles: quantize lon/lat, spread bits
+    with the shared morton kernel, index a 32-char lookup per 5-bit group.
+    The oracle replays the identical interleave via _morton_sql and
+    substr-indexes the same alphabet."""
+    from ..functions import cells
+
+    def enc(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("lon")))
+        lon = b.column("lon").to_numpy(zero_copy_only=False)
+        lat = b.column("lat").to_numpy(zero_copy_only=False)
+        lon_q = np.minimum(np.floor((lon + 180.0) / 360.0 * 32768.0),
+                           32767.0).astype(np.uint64)
+        lat_q = np.minimum(np.floor((lat + 90.0) / 180.0 * 32768.0),
+                           32767.0).astype(np.uint64)
+        gh30 = (cells._part1by1(lon_q) << np.uint64(1)) | cells._part1by1(lat_q)
+        lut = np.frombuffer(GEOHASH_BASE32.encode(), dtype=np.uint8)
+        parts = [lut[((gh30 >> np.uint64(25 - 5 * i)) & np.uint64(31)).astype(np.int64)]
+                 for i in range(GEOHASH_CHARS)]
+        codes = np.ascontiguousarray(np.stack(parts, axis=1))
+        gh_np = codes.reshape(-1).view(f"S{GEOHASH_CHARS}")
+        gh = pa.array(gh_np.astype(f"U{GEOHASH_CHARS}"), pa.string())
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "span_idx": b.column("span_idx"),
+                         "geohash": gh})
+
+    from ..pipelines.geo import corpus_dataset
+
+    ds = corpus_dataset(sf_dir) \
+        .map_batches(S.explode_spans, batch_format="pyarrow") \
+        .map_batches(lambda b: S.parse_geo(b)
+                     .select(["doc_id", "span_idx", "lon", "lat"]),
+                     batch_format="pyarrow")
+    out = ds.map_batches(enc, batch_format="pyarrow")
+    return _cast_cols(out, {"span_idx": I64})
+
+
+def sql_geohash_encode() -> str:
+    lon_q = "LEAST(CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT), 32767)"
+    lat_q = "LEAST(CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT), 32767)"
+    gh30 = f"(({_morton_sql('lq1')} << 1) | {_morton_sql('lq2')})"
+    ch = " || ".join(
+        f"substr('{GEOHASH_BASE32}', 1 + CAST((g.gh >> {25 - 5 * i}) & 31 AS INT), 1)"
+        for i in range(GEOHASH_CHARS))
+    return f"""{SPANS}
+, a AS (SELECT doc_id, span_idx, {lon_q} AS lq1, {lat_q} AS lq2
+        FROM spans_flat WHERE is_media),
+g AS (SELECT doc_id, span_idx, {gh30} AS gh FROM a)
+SELECT doc_id, span_idx, {ch} AS geohash FROM g"""
+
+
 def q_inverted_index(sf_dir: str):
     """Distributed inverted-index build: token -> (df, comma-joined
     ASCENDING doc-id postings). Block-local distinct (token, doc_id)
@@ -7783,6 +7925,8 @@ QUERIES: dict[str, tuple] = {
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "bigram_lm_score": (q_bigram_lm_score, sql_bigram_lm_score),
     "source_caps": (q_source_caps, sql_source_caps),
+    "funnel_stages": (q_funnel_stages, sql_funnel_stages),
+    "geohash_encode": (q_geohash_encode, sql_geohash_encode),
     "pyramid_rollup": (q_pyramid_rollup, sql_pyramid_rollup),
     "weighted_sample": (q_weighted_sample, sql_weighted_sample),
     "copurchase_triangles": (q_copurchase_triangles, sql_copurchase_triangles),

@@ -270,3 +270,56 @@ def test_rasterize_empty_span_at_domain_edge():
                    cte, count=1, flags=re.S)
     rows = duckdb.connect().execute(cte_s + " SELECT count(*) FROM cells").fetchone()
     assert rows[0] == 0
+
+
+def test_geohash_known_vectors():
+    """The quantize-and-interleave geohash equals the classic bisection
+    algorithm on the published test vectors (geohash.org examples)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_server_ray.pipelines.registry import (
+        GEOHASH_BASE32, GEOHASH_CHARS)
+    from geotrellis_server_ray.functions import cells
+
+    def gh6(lon, lat):
+        lon_q = np.minimum(np.floor((np.array([lon]) + 180.0) / 360.0 * 32768.0),
+                           32767.0).astype(np.uint64)
+        lat_q = np.minimum(np.floor((np.array([lat]) + 90.0) / 180.0 * 32768.0),
+                           32767.0).astype(np.uint64)
+        g = (cells._part1by1(lon_q) << np.uint64(1)) | cells._part1by1(lat_q)
+        return "".join(GEOHASH_BASE32[int((g[0] >> np.uint64(25 - 5 * i)) & np.uint64(31))]
+                       for i in range(GEOHASH_CHARS))
+
+    assert gh6(10.40744, 57.64911) == "u4pruy"   # Jutland
+    assert gh6(-5.6, 42.6).startswith("ezs42")   # León
+    assert gh6(0.0, 0.0) == "s00000"
+    assert gh6(180.0, 90.0) == "zzzzzz"          # clamp at the domain edge
+    assert gh6(-180.0, -90.0) == "000000"
+
+
+def test_funnel_strictly_after_semantics():
+    """Stage advances only on events STRICTLY after the prior stage's
+    timestamp: a click at exactly the first-view instant does not count,
+    and an out-of-order purchase (before the click) does not count."""
+    import numpy as np
+    import pyarrow as pa
+
+    import geotrellis_server_ray.pipelines.registry as R
+
+    ts = pa.array(np.array([1000, 1000, 2000, 1500], dtype="datetime64[us]"))
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(["view", "click", "click", "purchase"]),
+        "part": pa.array([0, 0, 0, 0], pa.int64()),
+    })
+    # reach stage 2 via the ts=2000 click (ts=1000 click is simultaneous
+    # with the view -> ignored); the ts=1500 purchase precedes that click
+    # -> stage stays 2
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("events", t.select(["user_id", "ts", "event_type"]))
+    ref = con.execute(R.sql_funnel_stages()).fetch_df()
+    assert ref.loc[0, "stage"] == 2
