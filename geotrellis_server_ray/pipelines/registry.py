@@ -6225,6 +6225,133 @@ g AS (SELECT doc_id, span_idx, {gh30} AS gh FROM a)
 SELECT doc_id, span_idx, {ch} AS geohash FROM g"""
 
 
+WINSOR_QS = {"p05": 0.05, "p95": 0.95}
+
+
+def q_winsorized_stats(sf_dir: str):
+    """Winsorized (outlier-clamped) group aggregate: clamp order totals to
+    the exact per-group [p05, p95] order statistics, then sum — the robust
+    mean's integer-exact numerator. Two passes: (1) the counting-selection
+    grouped exact quantiles (NOTHING moves; driver state O(groups x 2)
+    ints), (2) one clamp+combiner pass with the tiny bounds table carried
+    in the task closure (groups are enum-bounded priorities, never ids)."""
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]) \
+        .map_batches(partial(add_cents, cols={"cents": "o_totalprice"}),
+                     batch_format="pyarrow")
+    bt = grouped_exact_quantiles(ds, "o_orderpriority", "cents", WINSOR_QS)
+    bounds = bt.to_pylist() if hasattr(bt, "to_pylist") else bt.take_all()
+    lo = {r["grp"]: r["value"] for r in bounds if r["q_label"] == "p05"}
+    hi = {r["grp"]: r["value"] for r in bounds if r["q_label"] == "p95"}
+    grps = sorted(lo)
+    gkeys = pa.array(grps, pa.string())
+    lo_v = np.array([lo[g] for g in grps], dtype=np.int64)
+    hi_v = np.array([hi[g] for g in grps], dtype=np.int64)
+
+    def clamp(b: pa.Table) -> pa.Table:
+        gi = pc.index_in(b.column("o_orderpriority").combine_chunks(),
+                         value_set=gkeys) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.clip(c, lo_v[gi], hi_v[gi])
+        return pa.table({"grp": b.column("o_orderpriority"),
+                         "w": pa.array(w),
+                         "raw": pa.array(c)})
+
+    out = grouped_sums(ds.map_batches(clamp, batch_format="pyarrow"),
+                       ["grp"], ["w", "raw"], count_as="n_rows",
+                       small_key_space=True)
+    return out.map_batches(lambda b: pa.table({
+        "grp": b.column("grp"),
+        "n_rows": b.column("n_rows"),
+        "winsorized_sum": b.column("w"),
+        "raw_sum": b.column("raw"),
+    }), batch_format="pyarrow")
+
+
+def sql_winsorized_stats() -> str:
+    return """
+WITH v AS (
+  SELECT o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+ranked AS (
+  SELECT grp, cents, row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM v),
+b AS (
+  SELECT grp,
+         max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN cents END) AS lo,
+         max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN cents END) AS hi
+  FROM ranked GROUP BY grp)
+SELECT v.grp, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(LEAST(GREATEST(v.cents, b.lo), b.hi)) AS BIGINT) AS winsorized_sum,
+       CAST(sum(v.cents) AS BIGINT) AS raw_sum
+FROM v JOIN b USING (grp) GROUP BY v.grp"""
+
+
+EWMA_K = 8  # lookback depth; weight of the k-back event = 2^(K-1-k)
+
+
+def q_ewma_events(sf_dir: str):
+    """Exponentially-weighted rolling value per user (trend smoothing):
+    over the last K=8 events in (ts, event_id) order, the weighted sum
+    sum_k value_c[i-k] * 2^(K-1-k) — a truncated EWMA numerator kept
+    integer-exact (power-of-two weights, cents inputs, zero-padded at the
+    segment head exactly like the oracle's COALESCE(lag, 0)).
+
+    Same exchange as the rolling/lag family: ONE user_id hash partition,
+    then a single vectorized kernel per partition — lexsort, K shifted
+    adds with user-boundary masking, no per-row loop."""
+    from ..stages.focal import add_key_partition
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def ewma_partition(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"user_id": pa.array([], I64),
+                             "event_id": pa.array([], I64),
+                             "ewma_num_c": pa.array([], I64)})
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        vc = np.floor(t.column("value").to_numpy(zero_copy_only=False) * 100.0) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, e, v = uid[order], eid[order], vc[order]
+        n = len(u)
+        pos = np.arange(n, dtype=np.int64)
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = u[1:] != u[:-1]
+        key_start = pos[np.nonzero(newkey)[0]][np.cumsum(newkey) - 1]
+        acc = np.zeros(n, dtype=np.int64)
+        for k in range(EWMA_K):
+            w = 1 << (EWMA_K - 1 - k)
+            valid = pos - k >= key_start
+            acc[valid] += v[pos[valid] - k] * w
+        return pa.table({"user_id": pa.array(u), "event_id": pa.array(e),
+                         "ewma_num_c": pa.array(acc)})
+
+    out = ds.map_batches(partial(add_key_partition, key_cols=["user_id"],
+                                 num_partitions=_nparts()),
+                         batch_format="pyarrow") \
+        .groupby("part").map_groups(ewma_partition, batch_format="pyarrow")
+    return _cast_cols(out, {"user_id": I64, "event_id": I64, "ewma_num_c": I64})
+
+
+def sql_ewma_events() -> str:
+    terms = " + ".join(
+        f"COALESCE(lag(cents, {k}) OVER w, 0) * {1 << (EWMA_K - 1 - k)}"
+        for k in range(EWMA_K))
+    return f"""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+SELECT user_id, event_id, CAST({terms} AS BIGINT) AS ewma_num_c
+FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
 def q_inverted_index(sf_dir: str):
     """Distributed inverted-index build: token -> (df, comma-joined
     ASCENDING doc-id postings). Block-local distinct (token, doc_id)
@@ -7927,6 +8054,8 @@ QUERIES: dict[str, tuple] = {
     "source_caps": (q_source_caps, sql_source_caps),
     "funnel_stages": (q_funnel_stages, sql_funnel_stages),
     "geohash_encode": (q_geohash_encode, sql_geohash_encode),
+    "winsorized_stats": (q_winsorized_stats, sql_winsorized_stats),
+    "ewma_events": (q_ewma_events, sql_ewma_events),
     "pyramid_rollup": (q_pyramid_rollup, sql_pyramid_rollup),
     "weighted_sample": (q_weighted_sample, sql_weighted_sample),
     "copurchase_triangles": (q_copurchase_triangles, sql_copurchase_triangles),
