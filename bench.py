@@ -486,11 +486,95 @@ def run_text_scale() -> dict:
     return out
 
 
+def run_window_scale() -> dict:
+    """Window/event family 64x collapse datapoint (the one operator family
+    without a replica-collapse proof through r5): the sf0.1 events table
+    replicated 64x with per-replica user/event id offsets — replicas are
+    disjoint user populations with IDENTICAL event streams, so any
+    cross-replica leakage through the user-hash exchange, any driver-state
+    collapse, or any partition-boundary error shows up as a per-replica
+    total mismatch or a replica-0 byte diff, not just a slowdown.
+
+    Exactness checks (all asserted, reported in the JSON):
+      * ewma_events: 64x output restricted to replica-0 users is
+        byte-identical to the 1x run; per-replica ewma_num_c sums identical
+        across all 64 replicas; rows exactly 64 x 1x.
+      * funnel_stages: same three assertions on (user_id, stage) rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from geotrellis_server_ray.pipelines.registry import (
+        q_ewma_events, q_funnel_stages)
+
+    F, UOFF, EOFF = 64, 10_000_000, 100_000_000
+    base = pq.read_table(f"{SF_DIR}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    uid = base.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = base.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    assert uid.max() < UOFF and eid.max() < EOFF
+
+    def shifted(r: int) -> pa.Table:
+        return pa.table({
+            "event_id": pa.array(eid + r * EOFF),
+            "user_id": pa.array(uid + r * UOFF),
+            "ts": base.column("ts"),
+            "event_type": base.column("event_type"),
+            "value": base.column("value"),
+        })
+
+    d1 = "/tmp/gsr_window_scale/sf1x"
+    d64 = "/tmp/gsr_window_scale/sf64x"
+    for d in (d1, d64):
+        os.makedirs(d, exist_ok=True)
+    pq.write_table(shifted(0), f"{d1}/events.parquet")
+    pq.write_table(pa.concat_tables([shifted(r) for r in range(F)]),
+                   f"{d64}/events.parquet")
+
+    out = {"metric": "window_scale", "sf": SF_DIR, "num_cpus": NUM_CPUS,
+           "factor": F, "events_1x": len(eid)}
+
+    def check(name, qfn, id_col, val_col, sort_cols):
+        t0 = time.perf_counter()
+        a = qfn(d1).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+        t1x = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        b = qfn(d64).to_pandas()
+        t64x = time.perf_counter() - t0
+        assert len(b) == F * len(a), f"{name} rows not linear"
+        rep = b[id_col] // UOFF
+        per = b.groupby(rep)[val_col].sum()
+        assert per.nunique() == 1, f"{name} replica totals diverge"
+        r0 = b[b[id_col] < UOFF].sort_values(sort_cols).reset_index(drop=True)
+        assert r0[a.columns].equals(a), f"{name} replica-0 at 64x != 1x"
+        out[name] = {"rows_1x": len(a), "rows_64x": len(b), "linear": True,
+                     "replica0_byte_identical": True,
+                     "replica_totals_equal": True,
+                     "sec_1x": round(t1x, 2), "sec_64x": round(t64x, 2)}
+
+    check("ewma_events", q_ewma_events, "user_id", "ewma_num_c",
+          ["user_id", "event_id"])
+    check("funnel_stages", q_funnel_stages, "user_id", "stage", ["user_id"])
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--interval-scale" in sys.argv:
         print(json.dumps(run_interval_scale()))
     elif "--text-scale" in sys.argv:
         print(json.dumps(run_text_scale()))
+    elif "--window-scale" in sys.argv:
+        print(json.dumps(run_window_scale()))
     elif "--scaling-query" in sys.argv:
         print(json.dumps(run_scaling(sys.argv[sys.argv.index("--scaling-query") + 1])))
     elif "--scaling" in sys.argv:

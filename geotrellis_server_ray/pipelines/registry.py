@@ -6352,6 +6352,101 @@ SELECT user_id, event_id, CAST({terms} AS BIGINT) AS ewma_num_c
 FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 
+PROFILE_COLS = ("user_id", "event_type", "value")
+
+
+def q_table_profile(sf_dir: str):
+    """Data-profiling / schema-validation summary of the events table —
+    the pre-ingest sanity gate every large pipeline runs: per column, row
+    count, null count, EXACT distinct count, and integer min/max (doubles
+    as cents; strings profile counts only, min/max NULL on both engines).
+
+    Scale shape: ONE streaming pass computes all per-column count/null/
+    min/max partials (a single bounded row per block), folded by a
+    coalesced combine; each distinct count is its own per-block unique
+    partial -> one hash exchange on the value -> count of survivors (the
+    exact_dedup key pattern — never a driver-side set). Output is
+    column-count-bounded, assembled as one Arrow table."""
+    ds = read(sf_dir, "events", list(PROFILE_COLS)).materialize()
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for col in PROFILE_COLS:
+            c = b.column(col)
+            nn = len(b) - c.null_count
+            if col == "event_type":
+                mn = mx = None
+            else:
+                v = c.to_numpy(zero_copy_only=False)
+                if col == "value":
+                    v = np.floor(v * 100.0)
+                v = v[~np.isnan(v)] if v.dtype.kind == "f" else v
+                mn = int(v.min()) if len(v) else None
+                mx = int(v.max()) if len(v) else None
+            rows.append((col, len(b), len(b) - nn, mn, mx))
+        return pa.table({
+            "column": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], I64),
+            "n_nulls": pa.array([r[2] for r in rows], I64),
+            "mn": pa.array([r[3] for r in rows], I64),
+            "mx": pa.array([r[4] for r in rows], I64),
+        })
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["column"]).aggregate(
+            [("n", "sum"), ("n_nulls", "sum"), ("mn", "min"), ("mx", "max")])
+        return g.rename_columns(["column", "n", "n_nulls", "mn", "mx"])
+
+    stats = {r["column"]: r for r in
+             ds.map_batches(stat_partial, batch_format="pyarrow")
+             .repartition(1).map_batches(combine, batch_format="pyarrow")
+             .take_all()}
+
+    def uniq_partial(col):
+        def f(b: pa.Table) -> pa.Table:
+            c = b.column(col)
+            if col == "value":
+                c = pc.floor(pc.multiply(c, pa.scalar(100.0)))
+            u = pc.unique(pc.drop_null(c))
+            return pa.table({"v": u})
+        return f
+
+    distinct = {}
+    for col in PROFILE_COLS:
+        u = ds.map_batches(uniq_partial(col), batch_format="pyarrow")
+        distinct[col] = grouped_sums(
+            u.map_batches(lambda b: b.append_column(
+                "one", pa.array(np.ones(len(b), dtype=np.int64))),
+                batch_format="pyarrow"),
+            ["v"], ["one"], wide=True).count()
+
+    return pa.table({
+        "column": pa.array(list(PROFILE_COLS), pa.string()),
+        "n": pa.array([stats[c]["n"] for c in PROFILE_COLS], I64),
+        "n_nulls": pa.array([stats[c]["n_nulls"] for c in PROFILE_COLS], I64),
+        "n_distinct": pa.array([distinct[c] for c in PROFILE_COLS], I64),
+        "min_c": pa.array([stats[c]["mn"] for c in PROFILE_COLS], I64),
+        "max_c": pa.array([stats[c]["mx"] for c in PROFILE_COLS], I64),
+    })
+
+
+def sql_table_profile() -> str:
+    parts = []
+    for col in PROFILE_COLS:
+        expr = f"CAST(floor({col} * 100) AS BIGINT)" if col == "value" else col
+        if col == "event_type":
+            mn = mx = "CAST(NULL AS BIGINT)"
+        else:
+            mn, mx = f"CAST(min({expr}) AS BIGINT)", f"CAST(max({expr}) AS BIGINT)"
+        parts.append(f"""
+SELECT '{col}' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       {mn} AS min_c, {mx} AS max_c
+FROM events""")
+    return " UNION ALL ".join(parts)
+
+
 def q_inverted_index(sf_dir: str):
     """Distributed inverted-index build: token -> (df, comma-joined
     ASCENDING doc-id postings). Block-local distinct (token, doc_id)
@@ -8056,6 +8151,7 @@ QUERIES: dict[str, tuple] = {
     "geohash_encode": (q_geohash_encode, sql_geohash_encode),
     "winsorized_stats": (q_winsorized_stats, sql_winsorized_stats),
     "ewma_events": (q_ewma_events, sql_ewma_events),
+    "table_profile": (q_table_profile, sql_table_profile),
     "pyramid_rollup": (q_pyramid_rollup, sql_pyramid_rollup),
     "weighted_sample": (q_weighted_sample, sql_weighted_sample),
     "copurchase_triangles": (q_copurchase_triangles, sql_copurchase_triangles),
