@@ -6352,6 +6352,82 @@ SELECT user_id, event_id, CAST({terms} AS BIGINT) AS ewma_num_c
 FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 
+LINK_W = 32  # fixed byte width for linkage names (max c_name length + pad)
+
+
+def q_name_linkage(sf_dir: str):
+    """Fuzzy record linkage at edit distance <= 1 (FastSS, Bocek et al.
+    2007) — the dedup modality the minhash/simhash/substring family cannot
+    see (typo-level key variants): two names match iff they share a member
+    of {name} U {name minus one char}, verified with an EXACT vectorized
+    ed<=1 test (shared variants alone admit e.g. 'ab'/'ba').
+
+    Scale shape: bounded replication — each name emits len+1 fixed-width
+    deletion variants (the interval-join replication bound, factor = name
+    width, never corpus-squared); ONE hash exchange on the variant bytes;
+    per-partition candidate pairs via the shared vectorized segment-pair
+    kernel (stages/graph._segment_pair_index) with the ed<=1 verify fused
+    before anything moves again; the final distinct exchange carries only
+    output-sized (name_a, name_b) rows."""
+    from ..config import shuffle_partitions
+    from ..stages.dedup import deletion_variants_batch, ed_le1_mask
+    from ..stages.focal import add_key_partition
+    from ..stages.graph import _segment_pair_index
+
+    # partition by the VARIANT volume (rows x name width), not the input
+    # table's byte size — _nparts_for(customer) is 1 at small sf, which
+    # would funnel every candidate pair through one verify task
+    jp = shuffle_partitions()
+    ds = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    var = ds.map_batches(
+        partial(deletion_variants_batch, key_col="c_custkey",
+                name_col="c_name", width=LINK_W), batch_format="pyarrow")
+    var = var.map_batches(
+        partial(add_key_partition, key_cols=["variant"], num_partitions=jp),
+        batch_format="pyarrow")
+
+    def cand_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"name_a": pa.array([], pa.string()),
+                          "name_b": pa.array([], pa.string()),
+                          "one": pa.array([], I64)})
+        if len(g) == 0:
+            return empty
+        v = g.column("variant").to_numpy(zero_copy_only=False)
+        nm = g.column("c_name").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nm, v))
+        v, nm = v[order], nm[order]
+        i, j = _segment_pair_index(v)
+        if len(i) == 0:
+            return empty
+        a, b = nm[i], nm[j]          # sorted by name within a run: a <= b
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            return empty
+        ok = ed_le1_mask(a, b, LINK_W)
+        a, b = a[ok], b[ok]
+        t = (pa.table({"name_a": pa.array(a, pa.string()),
+                       "name_b": pa.array(b, pa.string())})
+             .group_by(["name_a", "name_b"]).aggregate([([], "count_all")]))
+        return pa.table({"name_a": t.column("name_a"),
+                         "name_b": t.column("name_b"),
+                         "one": pa.array(np.ones(len(t), dtype=np.int64))})
+
+    cands = var.groupby("part").map_groups(
+        lambda g: cand_pairs(g.select(["variant", "c_name"])),
+        batch_format="pyarrow")
+    out = grouped_sums(cands, ["name_a", "name_b"], ["one"], wide=True)
+    return out.map_batches(lambda b: b.select(["name_a", "name_b"]),
+                           batch_format="pyarrow")
+
+
+def sql_name_linkage() -> str:
+    return """
+SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+FROM customer a JOIN customer b
+  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1"""
+
+
 PROFILE_COLS = ("user_id", "event_type", "value")
 
 
@@ -8152,6 +8228,7 @@ QUERIES: dict[str, tuple] = {
     "winsorized_stats": (q_winsorized_stats, sql_winsorized_stats),
     "ewma_events": (q_ewma_events, sql_ewma_events),
     "table_profile": (q_table_profile, sql_table_profile),
+    "name_linkage": (q_name_linkage, sql_name_linkage),
     "pyramid_rollup": (q_pyramid_rollup, sql_pyramid_rollup),
     "weighted_sample": (q_weighted_sample, sql_weighted_sample),
     "copurchase_triangles": (q_copurchase_triangles, sql_copurchase_triangles),

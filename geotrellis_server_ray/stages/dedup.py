@@ -60,7 +60,10 @@ def poly_hash_strings(arr, pow_table: np.ndarray = _POW_TABLE) -> np.ndarray:
         arr = arr.combine_chunks()
     if len(arr) == 0:
         return np.empty(0, dtype=np.uint64)
-    arr = pc.cast(arr, pa.large_string()) if pa.types.is_string(arr.type) else arr
+    if pa.types.is_string(arr.type):
+        arr = pc.cast(arr, pa.large_string())
+    elif pa.types.is_binary(arr.type):
+        arr = pc.cast(arr, pa.large_binary())
     buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     start, end = buf_off[0], buf_off[-1]
@@ -1045,3 +1048,81 @@ def exact_substring_dedup(docs_ds, w: int = 40, id_col: str = "doc_id",
     return both.groupby("part").map_groups(
         partial(scrub_covered_spans, w=w, id_col=id_col, text_col=text_col),
         batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------
+# FastSS edit-distance-1 record linkage (deletion-neighborhood join).
+# Bocek et al. 2007 "Fast Similarity Search in Large Dictionaries":
+# ed(a, b) <= 1  =>  a and b share a member of {s} U {s minus one char}.
+# Shared variants are only CANDIDATES (e.g. "ab"/"ba" share "a" at ed 2),
+# so every candidate pair is verified with an exact vectorized ed<=1 test.
+
+
+def deletion_variants_batch(batch: pa.Table, key_col: str, name_col: str,
+                            width: int) -> pa.Table:
+    """(key, name) rows -> (variant, key, name) rows: the name itself plus
+    every single-character deletion, all as fixed-width zero-padded binary
+    (equal strings <=> equal padded bytes, so the variant IS the exchange
+    key). Vectorized: one (n x width) byte-matrix slice per deletion
+    position, never a per-row loop."""
+    names = batch.column(name_col).to_numpy(zero_copy_only=False)
+    n = len(names)
+    if n == 0:
+        return pa.table({"variant": pa.array([], pa.binary()),
+                         key_col: pa.array([], pa.int64()),
+                         name_col: pa.array([], pa.string())})
+    arr = names.astype(f"S{width}")
+    lens = np.char.str_len(arr).astype(np.int64)
+    assert int(lens.max()) <= width, "name exceeds linkage width"
+    M = arr.view("S1").reshape(n, width)
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    out_v, out_k, out_i = [arr], [keys], [np.arange(n)]
+    for i in range(int(lens.max())):
+        live = lens > i
+        if not live.any():
+            break
+        # delete column i: [0..i) ++ (i..width) ++ one pad byte
+        D = np.concatenate([M[live, :i], M[live, i + 1:],
+                            np.zeros((int(live.sum()), 1), dtype="S1")], axis=1)
+        out_v.append(np.ascontiguousarray(D).view(f"S{width}").ravel())
+        out_k.append(keys[live])
+        out_i.append(np.nonzero(live)[0])
+    v = np.concatenate(out_v)
+    k = np.concatenate(out_k)
+    idx = np.concatenate(out_i)
+    t = pa.table({"variant": pa.array(v, pa.binary()),
+                  key_col: pa.array(k),
+                  name_col: pa.array(names[idx], pa.string())})
+    # a char-run deletion yields the SAME variant from several positions
+    # (e.g. every zero of "A000B"); keep one copy per (variant, key) or the
+    # downstream segment-pair count inflates quadratically in run length
+    g = t.group_by(["variant", key_col]).aggregate([(name_col, "min")])
+    return g.rename_columns(["variant", key_col, name_col])
+
+
+def ed_le1_mask(a_names: np.ndarray, b_names: np.ndarray,
+                width: int) -> np.ndarray:
+    """Exact edit-distance<=1 verify, fully vectorized on zero-padded
+    (n x width) byte matrices: equal lengths -> hamming <= 1; length diff
+    1 -> single-deletion alignment via a per-row np.where column shift."""
+    a = a_names.astype(f"S{width}")
+    b = b_names.astype(f"S{width}")
+    la = np.char.str_len(a).astype(np.int64)
+    lb = np.char.str_len(b).astype(np.int64)
+    n = len(a)
+    Ma = a.view("S1").reshape(n, width)
+    Mb = b.view("S1").reshape(n, width)
+    mism = (Ma != Mb).sum(axis=1)
+    ok = (la == lb) & (mism <= 1)
+    diff1 = np.abs(la - lb) == 1
+    if diff1.any():
+        X = np.where((la >= lb)[:, None], Ma, Mb)[diff1]  # longer
+        Y = np.where((la >= lb)[:, None], Mb, Ma)[diff1]  # shorter
+        neq = X != Y
+        has = neq.any(axis=1)
+        f = np.where(has, neq.argmax(axis=1), width - 1)
+        cols = np.arange(width - 1)
+        deleted = np.where(cols[None, :] >= f[:, None], X[:, 1:], X[:, :-1])
+        ok_diff = (deleted == Y[:, :width - 1]).all(axis=1)
+        ok[diff1] = ok_diff
+    return ok

@@ -128,7 +128,9 @@ def add_key_partition(batch: pa.Table, key_cols: list[str], num_partitions: int)
     with np.errstate(over="ignore"):
         for kc in key_cols:
             col = batch.column(kc)
-            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+                    or pa.types.is_binary(col.type)
+                    or pa.types.is_large_binary(col.type)):
                 from .dedup import poly_hash_strings
 
                 v = poly_hash_strings(col)
