@@ -6428,6 +6428,108 @@ FROM customer a JOIN customer b
   ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1"""
 
 
+SHARD_N = 16
+
+
+def q_training_shards(sf_dir: str):
+    """Deterministic training-shard layout — the last step of a curation
+    pipeline: hash-assign every document to one of SHARD_N shards
+    (splitmix64(doc_id) % N, the seeded-global-shuffle contract: adding a
+    doc never moves another doc's shard) and give it a dense 0-based
+    position within its shard in doc_id order, so any worker can later
+    address `shard[k][pos]` without a coordinator.
+
+    Scale shape: the position is a KEYED distributed prefix scan
+    (stages/scan.prefix_sum — the sequence_pack/token_budget_mix
+    primitive): rows range-partition by doc_id (never by shard, so a hot
+    shard cannot skew a partition), per-partition totals fold to O(P x N)
+    driver ints, one exchange total."""
+    from ..stages.scan import prefix_sum
+    from ..stages.sketch import mix64
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix64(ids.astype(np.uint64))
+        shard = (h % np.uint64(SHARD_N)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "shard": pa.array(shard),
+                         "one": pa.array(np.ones(len(ids), dtype=np.int64))})
+
+    ds = read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(assign, batch_format="pyarrow")
+    scanned = prefix_sum(ds, "doc_id", "one", out_col="pos", key_col="shard")
+    return scanned.map_batches(
+        lambda b: b.select(["doc_id", "shard", "pos"]), batch_format="pyarrow")
+
+
+def sql_training_shards() -> str:
+    ctes = _sql_splitmix64_ctes("doc_id", "documents", carry="doc_id, ")
+    return f"""
+WITH {ctes}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(v % {SHARD_N} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY v % {SHARD_N} ORDER BY doc_id) - 1
+            AS BIGINT) AS pos
+FROM h"""
+
+
+FK_RELS = (("orders.o_custkey", "customer.c_custkey"),
+           ("lineitem.l_orderkey", "orders.o_orderkey"))
+
+
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity audit — table_profile's cross-table sibling in
+    the validation family: for each FK relationship, the child row count,
+    the orphan count (child keys with NO parent — NOT EXISTS), and the
+    count of distinct parent keys actually referenced.
+
+    Scale shape: rides semi_anti_join (distinct-partial build, broadcast
+    or native anti join — both scale-honest) for orphans; the distinct
+    referenced-parent count is per-block unique partials through one hash
+    exchange. Output is relationship-count-bounded."""
+    from .relational import semi_anti_join
+
+    rows = []
+    for child, parent in FK_RELS:
+        ct, cc = child.split(".")
+        pt, pc_ = parent.split(".")
+        child_ds = read(sf_dir, ct, [cc])
+        parent_ds = read(sf_dir, pt, [pc_])
+        n_child = child_ds.count()
+        orphans = semi_anti_join(child_ds, cc, parent_ds, pc_, anti=True)
+        n_orphan = orphans.count()
+        uniq = child_ds.map_batches(
+            lambda b, c=cc: pa.table({"v": pc.unique(pc.drop_null(b.column(c)))}),
+            batch_format="pyarrow")
+        n_ref = grouped_sums(
+            uniq.map_batches(lambda b: b.append_column(
+                "one", pa.array(np.ones(len(b), dtype=np.int64))),
+                batch_format="pyarrow"),
+            ["v"], ["one"], wide=True).count()
+        rows.append((f"{child}->{parent}", n_child, n_orphan, n_ref))
+    return pa.table({
+        "relationship": pa.array([r[0] for r in rows], pa.string()),
+        "n_child": pa.array([r[1] for r in rows], I64),
+        "n_orphan": pa.array([r[2] for r in rows], I64),
+        "n_parents_referenced": pa.array([r[3] for r in rows], I64),
+    })
+
+
+def sql_fk_violations() -> str:
+    parts = []
+    for child, parent in FK_RELS:
+        ct, cc = child.split(".")
+        pt, pc_ = parent.split(".")
+        parts.append(f"""
+SELECT '{child}->{parent}' AS relationship,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN NOT EXISTS
+             (SELECT 1 FROM {pt} p WHERE p.{pc_} = c.{cc})
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+       CAST(count(DISTINCT {cc}) AS BIGINT) AS n_parents_referenced
+FROM {ct} c""")
+    return " UNION ALL ".join(parts)
+
+
 PROFILE_COLS = ("user_id", "event_type", "value")
 
 
@@ -8229,6 +8331,8 @@ QUERIES: dict[str, tuple] = {
     "ewma_events": (q_ewma_events, sql_ewma_events),
     "table_profile": (q_table_profile, sql_table_profile),
     "name_linkage": (q_name_linkage, sql_name_linkage),
+    "training_shards": (q_training_shards, sql_training_shards),
+    "fk_violations": (q_fk_violations, sql_fk_violations),
     "pyramid_rollup": (q_pyramid_rollup, sql_pyramid_rollup),
     "weighted_sample": (q_weighted_sample, sql_weighted_sample),
     "copurchase_triangles": (q_copurchase_triangles, sql_copurchase_triangles),
