@@ -6428,6 +6428,119 @@ FROM customer a JOIN customer b
   ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1"""
 
 
+def q_revenue_share(sf_dir: str):
+    """Ratio-to-report window (percent-of-total): each nation's revenue as
+    an integer ppm share of its region's total — the one window class
+    (value / group total) the rank/ntile/lag family doesn't cover.
+    share_ppm = rev * 1e6 // region_total, no float in the comparison.
+
+    Scale shape: the J1 broadcast-dim chain (orders ⋈ customer ⋈ nation ⋈
+    region) + a dimension-bounded combiner aggregate; the share attach
+    runs inside the single combined block (25 nations), zero extra
+    exchanges."""
+    cust = BroadcastLookup(sf_dir, "customer", "c_custkey", ["c_nationkey"]).ref()
+    nation = BroadcastLookup(sf_dir, "nation", "n_nationkey",
+                             ["n_name", "n_regionkey"]).ref()
+    region = BroadcastLookup(sf_dir, "region", "r_regionkey", ["r_name"]).ref()
+    ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(partial(add_cents, cols={"rev": "o_totalprice"}),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(make_broadcast_join(cust, "o_custkey", ["c_nationkey"]),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(make_broadcast_join(nation, "c_nationkey",
+                                            ["n_name", "n_regionkey"]),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(make_broadcast_join(region, "n_regionkey", ["r_name"]),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: b.select(["r_name", "n_name", "rev"]),
+                        batch_format="pyarrow")
+    out = grouped_sums(ds, ["r_name", "n_name"], ["rev"],
+                       small_key_space=True)
+
+    def share(b: pa.Table) -> pa.Table:
+        r = b.column("r_name").to_numpy(zero_copy_only=False)
+        rev = b.column("rev").to_numpy(zero_copy_only=False).astype(np.int64)
+        regs, ridx = np.unique(r, return_inverse=True)
+        tot = np.zeros(len(regs), dtype=np.int64)
+        np.add.at(tot, ridx, rev)
+        total = tot[ridx]
+        return pa.table({
+            "r_name": b.column("r_name"), "n_name": b.column("n_name"),
+            "revenue_c": pa.array(rev),
+            "region_total_c": pa.array(total),
+            "share_ppm": pa.array(rev * 1_000_000 // total),
+        })
+
+    return out.map_batches(share, batch_format="pyarrow")
+
+
+def sql_revenue_share() -> str:
+    return """
+WITH nr AS (
+  SELECT r.r_name, n.n_name,
+         CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name, rev AS revenue_c,
+       CAST(sum(rev) OVER (PARTITION BY r_name) AS BIGINT) AS region_total_c,
+       CAST(rev * 1000000 // sum(rev) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_ppm
+FROM nr"""
+
+
+def q_embed_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embedding column — the 4x vector
+    compression step serving pipelines run before indexing (the PQ family's
+    simpler sibling): per vector, scale by 127/max|x| and round half-up
+    (floor(x * 127 / m + 0.5) — one IEEE mul-div-add-floor chain, identical
+    op order on both engines, so codes replay exactly). Output is the
+    integer code summary per vector (sum, L1 mass, min/max code — the
+    validation signature a re-encoder would assert against).
+
+    Zero-shuffle per-row map: list_flatten -> (n x d) reshape -> one
+    vectorized quantize + row-wise reductions per block."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        X = flat.reshape(len(b), -1)
+        m = np.abs(X).max(axis=1)
+        C = np.floor(X * 127.0 / m[:, None] + 0.5).astype(np.int64)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "sum_codes": pa.array(C.sum(axis=1)),
+            "sum_abs_codes": pa.array(np.abs(C).sum(axis=1)),
+            "min_code": pa.array(C.min(axis=1)),
+            "max_code": pa.array(C.max(axis=1)),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def sql_embed_quantize() -> str:
+    return """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+           FROM embeddings),
+m AS (SELECT vec_id, d,
+             list_max(list_transform(d, x -> abs(x))) AS mx FROM e),
+c AS (SELECT vec_id,
+             unnest(list_transform(d,
+                    x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))) AS code
+      FROM m)
+SELECT vec_id, CAST(sum(code) AS BIGINT) AS sum_codes,
+       CAST(sum(abs(code)) AS BIGINT) AS sum_abs_codes,
+       CAST(min(code) AS BIGINT) AS min_code,
+       CAST(max(code) AS BIGINT) AS max_code
+FROM c GROUP BY vec_id"""
+
+
 SHARD_N = 16
 
 
@@ -8333,6 +8446,8 @@ QUERIES: dict[str, tuple] = {
     "name_linkage": (q_name_linkage, sql_name_linkage),
     "training_shards": (q_training_shards, sql_training_shards),
     "fk_violations": (q_fk_violations, sql_fk_violations),
+    "embed_quantize": (q_embed_quantize, sql_embed_quantize),
+    "revenue_share": (q_revenue_share, sql_revenue_share),
     "pyramid_rollup": (q_pyramid_rollup, sql_pyramid_rollup),
     "weighted_sample": (q_weighted_sample, sql_weighted_sample),
     "copurchase_triangles": (q_copurchase_triangles, sql_copurchase_triangles),
