@@ -6428,6 +6428,151 @@ FROM customer a JOIN customer b
   ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1"""
 
 
+DRIFT_A, DRIFT_B, DRIFT_K = "src0", "src1", 50
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def q_source_drift(sf_dir: str):
+    """Token-distribution drift between two sources — the data-validation
+    op that catches a changed crawler or contaminated feed before training:
+    per token, the cross-multiplied total-variation numerator
+    |c_a * N_b - c_b * N_a| (comparing c_a/N_a vs c_b/N_b with NO division,
+    so the ranking is integer-exact; widths bound at 2^63 by
+    count x corpus-token products — switch the product to the split
+    128-bit multiply of the passage-dedup oracle beyond ~4e9 tokens/side).
+    Top-K by drift desc, token asc.
+
+    Scale shape: ONE pass emits per-block (token, c_a, c_b) partials over
+    the two filtered sources -> a Zipf-bounded hash exchange; N_a/N_b fold
+    from the same partials; top-K via per-block partials + one coalesced
+    finalize (the top_orders plan)."""
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        sel = pc.is_in(b.column("source"),
+                       value_set=pa.array([DRIFT_A, DRIFT_B]))
+        b = b.filter(sel)
+        if len(b) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c_a": pa.array([], I64),
+                             "c_b": pa.array([], I64)})
+        parent, flat = T._explode_tokens(b)
+        src = b.column("source").take(parent)
+        t = pa.table({"token": flat, "is_a": pc.equal(src, DRIFT_A)})
+        g = t.group_by(["token", "is_a"]).aggregate([([], "count_all")])
+        isa = g.column("is_a").to_numpy(zero_copy_only=False)
+        n = g.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"token": g.column("token"),
+                         "c_a": pa.array(np.where(isa, n, 0)),
+                         "c_b": pa.array(np.where(isa, 0, n))})
+
+    docs = read(sf_dir, "documents", ["source", "text"])
+    counts = grouped_sums(docs.map_batches(tok_partial, batch_format="pyarrow"),
+                          ["token"], ["c_a", "c_b"]).materialize()
+    tot = grouped_sums(counts.map_batches(
+        lambda b: pa.table({"k": pa.array(np.zeros(len(b), dtype=np.int64)),
+                            "c_a": b.column("c_a"), "c_b": b.column("c_b")}),
+        batch_format="pyarrow"), ["k"], ["c_a", "c_b"],
+        small_key_space=True).take_all()
+    N_a, N_b = int(tot[0]["c_a"]), int(tot[0]["c_b"])
+
+    def topk(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c_a": pa.array([], I64), "c_b": pa.array([], I64),
+                             "drift": pa.array([], I64)})
+        ca = b.column("c_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = b.column("c_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.abs(ca * N_b - cb * N_a)
+        tok = b.column("token").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -d))[:DRIFT_K]
+        return pa.table({"token": pa.array(tok[order]),
+                         "c_a": pa.array(ca[order]), "c_b": pa.array(cb[order]),
+                         "drift": pa.array(d[order])})
+
+    return counts.map_batches(topk, batch_format="pyarrow") \
+        .repartition(1).map_batches(topk, batch_format="pyarrow")
+
+
+def sql_source_drift() -> str:
+    return f"""
+WITH fl AS (SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+                                              x -> x <> '')) AS token
+            FROM documents WHERE source IN ('{DRIFT_A}', '{DRIFT_B}')),
+c AS (SELECT token,
+             CAST(sum(CASE WHEN source = '{DRIFT_A}' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN source = '{DRIFT_B}' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM fl GROUP BY 1),
+n AS (SELECT sum(c_a) AS na, sum(c_b) AS nb FROM c)
+SELECT token, c_a, c_b, CAST(abs(c_a * nb - c_b * na) AS BIGINT) AS drift
+FROM c CROSS JOIN n
+ORDER BY drift DESC, token LIMIT {DRIFT_K}"""
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts — the engagement matrix every event
+    pipeline reports: users bucketed by first-seen week (cohort), counted
+    in every week they were active, with k = weeks-since-cohort. Weeks are
+    integer epoch-microsecond divisions, exact on both engines.
+
+    Scale shape: ONE user_id hash exchange (a user's events co-locate),
+    per-partition vectorized kernel — distinct (user, week) via lexsort +
+    head mask, per-user min week via minimum.reduceat, (cohort, week) pair
+    emission — then a week-bounded combiner count (the key space is the
+    calendar, never the user population)."""
+    from ..stages.focal import add_key_partition
+
+    jp = _nparts_for(sf_dir, "events")
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+    ds = ds.map_batches(partial(add_key_partition, key_cols=["user_id"],
+                                num_partitions=jp), batch_format="pyarrow")
+
+    def cohort_pairs(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"cohort_week": pa.array([], I64),
+                             "activity_week": pa.array([], I64),
+                             "users": pa.array([], I64)})
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = (g.column("ts").to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64)) // WEEK_US
+        order = np.lexsort((wk, u))
+        u, wk = u[order], wk[order]
+        head = np.ones(len(u), dtype=bool)
+        head[1:] = (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])
+        u, wk = u[head], wk[head]                      # distinct (user, week)
+        uhead = np.ones(len(u), dtype=bool)
+        uhead[1:] = u[1:] != u[:-1]
+        cohort = np.minimum.reduceat(wk, np.nonzero(uhead)[0])
+        coh = np.repeat(cohort, np.diff(np.append(np.nonzero(uhead)[0], len(u))))
+        t = pa.table({"cohort_week": pa.array(coh),
+                      "activity_week": pa.array(wk)})
+        g2 = t.group_by(["cohort_week", "activity_week"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"cohort_week": g2.column("cohort_week"),
+                         "activity_week": g2.column("activity_week"),
+                         "users": pc.cast(g2.column("count_all"), I64)})
+
+    pairs = ds.groupby("part").map_groups(
+        lambda g: cohort_pairs(g.select(["user_id", "ts"])),
+        batch_format="pyarrow")
+    out = grouped_sums(pairs, ["cohort_week", "activity_week"], ["users"],
+                       small_key_space=True)
+    return out.map_batches(lambda b: b.append_column(
+        "k", pc.subtract(b.column("activity_week"), b.column("cohort_week"))),
+        batch_format="pyarrow")
+
+
+def sql_retention_cohorts() -> str:
+    return f"""
+WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS wk
+            FROM events),
+c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+       CAST(uw.wk AS BIGINT) AS activity_week,
+       CAST(count(*) AS BIGINT) AS users,
+       CAST(uw.wk - c.cohort AS BIGINT) AS k
+FROM uw JOIN c USING (user_id) GROUP BY 1, 2, 4"""
+
+
 def q_revenue_share(sf_dir: str):
     """Ratio-to-report window (percent-of-total): each nation's revenue as
     an integer ppm share of its region's total — the one window class
@@ -8448,6 +8593,8 @@ QUERIES: dict[str, tuple] = {
     "fk_violations": (q_fk_violations, sql_fk_violations),
     "embed_quantize": (q_embed_quantize, sql_embed_quantize),
     "revenue_share": (q_revenue_share, sql_revenue_share),
+    "source_drift": (q_source_drift, sql_source_drift),
+    "retention_cohorts": (q_retention_cohorts, sql_retention_cohorts),
     "pyramid_rollup": (q_pyramid_rollup, sql_pyramid_rollup),
     "weighted_sample": (q_weighted_sample, sql_weighted_sample),
     "copurchase_triangles": (q_copurchase_triangles, sql_copurchase_triangles),
