@@ -7455,6 +7455,48 @@ SELECT CAST(v // {1 << 32} AS BIGINT) AS hi,
 FROM tagged"""
 
 
+def q_hdr_quantiles(sf_dir: str):
+    """HDR-histogram quantile sketch over lineitem.l_extendedprice in exact
+    cents (stages/sketch.py: log-segmented linear sub-buckets, the public
+    HdrHistogram layout idea re-derived with a pure bit_length segment map).
+    This is the engine's SCALE PATH for quantiles: exact_quantiles /
+    group_quantiles sort — the single most expensive all-to-all exchange at
+    100 TB — while this sketch moves <= (64-m+1) * 2^m bounded (bucket, cnt)
+    int rows per block through the same combiner tree as the HLL registers,
+    merge = bucket-wise sum (order-invariant, so the nondeterministic
+    distributed fold is deterministic in value). CORRECTNESS contract = the
+    full (bucket, cnt) table, replayed bucket-for-bucket in SQL via
+    length(bin(v)); p50/p95/p99 reconstructions are diagnostic,
+    pytest-checked within the 2^-m relative bound vs exact quantiles."""
+    from functools import partial as _p
+
+    from ..stages import sketch as SK
+
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"])
+    partials = ds.map_batches(
+        partial(add_cents, cols={"cents": "l_extendedprice"}),
+        batch_format="pyarrow",
+    ).map_batches(_p(SK.hdr_partial_batch, val_col="cents"),
+                  batch_format="pyarrow")
+    out = partials.map_batches(SK.hdr_merge, batch_format="pyarrow") \
+        .repartition(1).map_batches(SK.hdr_merge, batch_format="pyarrow")
+    return _cast_cols(out, {"bucket": I64, "cnt": I64})
+
+
+def sql_hdr_quantiles() -> str:
+    from ..stages.sketch import HDR_M
+
+    m = HDR_M
+    return f"""
+WITH c AS (SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS v
+           FROM lineitem),
+e AS (SELECT v, CASE WHEN v < {1 << m} THEN {m}
+                     ELSE length(bin(v)) - 1 END AS ee FROM c),
+b AS (SELECT ((ee - {m}) << {m}) + (v >> (ee - {m})) AS bucket FROM e)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1"""
+
+
 def q_cms_sketch(sf_dir: str):
     """Count-Min sketch over token occurrences in the documents corpus
     (stages/sketch.py: Cormode-Muthukrishnan, 4 x 1024 multiply-shift rows).
@@ -8581,6 +8623,7 @@ QUERIES: dict[str, tuple] = {
     # driver CORRECTNESS row in any prior round enter HERE, ahead of
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "hdr_quantiles": (q_hdr_quantiles, sql_hdr_quantiles),
     "bigram_lm_score": (q_bigram_lm_score, sql_bigram_lm_score),
     "source_caps": (q_source_caps, sql_source_caps),
     "funnel_stages": (q_funnel_stages, sql_funnel_stages),

@@ -299,3 +299,65 @@ def kmv_intersection_estimate(t: pa.Table, k: int = KMV_K) -> float:
     if n == 0:
         return 0.0
     return float(both.sum()) / min(n, k) * union_est
+
+
+# ---- HDR-histogram quantile sketch ------------------------------------
+# Log-segmented linear sub-buckets (the layout idea behind Tene's public
+# HdrHistogram), re-derived with a pure bit_length segment map so numpy and
+# the SQL oracle compute the IDENTICAL bucket with integer ops only. This is
+# the engine's scale path for quantiles: exact_quantiles/group_quantiles
+# sort (an all-to-all exchange), while this sketch moves <= (64-m+1) * 2^m
+# bounded (bucket, cnt) rows per block through the same combiner tree the
+# HLL registers use, and merge is bucket-wise SUM — commutative/associative,
+# so the nondeterministic distributed fold order cannot change the result.
+HDR_M = 7  # sub-bucket resolution bits -> relative bucket width <= 2^-7
+
+
+def hdr_bucket(v: np.ndarray, m: int = HDR_M) -> np.ndarray:
+    """Exact integer bucket for nonnegative int64 values. With e =
+    bit_length(v) - 1 clamped to >= m: bucket = (e - m) * 2^m + (v >> (e-m)).
+    Values below 2^(m+1) map exactly (shift 0); above, the bucket width
+    2^(e-m) keeps relative error <= 2^-m at every magnitude. Monotone in v
+    and contiguous across segment boundaries."""
+    u = v.astype(np.uint64)
+    e = np.maximum(_bit_length(u) - 1, m)
+    shift = (e - m).astype(np.uint64)
+    return ((e - m) << np.int64(m)) + (u >> shift).astype(np.int64)
+
+
+def hdr_bucket_bounds(b: np.ndarray, m: int = HDR_M) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse map: [lo, hi] inclusive value bounds of each bucket."""
+    j = np.maximum((b >> np.int64(m)) - 1, 0)
+    mant = b - j * (1 << m)
+    lo = mant.astype(np.uint64) << j.astype(np.uint64)
+    width = np.uint64(1) << j.astype(np.uint64)
+    return lo.astype(np.int64), (lo + width - np.uint64(1)).astype(np.int64)
+
+
+def hdr_partial_batch(batch: pa.Table, val_col: str, m: int = HDR_M) -> pa.Table:
+    """One block's partial sketch: (bucket, cnt) rows, <= (64-m+1) * 2^m of
+    them regardless of block size."""
+    v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pa.table({"bucket": pa.array(hdr_bucket(v, m))})
+    g = t.group_by("bucket").aggregate([("bucket", "count")])
+    return g.rename_columns(["bucket", "cnt"])
+
+
+def hdr_merge(batch: pa.Table) -> pa.Table:
+    """Bucket-wise sum — the order-invariant sketch merge."""
+    g = batch.group_by("bucket").aggregate([("cnt", "sum")])
+    return g.rename_columns(["bucket", "cnt"])
+
+
+def hdr_quantile(buckets: np.ndarray, counts: np.ndarray, q: float,
+                 m: int = HDR_M) -> float:
+    """Diagnostic quantile reconstruction (lower-style: the bucket holding
+    the smallest x with cdf >= q), returning the bucket midpoint — within
+    2^-m relative error of the exact quantile by the bucket-width bound."""
+    order = np.argsort(buckets)
+    b, c = buckets[order], counts[order]
+    cum = np.cumsum(c)
+    idx = int(np.searchsorted(cum, q * cum[-1], side="left"))
+    idx = min(idx, len(b) - 1)
+    lo, hi = hdr_bucket_bounds(b[idx:idx + 1], m)
+    return float((int(lo[0]) + int(hi[0])) / 2.0)

@@ -457,3 +457,43 @@ def test_bm25_paths_agree_and_hand_scores(ray_session, monkeypatch):
     assert got.tolist() == want
     # rarer token in the shorter doc outranks the common token
     assert hand(1, 1, 2, 2, 5) > hand(1, 2, 2, 2, 5)
+
+
+def test_hdr_sketch_bounds_merge_and_quantiles():
+    """HDR quantile sketch: bucket bounds contain their values, the bucket
+    map is monotone, split-merge equals whole (order-invariant sum), and the
+    diagnostic p50/p95/p99 reconstructions land within the 2^-m relative
+    bound of the exact quantiles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geotrellis_server_ray.stages.sketch import (
+        HDR_M, hdr_bucket, hdr_bucket_bounds, hdr_merge, hdr_partial_batch,
+        hdr_quantile)
+
+    rng = np.random.default_rng(7)
+    # log-uniform-ish positive values spanning 7 orders of magnitude + zeros
+    v = np.concatenate([
+        np.zeros(100, np.int64),
+        (10.0 ** rng.uniform(0, 7, 100_000)).astype(np.int64),
+    ])
+    b = hdr_bucket(v)
+    lo, hi = hdr_bucket_bounds(b)
+    assert np.all((lo <= v) & (v <= hi))
+    sb = hdr_bucket(np.sort(v))
+    assert np.all(np.diff(sb) >= 0)
+
+    whole = hdr_partial_batch(pa.table({"v": pa.array(v)}), "v")
+    parts = [hdr_partial_batch(pa.table({"v": pa.array(c)}), "v")
+             for c in np.array_split(v, 9)]
+    merged = hdr_merge(pa.concat_tables(parts))
+    key = lambda t: t.to_pandas().sort_values("bucket").reset_index(drop=True)
+    assert key(merged).equals(key(whole))
+
+    buckets = whole.column("bucket").to_numpy()
+    counts = whole.column("cnt").to_numpy().astype(np.int64)
+    assert counts.sum() == len(v)
+    for q in (0.5, 0.95, 0.99):
+        est = hdr_quantile(buckets, counts, q)
+        exact = float(np.quantile(v, q, method="inverted_cdf"))
+        assert abs(est - exact) <= exact * 2.0 ** -HDR_M + 0.5, (q, est, exact)
