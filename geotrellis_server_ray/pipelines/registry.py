@@ -7455,6 +7455,57 @@ SELECT CAST(v // {1 << 32} AS BIGINT) AS hi,
 FROM tagged"""
 
 
+def moments_from_sums(n: int, s1: int, s2: int, s3: int, s4: int) -> dict:
+    """Diagnostic: mean/var/skewness/excess-kurtosis from exact power sums
+    (the textbook one-pass moment identities). Population (biased) form."""
+    m = s1 / n
+    var = s2 / n - m * m
+    sd = var ** 0.5
+    mu3 = s3 / n - 3 * m * s2 / n + 2 * m ** 3
+    mu4 = s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n - 3 * m ** 4
+    return {"mean": m, "var": var,
+            "skew": mu3 / sd ** 3 if sd else 0.0,
+            "kurt": mu4 / var ** 2 - 3.0 if var else 0.0}
+
+
+def q_group_moments(sf_dir: str):
+    """One-pass distributed higher moments per group: exact int64 power sums
+    S1..S4 + n of l_quantity per l_returnflag through the coalesced combiner
+    tree (power sums are the canonical mergeable moment sketch — merge is
+    elementwise +, order-invariant, one corpus pass, zero shuffles beyond
+    O(groups x blocks) partial rows). CORRECTNESS contract = the integer
+    sums; mean/variance/skewness/kurtosis are derived diagnostics
+    (moments_from_sums, pytest-checked vs direct numpy on the raw column).
+    Headroom: q <= 50 so sum(q^4) stays int64-safe to ~1.5e15 rows; past
+    that the engine's answer is the same hi/lo split carry the HLL oracle
+    arithmetic already uses."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def powers(b: pa.Table) -> pa.Table:
+        v = np.round(b.column("l_quantity").to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "s1": pa.array(v), "s2": pa.array(v * v),
+            "s3": pa.array(v * v * v), "s4": pa.array(v * v * v * v),
+        })
+
+    out = grouped_sums(ds.map_batches(powers, batch_format="pyarrow"),
+                       ["l_returnflag"], ["s1", "s2", "s3", "s4"],
+                       count_as="n", small_key_space=True)
+    return _cast_cols(out, {c: I64 for c in ("n", "s1", "s2", "s3", "s4")})
+
+
+def sql_group_moments() -> str:
+    return """
+WITH q AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS v
+           FROM lineitem)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v*v) AS BIGINT) AS s2,
+       CAST(sum(v*v*v) AS BIGINT) AS s3, CAST(sum(v*v*v*v) AS BIGINT) AS s4
+FROM q GROUP BY 1"""
+
+
 def q_hdr_quantiles(sf_dir: str):
     """HDR-histogram quantile sketch over lineitem.l_extendedprice in exact
     cents (stages/sketch.py: log-segmented linear sub-buckets, the public
@@ -8624,6 +8675,7 @@ QUERIES: dict[str, tuple] = {
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "hdr_quantiles": (q_hdr_quantiles, sql_hdr_quantiles),
+    "group_moments": (q_group_moments, sql_group_moments),
     "bigram_lm_score": (q_bigram_lm_score, sql_bigram_lm_score),
     "source_caps": (q_source_caps, sql_source_caps),
     "funnel_stages": (q_funnel_stages, sql_funnel_stages),

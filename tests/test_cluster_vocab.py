@@ -497,3 +497,29 @@ def test_hdr_sketch_bounds_merge_and_quantiles():
         est = hdr_quantile(buckets, counts, q)
         exact = float(np.quantile(v, q, method="inverted_cdf"))
         assert abs(est - exact) <= exact * 2.0 ** -HDR_M + 0.5, (q, est, exact)
+
+
+def test_group_moments_match_numpy(ray_session, sf_correct):
+    """The exact power-sum contract reconstructs the same skewness/kurtosis
+    numpy computes directly on the raw column, per group."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geotrellis_server_ray.pipelines.registry import (moments_from_sums,
+                                                          q_group_moments)
+
+    df = q_group_moments(sf_correct).to_pandas().set_index("l_returnflag")
+    raw = pq.read_table(f"{sf_correct}/lineitem.parquet",
+                        columns=["l_returnflag", "l_quantity"]).to_pandas()
+    for flag, g in raw.groupby("l_returnflag"):
+        v = np.round(g.l_quantity.to_numpy()).astype(np.int64)
+        r = df.loc[flag]
+        d = moments_from_sums(int(r.n), int(r.s1), int(r.s2), int(r.s3), int(r.s4))
+        assert int(r.n) == len(v)
+        assert np.isclose(d["mean"], v.mean())
+        assert np.isclose(d["var"], v.var())
+        m = v.mean()
+        sk = ((v - m) ** 3).mean() / v.std() ** 3
+        ku = ((v - m) ** 4).mean() / v.var() ** 2 - 3.0
+        assert np.isclose(d["skew"], sk, atol=1e-9)
+        assert np.isclose(d["kurt"], ku, atol=1e-9)
