@@ -7455,6 +7455,62 @@ SELECT CAST(v // {1 << 32} AS BIGINT) AS hi,
 FROM tagged"""
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition-count matrix over per-user event sequences
+    (prev_type -> cur_type, the sequence-model / funnel-discovery data-prep
+    aggregate): hash-partition by user_id, ONE vectorized lexsort pass per
+    partition (the lag_rank_events exchange — users never co-locate beyond
+    their hash partition), adjacency within user runs detected by shift
+    compare, then per-partition (prev, cur) partial counts folded through
+    the coalesced combiner (type-pair key space is enum-bounded). The
+    corpus moves exactly once; the combine moves O(types^2 x partitions)."""
+    from ..stages.focal import add_key_partition
+
+    ds = read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def transitions(t: pa.Table) -> pa.Table:
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "cur_type": pa.array([], pa.string()),
+                          "n": pa.array([], I64)})
+        if len(t) < 2:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, k = uid[order], et[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        pairs = pa.table({"prev_type": pa.array(k[:-1][same]),
+                          "cur_type": pa.array(k[1:][same])})
+        g = pairs.group_by(["prev_type", "cur_type"]) \
+            .aggregate([("prev_type", "count")])
+        return g.rename_columns(["prev_type", "cur_type", "n"])
+
+    parts = ds.map_batches(partial(add_key_partition, key_cols=["user_id"],
+                                   num_partitions=_nparts()),
+                           batch_format="pyarrow") \
+        .groupby("part").map_groups(transitions, batch_format="pyarrow")
+    out = grouped_sums(parts, ["prev_type", "cur_type"], ["n"],
+                       small_key_space=True)
+    return _cast_cols(out, {"n": I64})
+
+
+def sql_event_transitions() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS prev_type, event_type AS cur_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2"""
+
+
 def q_hll_grouped(sf_dir: str):
     """Grouped HyperLogLog: distinct users PER event_type as per-group
     register tables — the sketch-as-grouped-aggregate shape behind every
@@ -8714,6 +8770,7 @@ QUERIES: dict[str, tuple] = {
     "hdr_quantiles": (q_hdr_quantiles, sql_hdr_quantiles),
     "group_moments": (q_group_moments, sql_group_moments),
     "hll_grouped": (q_hll_grouped, sql_hll_grouped),
+    "event_transitions": (q_event_transitions, sql_event_transitions),
     "bigram_lm_score": (q_bigram_lm_score, sql_bigram_lm_score),
     "source_caps": (q_source_caps, sql_source_caps),
     "funnel_stages": (q_funnel_stages, sql_funnel_stages),
