@@ -7455,6 +7455,80 @@ SELECT CAST(v // {1 << 32} AS BIGINT) AS hi,
 FROM tagged"""
 
 
+def q_score_calibration(sf_dir: str):
+    """Per-source quantile normalization (score calibration) of a quality
+    signal: a global threshold on a RAW quality score keeps whatever the
+    easiest source emits, so large-scale curation normalizes each doc to
+    its within-source percentile first and thresholds THAT (the CCNet
+    per-bucket trick generalized). Integer-exact end to end: score =
+    alpha-chars ppm of doc length, percentile = (rank-1) * 1e6 // (n-1)
+    over the tie-free (score, doc_id) order within source. One source-hash
+    exchange, one vectorized lexsort pass per partition (sources never
+    co-locate beyond their hash partition); no global sort."""
+    from ..stages import text as T
+    from ..stages.focal import add_key_partition
+
+    ds = read(sf_dir, "documents", ["doc_id", "source", "text"]) \
+        .map_batches(T.quality_batch, batch_format="pyarrow") \
+        .map_batches(lambda b: pa.table({
+            "doc_id": b.column("doc_id"), "source": b.column("source"),
+            "score_ppm": pc.divide(
+                pc.multiply(pc.cast(b.column("n_alpha"), I64),
+                            pa.scalar(1_000_000, I64)),
+                pc.max_element_wise(pc.cast(b.column("n_chars_obs"), I64),
+                                    pa.scalar(1, I64)))}),
+            batch_format="pyarrow")
+
+    def calibrate(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], I64),
+                             "source": pa.array([], pa.string()),
+                             "score_ppm": pa.array([], I64),
+                             "pct_ppm": pa.array([], I64)})
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = t.column("score_ppm").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, sc, src))
+        s, d, v = src[order], doc[order], sc[order]
+        n = len(s)
+        pos = np.arange(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = s[1:] != s[:-1]
+        seg_start = pos[np.nonzero(new)[0]][np.cumsum(new) - 1]
+        seg_len = np.diff(np.append(np.nonzero(new)[0], n))[np.cumsum(new) - 1]
+        rank = pos - seg_start  # 0-based
+        pct = np.where(seg_len > 1, rank * 1_000_000 // np.maximum(seg_len - 1, 1), 0)
+        return pa.table({"doc_id": pa.array(d), "source": pa.array(s),
+                         "score_ppm": pa.array(v),
+                         "pct_ppm": pa.array(pct.astype(np.int64))})
+
+    out = ds.map_batches(partial(add_key_partition, key_cols=["source"],
+                                 num_partitions=_nparts()),
+                         batch_format="pyarrow") \
+        .groupby("part").map_groups(calibrate, batch_format="pyarrow")
+    return _cast_cols(out, {"doc_id": I64, "score_ppm": I64, "pct_ppm": I64})
+
+
+def sql_score_calibration() -> str:
+    return """
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS BIGINT) * 1000000
+           // greatest(CAST(length(text) AS BIGINT), 1) AS score_ppm
+  FROM documents),
+r AS (
+  SELECT doc_id, source, score_ppm,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score_ppm, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM s)
+SELECT doc_id, source, score_ppm,
+       CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_ppm
+FROM r"""
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition-count matrix over per-user event sequences
     (prev_type -> cur_type, the sequence-model / funnel-discovery data-prep
@@ -8771,6 +8845,7 @@ QUERIES: dict[str, tuple] = {
     "group_moments": (q_group_moments, sql_group_moments),
     "hll_grouped": (q_hll_grouped, sql_hll_grouped),
     "event_transitions": (q_event_transitions, sql_event_transitions),
+    "score_calibration": (q_score_calibration, sql_score_calibration),
     "bigram_lm_score": (q_bigram_lm_score, sql_bigram_lm_score),
     "source_caps": (q_source_caps, sql_source_caps),
     "funnel_stages": (q_funnel_stages, sql_funnel_stages),
