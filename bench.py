@@ -568,6 +568,91 @@ def run_window_scale() -> dict:
     return out
 
 
+def run_graph_scale() -> dict:
+    """Graph family 64x collapse datapoint (the last corpus-scaled exchange
+    family without a replica-collapse proof): copurchase_triangles over the
+    sf0.1 lineitem replicated 64x with per-replica order/part key offsets —
+    replicas are DISJOINT co-purchase graphs with identical structure, so
+    any cross-replica edge leakage through the pair/wedge exchanges, any
+    min-support miscount, or any orientation error shows up as a
+    per-replica triangle-total mismatch or a replica-0 byte diff.
+
+    Exactness checks (all asserted): rows exactly 64 x 1x; 64x output
+    restricted to replica-0 nodes byte-identical to the 1x run; per-replica
+    n_tri totals identical across all 64 replicas."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from geotrellis_server_ray.pipelines.registry import q_copurchase_triangles
+
+    F, OOFF, POFF = 64, 100_000_000, 1_000_000
+    base = pq.read_table(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    ok = base.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = base.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    # Random baskets barely survive min-support (1 triangle at sf0.1), which
+    # would leave the wedge stage untested — inject 8 deterministic 24-part
+    # clique orders per replica (each clique co-bought in TWO orders so every
+    # pair passes TRI_MIN_SUP=2) through the SAME query path: 8 * C(24,3) =
+    # 16,192 known triangles per replica on top of the organic one.
+    NCLIQ, CSZ = 8, 24
+    cl_ok, cl_pk = [], []
+    for c in range(NCLIQ):
+        parts = 900_000 + c * CSZ + np.arange(CSZ, dtype=np.int64)
+        for rep in range(2):  # two identical orders -> pair support 2
+            cl_ok.append(np.full(CSZ, 50_000_000 + c * 2 + rep, np.int64))
+            cl_pk.append(parts)
+    ok = np.concatenate([ok] + cl_ok)
+    pk = np.concatenate([pk] + cl_pk)
+    assert ok.max() < OOFF and pk.max() < POFF
+
+    d1 = "/tmp/gsr_graph_scale/sf1x"
+    d64 = "/tmp/gsr_graph_scale/sf64x"
+    for d in (d1, d64):
+        os.makedirs(d, exist_ok=True)
+
+    def shifted(r: int) -> pa.Table:
+        return pa.table({"l_orderkey": pa.array(ok + r * OOFF),
+                         "l_partkey": pa.array(pk + r * POFF)})
+
+    pq.write_table(shifted(0), f"{d1}/lineitem.parquet")
+    pq.write_table(pa.concat_tables([shifted(r) for r in range(F)]),
+                   f"{d64}/lineitem.parquet")
+
+    t0 = time.perf_counter()
+    a = q_copurchase_triangles(d1).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    t1x = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    b = q_copurchase_triangles(d64).to_pandas()
+    t64x = time.perf_counter() - t0
+
+    assert len(b) == F * len(a), "rows not linear"
+    rep = b.node // POFF
+    per = b.groupby(rep).n_tri.sum()
+    assert per.nunique() == 1, "replica triangle totals diverge"
+    r0 = b[b.node < POFF].sort_values("node").reset_index(drop=True)
+    assert r0[a.columns].equals(a), "replica-0 at 64x != 1x"
+
+    out = {"metric": "graph_scale", "sf": SF_DIR, "num_cpus": NUM_CPUS,
+           "factor": F, "lineitem_1x": len(ok),
+           "nodes_1x": int(len(a)), "triangles_1x": int(a.n_tri.sum() // 3),
+           "rows_64x": int(len(b)), "linear": True,
+           "replica0_byte_identical": True, "replica_totals_equal": True,
+           "sec_1x": round(t1x, 2), "sec_64x": round(t64x, 2)}
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--interval-scale" in sys.argv:
         print(json.dumps(run_interval_scale()))
@@ -575,6 +660,8 @@ if __name__ == "__main__":
         print(json.dumps(run_text_scale()))
     elif "--window-scale" in sys.argv:
         print(json.dumps(run_window_scale()))
+    elif "--graph-scale" in sys.argv:
+        print(json.dumps(run_graph_scale()))
     elif "--scaling-query" in sys.argv:
         print(json.dumps(run_scaling(sys.argv[sys.argv.index("--scaling-query") + 1])))
     elif "--scaling" in sys.argv:
