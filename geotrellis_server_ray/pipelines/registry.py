@@ -7455,6 +7455,46 @@ SELECT CAST(v // {1 << 32} AS BIGINT) AS hi,
 FROM tagged"""
 
 
+def q_hdr_grouped(sf_dir: str):
+    """Grouped HDR quantile sketch: doc-length distribution PER source as
+    per-group (bucket, cnt) tables — the per-domain quality-control shape
+    (p50/p95 document length per crawl source at 100 TB) where the exact
+    answer needs a per-source sort but the sketch moves <= sources x
+    (64-m+1) x 2^m bounded rows per block, sum-merged (order-invariant).
+    Pairs with hll_grouped: the two grouped-sketch aggregations every
+    segment dashboard runs. Contract = the register-style count table,
+    bucket map replayed via length(bin(v)); per-source p50/p95 diagnostics
+    pytest-bounded vs exact."""
+    from functools import partial as _p
+
+    from ..stages import sketch as SK
+
+    ds = read(sf_dir, "documents", ["source", "n_chars"])
+    partials = ds.map_batches(
+        _p(SK.hdr_grouped_partial_batch, val_col="n_chars",
+           group_col="source"),
+        batch_format="pyarrow")
+    merge = _p(SK.hdr_grouped_merge, group_col="source")
+    out = partials.map_batches(merge, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow")
+    return _cast_cols(out, {"bucket": I64, "cnt": I64})
+
+
+def sql_hdr_grouped() -> str:
+    from ..stages.sketch import HDR_M
+
+    m = HDR_M
+    return f"""
+WITH c AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+e AS (SELECT source, v, CASE WHEN v < {1 << m} THEN {m}
+                             ELSE length(bin(v)) - 1 END AS ee FROM c),
+b AS (SELECT source,
+             ((ee - {m}) << {m}) + (v >> (ee - {m})) AS bucket FROM e)
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1, 2"""
+
+
 def q_score_calibration(sf_dir: str):
     """Per-source quantile normalization (score calibration) of a quality
     signal: a global threshold on a RAW quality score keeps whatever the
@@ -8846,6 +8886,7 @@ QUERIES: dict[str, tuple] = {
     "hll_grouped": (q_hll_grouped, sql_hll_grouped),
     "event_transitions": (q_event_transitions, sql_event_transitions),
     "score_calibration": (q_score_calibration, sql_score_calibration),
+    "hdr_grouped": (q_hdr_grouped, sql_hdr_grouped),
     "bigram_lm_score": (q_bigram_lm_score, sql_bigram_lm_score),
     "source_caps": (q_source_caps, sql_source_caps),
     "funnel_stages": (q_funnel_stages, sql_funnel_stages),

@@ -383,3 +383,20 @@ def hll_grouped_partial_batch(batch: pa.Table, key_col: str,
 def hll_grouped_merge(batch: pa.Table, group_col: str) -> pa.Table:
     g = batch.group_by([group_col, "bucket"]).aggregate([("reg", "max")])
     return g.rename_columns([group_col, "bucket", "reg"])
+
+
+def hdr_grouped_partial_batch(batch: pa.Table, val_col: str, group_col: str,
+                              m: int = HDR_M) -> pa.Table:
+    """Per-group HDR partials: rows (group, bucket, cnt) — quantile sketch
+    per segment (p50/p95 doc length per source, latency per endpoint, ...);
+    <= groups_in_block * (64-m+1) * 2^m rows per block, sum-merge."""
+    v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    t = pa.table({group_col: batch.column(group_col),
+                  "bucket": pa.array(hdr_bucket(v, m))})
+    g = t.group_by([group_col, "bucket"]).aggregate([("bucket", "count")])
+    return g.rename_columns([group_col, "bucket", "cnt"])
+
+
+def hdr_grouped_merge(batch: pa.Table, group_col: str) -> pa.Table:
+    g = batch.group_by([group_col, "bucket"]).aggregate([("cnt", "sum")])
+    return g.rename_columns([group_col, "bucket", "cnt"])

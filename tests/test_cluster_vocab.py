@@ -542,3 +542,26 @@ def test_hll_grouped_estimates_and_merge(ray_session, sf_correct):
         est = hll_estimate(sub.bucket.to_numpy(), sub.reg.to_numpy())
         exact = raw[raw.event_type == etype].user_id.nunique()
         assert abs(est - exact) <= max(0.08 * exact, 20), (etype, est, exact)
+
+
+def test_hdr_grouped_per_source_quantiles(ray_session, sf_correct):
+    """Grouped HDR: per-source p50/p95 reconstructions from the register
+    table land within the 2^-m relative bound of exact quantiles."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geotrellis_server_ray.pipelines.registry import q_hdr_grouped
+    from geotrellis_server_ray.stages.sketch import HDR_M, hdr_quantile
+
+    df = q_hdr_grouped(sf_correct).to_pandas()
+    raw = pq.read_table(f"{sf_correct}/documents.parquet",
+                        columns=["source", "n_chars"]).to_pandas()
+    for src, sub in df.groupby("source"):
+        v = raw[raw.source == src].n_chars.to_numpy()
+        assert sub.cnt.sum() == len(v)
+        for q in (0.5, 0.95):
+            est = hdr_quantile(sub.bucket.to_numpy(),
+                               sub.cnt.to_numpy().astype(np.int64), q)
+            exact = float(np.quantile(v, q, method="inverted_cdf"))
+            assert abs(est - exact) <= exact * 2.0 ** -HDR_M + 0.5, \
+                (src, q, est, exact)
