@@ -7455,6 +7455,81 @@ SELECT CAST(v // {1 << 32} AS BIGINT) AS hi,
 FROM tagged"""
 
 
+def q_vocab_overlap_matrix(sf_dir: str):
+    """Source-pair vocabulary-overlap matrix: for every source pair
+    (src_a < src_b), the number of DISTINCT tokens present in both — the
+    pairwise content-sharing diagnostic next to source_drift's two-source
+    divergence (which crawls/feeds speak the same language; the same plan
+    keyed on content hashes instead of tokens yields the cross-source
+    duplicate-rate matrix). Per-block distinct (token, source) partials,
+    ONE token-keyed hash exchange co-locating each token's sources, then a
+    FULLY VECTORIZED per-token pair expansion: sources are enum-bounded, so
+    segments group by their length (<= |sources| distinct lengths), reshape
+    to (nseg, L) matrices, and expand via one triu_indices gather per
+    length — no Python loop over the Zipf-sized token space. Combine is
+    enum-bounded (<= C(|sources|,2) keys)."""
+    from ..stages.focal import add_key_partition
+    from ..stages.text import _explode_tokens
+
+    ds = read(sf_dir, "documents", ["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        parent, flat = _explode_tokens(b, "text")
+        src = b.column("source").take(parent)
+        t = pa.table({"token": flat, "source": src})
+        return t.group_by(["token", "source"]).aggregate([])
+
+    def pair_expand(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src_a": pa.array([], pa.string()),
+                          "src_b": pa.array([], pa.string()),
+                          "n": pa.array([], I64)})
+        if len(t) == 0:
+            return empty
+        g = t.group_by(["token", "source"]).aggregate([])  # distinct again
+        tok = g.column("token").to_numpy(zero_copy_only=False)
+        src = g.column("source").to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, tok))
+        tok, src = tok[order], src[order]
+        n = len(tok)
+        new = np.ones(n, dtype=bool)
+        new[1:] = tok[1:] != tok[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, n))
+        pa_list, pb_list = [], []
+        for ln in np.unique(lens[lens >= 2]):  # <= |sources| iterations
+            segs = starts[lens == ln]
+            mat = src[segs[:, None] + np.arange(ln)]
+            ia, ib = np.triu_indices(int(ln), k=1)
+            pa_list.append(mat[:, ia].ravel())
+            pb_list.append(mat[:, ib].ravel())
+        if not pa_list:
+            return empty
+        pairs = pa.table({"src_a": pa.array(np.concatenate(pa_list)),
+                          "src_b": pa.array(np.concatenate(pb_list))})
+        g2 = pairs.group_by(["src_a", "src_b"]).aggregate([("src_a", "count")])
+        return g2.rename_columns(["src_a", "src_b", "n"])
+
+    parts = ds.map_batches(prep, batch_format="pyarrow") \
+        .map_batches(partial(add_key_partition, key_cols=["token"],
+                             num_partitions=_nparts_for(sf_dir, "documents")),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(pair_expand, batch_format="pyarrow")
+    out = grouped_sums(parts, ["src_a", "src_b"], ["n"], small_key_space=True)
+    return _cast_cols(out, {"n": I64})
+
+
+def sql_vocab_overlap_matrix() -> str:
+    return """
+WITH tok AS (
+  SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents),
+t2 AS (SELECT source, token FROM tok WHERE token <> '')
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM t2 a JOIN t2 b ON a.token = b.token AND a.source < b.source
+GROUP BY 1, 2"""
+
+
 def q_hdr_grouped(sf_dir: str):
     """Grouped HDR quantile sketch: doc-length distribution PER source as
     per-group (bucket, cnt) tables — the per-domain quality-control shape
@@ -8887,6 +8962,7 @@ QUERIES: dict[str, tuple] = {
     "event_transitions": (q_event_transitions, sql_event_transitions),
     "score_calibration": (q_score_calibration, sql_score_calibration),
     "hdr_grouped": (q_hdr_grouped, sql_hdr_grouped),
+    "vocab_overlap_matrix": (q_vocab_overlap_matrix, sql_vocab_overlap_matrix),
     "bigram_lm_score": (q_bigram_lm_score, sql_bigram_lm_score),
     "source_caps": (q_source_caps, sql_source_caps),
     "funnel_stages": (q_funnel_stages, sql_funnel_stages),
