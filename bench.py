@@ -628,12 +628,14 @@ def run_graph_scale() -> dict:
     pq.write_table(pa.concat_tables([shifted(r) for r in range(F)]),
                    f"{d64}/lineitem.parquet")
 
+    # threshold=0 forces the DISTRIBUTED wedge/closing plan (the gated
+    # driver fast path would otherwise absorb both runs — the --cc precedent)
     t0 = time.perf_counter()
-    a = q_copurchase_triangles(d1).to_pandas() \
+    a = q_copurchase_triangles(d1, small_edge_threshold=0).to_pandas() \
         .sort_values("node").reset_index(drop=True)
     t1x = time.perf_counter() - t0
     t0 = time.perf_counter()
-    b = q_copurchase_triangles(d64).to_pandas()
+    b = q_copurchase_triangles(d64, small_edge_threshold=0).to_pandas()
     t64x = time.perf_counter() - t0
 
     assert len(b) == F * len(a), "rows not linear"

@@ -7153,7 +7153,7 @@ FROM h ORDER BY pri, doc_id LIMIT {WS_K}"""
 TRI_MIN_SUP = 2
 
 
-def q_copurchase_triangles(sf_dir: str):
+def q_copurchase_triangles(sf_dir: str, small_edge_threshold: int = 500_000):
     """Triangle counting on the co-purchase graph (parts sharing an order),
     with degree orientation (Schank & Wagner 2005; Suri & Vassilvitskii
     WWW'11 MapReduce form — see stages/graph.py). Per-node triangle
@@ -7190,7 +7190,7 @@ def q_copurchase_triangles(sf_dir: str):
         .map_batches(lambda b: b.filter(
             pc.greater_equal(b.column("n"), TRI_MIN_SUP)).select(["a", "b"]),
             batch_format="pyarrow")
-    return _cast_cols(triangle_node_counts(edges, jp),
+    return _cast_cols(triangle_node_counts(edges, jp, small_edge_threshold),
                       {"node": I64, "n_tri": I64})
 
 

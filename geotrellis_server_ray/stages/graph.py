@@ -89,10 +89,53 @@ def wedge_pairs(t: pa.Table) -> pa.Table:
                      "apex": pa.array(u[i])})
 
 
-def triangle_node_counts(edges_ds, num_partitions: int):
+def _triangle_counts_local(a: np.ndarray, b: np.ndarray):
+    """Exact per-node triangle counts for a small edge list, numpy-only:
+    the same degree orientation as the distributed path, one lexsort for
+    wedges, one searchsorted closing-edge probe. Returns (nodes, counts)
+    or None if the wedge total exceeds the in-memory budget (pathological
+    density — fall back to the distributed plan)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    m = len(a)
+    ca, cb = inv[:m], inv[m:]
+    n = len(nodes)
+    deg = np.bincount(np.concatenate([ca, cb]), minlength=n)
+    k = deg * np.int64(n) + np.arange(n, dtype=np.int64)  # strict total order
+    fwd = k[ca] < k[cb]
+    u = np.where(fwd, ca, cb)
+    v = np.where(fwd, cb, ca)
+    dout = np.bincount(u, minlength=n)
+    n_wedges = int((dout.astype(np.int64) * (dout - 1) // 2).sum())
+    if n_wedges > 50_000_000:  # ~1.2 GB of pair indices — stay distributed
+        return None
+    order = np.lexsort((k[v], u))
+    us, vs = u[order], v[order]
+    i, j = _segment_pair_index(us)
+    edge_key = np.sort(u.astype(np.int64) * n + v)
+    wkey = vs[i].astype(np.int64) * n + vs[j]
+    pos = np.searchsorted(edge_key, wkey)
+    pos[pos >= len(edge_key)] = 0
+    closed = edge_key[pos] == wkey if len(edge_key) else np.zeros(0, bool)
+    corners = np.concatenate([us[i][closed], vs[i][closed], vs[j][closed]])
+    cnt = np.bincount(corners, minlength=n)
+    keep = cnt > 0
+    return nodes[keep], cnt[keep].astype(np.int64)
+
+
+def triangle_node_counts(edges_ds, num_partitions: int,
+                         small_edge_threshold: int = 500_000):
     """edges_ds: distinct undirected edges (a < b) as int64 columns a, b.
     Returns a Dataset of (node, n_tri) — per-node triangle participation
-    counts (each triangle increments all three corners)."""
+    counts (each triangle increments all three corners).
+
+    Gated driver fast path (the connected_components union-find precedent):
+    an edge list at or under ``small_edge_threshold`` rows (<= 8 MB of int64
+    pairs — the op's OUTPUT-scale artifact after min-support, not the
+    corpus) computes locally in one numpy pass instead of paying ~5 fixed
+    exchange rounds; a second in-path guard falls back to the distributed
+    plan if the oriented wedge total is pathological. ``bench.py
+    --graph-scale`` forces threshold=0 to exercise the distributed path at
+    64x; both paths are asserted equal in tests."""
     import pyarrow.compute as pc
 
     from ..pipelines.relational import grouped_sums
@@ -101,6 +144,19 @@ def triangle_node_counts(edges_ds, num_partitions: int):
     # probe); materialize once — the edge list is the op's own input scale,
     # spill-backed like any block set
     edges = edges_ds.materialize()
+
+    if edges.count() <= small_edge_threshold:
+        import ray.data as rd
+
+        tbl = pa.concat_tables(
+            [pa.table(bb) for bb in edges.iter_batches(batch_format="pyarrow")],
+            promote_options="default") if edges.count() else pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        res = _triangle_counts_local(_i64(tbl, "a"), _i64(tbl, "b")) \
+            if len(tbl) else (np.array([], np.int64), np.array([], np.int64))
+        if res is not None:
+            return rd.from_arrow(pa.table({"node": pa.array(res[0]),
+                                           "n_tri": pa.array(res[1])}))
 
     def flat_ends(b: pa.Table) -> pa.Table:
         a, bb = _i64(b, "a"), _i64(b, "b")

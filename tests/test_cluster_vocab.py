@@ -565,3 +565,31 @@ def test_hdr_grouped_per_source_quantiles(ray_session, sf_correct):
             exact = float(np.quantile(v, q, method="inverted_cdf"))
             assert abs(est - exact) <= exact * 2.0 ** -HDR_M + 0.5, \
                 (src, q, est, exact)
+
+
+def test_triangle_paths_agree(ray_session, sf_correct):
+    """The gated driver fast path and the forced-distributed wedge/closing
+    plan produce identical per-node triangle counts (the semi_anti_join /
+    connected_components forced-threshold precedent), including on a dense
+    known graph: K5 + a pendant edge = C(4,2)=6 triangles per K5 corner."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geotrellis_server_ray.pipelines.registry import q_copurchase_triangles
+    from geotrellis_server_ray.stages.graph import triangle_node_counts
+
+    k = lambda d: d.sort_values("node").reset_index(drop=True)
+    fast = k(q_copurchase_triangles(sf_correct).to_pandas())
+    dist = k(q_copurchase_triangles(sf_correct,
+                                    small_edge_threshold=0).to_pandas())
+    assert fast.equals(dist)
+
+    ia, ib = np.triu_indices(5, k=1)
+    edges = pa.table({"a": pa.array(np.append(ia, 4).astype(np.int64)),
+                      "b": pa.array(np.append(ib, 99).astype(np.int64))})
+    for thr in (0, 1_000):
+        out = k(triangle_node_counts(rd.from_arrow(edges), 4,
+                                     small_edge_threshold=thr).to_pandas())
+        assert list(out.node) == [0, 1, 2, 3, 4]
+        assert list(out.n_tri) == [6, 6, 6, 6, 6], thr
