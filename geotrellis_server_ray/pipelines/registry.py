@@ -6734,35 +6734,56 @@ FK_RELS = (("orders.o_custkey", "customer.c_custkey"),
            ("lineitem.l_orderkey", "orders.o_orderkey"))
 
 
+_FK_NULL_SENTINEL = -(1 << 62)  # NULL child keys: NOT EXISTS is always true
+
+
 def q_fk_violations(sf_dir: str):
     """Referential-integrity audit — table_profile's cross-table sibling in
     the validation family: for each FK relationship, the child row count,
     the orphan count (child keys with NO parent — NOT EXISTS), and the
-    count of distinct parent keys actually referenced.
+    count of distinct (non-null) child keys.
 
-    Scale shape: rides semi_anti_join (distinct-partial build, broadcast
-    or native anti join — both scale-honest) for orphans; the distinct
-    referenced-parent count is per-block unique partials through one hash
-    exchange. Output is relationship-count-bounded."""
+    Scale shape (fused, r5 tail): the child table is scanned ONCE per
+    relationship — per-block key counts fold through the wide-key combiner
+    exchange into a compact (key, n) table, from which one bounded-partial
+    pass reads n_child = sum(n) and n_distinct = count(non-sentinel keys),
+    and semi_anti_join (distinct-partial build, broadcast/native gate)
+    marks orphan keys whose counts one more bounded-partial pass sums.
+    NULL child keys map to an int64 sentinel that no parent can carry, so
+    they count as orphans exactly as SQL's NULL-NOT-EXISTS does. Replaces
+    the r5 three-scans-per-relationship plan (4.8 s -> child read once,
+    anti probe over keys not rows). Output is relationship-count-bounded."""
     from .relational import semi_anti_join
+
+    def key_counts(b: pa.Table, c: str) -> pa.Table:
+        v = pc.fill_null(pc.cast(b.column(c), I64),
+                         pa.scalar(_FK_NULL_SENTINEL, I64))
+        g = pa.table({"v": v}).group_by(["v"]).aggregate([([], "count_all")])
+        return pa.table({"v": g.column("v"),
+                         "n": pc.cast(g.column("count_all"), I64)})
+
+    def fold_partials(b: pa.Table) -> pa.Table:
+        n = b.column("n")
+        nonsent = pc.sum(pc.cast(pc.not_equal(
+            b.column("v"), pa.scalar(_FK_NULL_SENTINEL, I64)), I64)).as_py()
+        return pa.table({"sum_n": pa.array([pc.sum(n).as_py() or 0], I64),
+                         "k": pa.array([nonsent or 0], I64)})
+
+    def folded(ds) -> tuple[int, int]:
+        parts = ds.map_batches(fold_partials, batch_format="pyarrow").take_all()
+        return (sum(int(r["sum_n"]) for r in parts),
+                sum(int(r["k"]) for r in parts))
 
     rows = []
     for child, parent in FK_RELS:
         ct, cc = child.split(".")
         pt, pc_ = parent.split(".")
-        child_ds = read(sf_dir, ct, [cc])
-        parent_ds = read(sf_dir, pt, [pc_])
-        n_child = child_ds.count()
-        orphans = semi_anti_join(child_ds, cc, parent_ds, pc_, anti=True)
-        n_orphan = orphans.count()
-        uniq = child_ds.map_batches(
-            lambda b, c=cc: pa.table({"v": pc.unique(pc.drop_null(b.column(c)))}),
-            batch_format="pyarrow")
-        n_ref = grouped_sums(
-            uniq.map_batches(lambda b: b.append_column(
-                "one", pa.array(np.ones(len(b), dtype=np.int64))),
-                batch_format="pyarrow"),
-            ["v"], ["one"], wide=True).count()
+        keyed = read(sf_dir, ct, [cc]).map_batches(
+            partial(key_counts, c=cc), batch_format="pyarrow")
+        keyed = grouped_sums(keyed, ["v"], ["n"], wide=True).materialize()
+        n_child, n_ref = folded(keyed)
+        n_orphan, _ = folded(semi_anti_join(
+            keyed, "v", read(sf_dir, pt, [pc_]), pc_, anti=True))
         rows.append((f"{child}->{parent}", n_child, n_orphan, n_ref))
     return pa.table({
         "relationship": pa.array([r[0] for r in rows], pa.string()),
