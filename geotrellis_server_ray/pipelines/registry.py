@@ -5850,6 +5850,152 @@ WHERE c_xy >= {PMI_MIN_C}
 ORDER BY score DESC, w1, w2 LIMIT {PMI_K}"""
 
 
+BPE_MERGES = 8
+_BPE_SEP = "\x1f"  # unit separator: can never appear in space-split tokens
+
+
+def _bpe_word_partial(b: pa.Table) -> pa.Table:
+    """Per-block (word, cnt) partials over the house token universe —
+    additive across blocks, Zipf-bounded rows per block."""
+    _, flat = T._explode_tokens(b)
+    g = pa.table({"w": flat}).group_by(["w"]).aggregate([([], "count_all")])
+    return pa.table({"w": g.column("w"),
+                     "cnt": pc.cast(g.column("count_all"), I64)})
+
+
+def _bpe_seed_syms(b: pa.Table) -> pa.Table:
+    """word -> initial symbol string: one separator between every character
+    (array_to_string(string_split(w, ''), chr(31)) in the oracle)."""
+    x = pc.replace_substring_regex(b.column("w"), pattern="(.)",
+                                   replacement="\\1" + _BPE_SEP)
+    return pa.table({"sym": pc.utf8_rtrim(x, characters=_BPE_SEP),
+                     "cnt": b.column("cnt")})
+
+
+def _bpe_pair_partial(b: pa.Table) -> pa.Table:
+    """Per-block adjacent-symbol-pair counts weighted by word frequency.
+    Counts OVERLAPPING occurrences per slot ('aaa' holds two (a,a) pairs) —
+    the Sennrich counting rule, and what list_zip unnest replays in SQL."""
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "c": pa.array([], I64)})
+    if len(b) == 0:
+        return empty
+    syms = pc.split_pattern(b.column("sym"), _BPE_SEP)
+    if isinstance(syms, pa.ChunkedArray):
+        syms = syms.combine_chunks()
+    flat = pc.list_flatten(syms)
+    parent = pc.list_parent_indices(syms)
+    n = len(flat)
+    if n < 2:
+        return empty
+    p = parent.to_numpy(zero_copy_only=False)
+    same = pa.array(p[1:] == p[:-1])
+    cnt = b.column("cnt").take(pa.array(p[:-1], type=I64))
+    t = pa.table({"w1": pc.filter(flat.slice(0, n - 1), same),
+                  "w2": pc.filter(flat.slice(1, n - 1), same),
+                  "c": pc.filter(cnt, same)})
+    if len(t) == 0:
+        return empty
+    g = t.group_by(["w1", "w2"]).aggregate([("c", "sum")])
+    return pa.table({"w1": g.column("w1"), "w2": g.column("w2"),
+                     "c": pc.cast(g.column("c_sum"), I64)})
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE vocabulary training (Sennrich et al. 2016) — learn the
+    first BPE_MERGES merge rules over the corpus: start from characters,
+    repeatedly take the most-frequent adjacent symbol pair (ties break on the
+    pair itself) and fuse it, greedy-left non-overlapping within a word —
+    exactly the semantics of a literal ``replace`` on separator-joined symbol
+    strings, which is how both engines apply a rule (pyarrow
+    replace_substring == SQL replace; both corners pinned against a direct
+    reference trainer in tests/test_bpe.py). The tokenizer-training step
+    every LLM data pipeline runs before token counting / packing.
+
+    Scale shape (how real distributed BPE trainers work): the corpus is read
+    ONCE into a (word, cnt) table — per-block partials through one
+    Zipf-bounded exchange — and every merge round after that touches only
+    that vocab-sized table: per-block pair partials -> one pair-vocab-bounded
+    wide-key exchange -> per-block argmax partials, so the driver folds
+    #blocks candidate rows per round (never the pair space) and broadcasts
+    back one rule. K rounds = K narrow exchanges over vocab-sized data; the
+    100 TB corpus is touched exactly once."""
+    words = grouped_sums(
+        read(sf_dir, "documents", ["text"])
+        .map_batches(_bpe_word_partial, batch_format="pyarrow"),
+        ["w"], ["cnt"]) \
+        .map_batches(_bpe_seed_syms, batch_format="pyarrow").materialize()
+
+    def best_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        w1 = t.column("w1").to_numpy(zero_copy_only=False)
+        w2 = t.column("w2").to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.lexsort((w2, w1, -c))[:1]))
+
+    def apply_rule(b: pa.Table, pat: str, rep: str) -> pa.Table:
+        return pa.table({
+            "sym": pc.replace_substring(b.column("sym"), pattern=pat,
+                                        replacement=rep),
+            "cnt": b.column("cnt")})
+
+    rules = []
+    for k in range(1, BPE_MERGES + 1):
+        # pair keys are vocab-scaled (Zipf-bounded) -> the default native
+        # combiner groupby, not the wide-key exchange (that path is for
+        # 100k+-key spaces and pays cluster-width partitions per round)
+        pairs = grouped_sums(
+            words.map_batches(_bpe_pair_partial, batch_format="pyarrow"),
+            ["w1", "w2"], ["c"])
+        cand = pairs.map_batches(best_partial, batch_format="pyarrow").take_all()
+        if not cand:  # vocabulary fully merged before K rounds
+            break
+        best = min(cand, key=lambda r: (-int(r["c"]), r["w1"], r["w2"]))
+        rules.append((k, best["w1"], best["w2"], int(best["c"])))
+        words = words.map_batches(
+            partial(apply_rule, pat=best["w1"] + _BPE_SEP + best["w2"],
+                    rep=best["w1"] + best["w2"]),
+            batch_format="pyarrow").materialize()
+    return pa.table({
+        "merge_rank": pa.array([r[0] for r in rules], I64),
+        "w1": pa.array([r[1] for r in rules], pa.string()),
+        "w2": pa.array([r[2] for r in rules], pa.string()),
+        "pair_count": pa.array([r[3] for r in rules], I64),
+    })
+
+
+def sql_bpe_merges() -> str:
+    # Every CTE is MATERIALIZED: each stage references its predecessor ~3x
+    # (pair counts + the two scalar subqueries of the replace), so DuckDB's
+    # default CTE inlining re-expands the chain ~3^K-fold and the unrolled
+    # 8-merge query never finishes; materialization makes it K linear passes.
+    sep = "chr(31)"
+    stages = [f"""w0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(w, ''), {sep}) AS sym,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w FROM documents)
+  GROUP BY 1)"""]
+    for k in range(1, BPE_MERGES + 1):
+        stages.append(f"""p{k} AS MATERIALIZED (
+  SELECT z[1] AS w1, z[2] AS w2, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS z, cnt
+        FROM (SELECT string_split(sym, {sep}) AS l, cnt FROM w{k - 1})
+        WHERE length(l) >= 2)
+  GROUP BY 1, 2)""")
+        stages.append(f"b{k} AS MATERIALIZED "
+                      f"(SELECT w1, w2, c FROM p{k} ORDER BY c DESC, w1, w2 LIMIT 1)")
+        stages.append(f"""w{k} AS MATERIALIZED (
+  SELECT replace(sym, (SELECT w1 || {sep} || w2 FROM b{k}),
+                 (SELECT w1 || w2 FROM b{k})) AS sym, cnt FROM w{k - 1})""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, w1, w2, c AS pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1))
+    return "WITH " + ",\n".join(stages) + "\n" + union + " ORDER BY merge_rank"
+
+
 LM_SCALE = 1_000_000
 # bigram-model rows above which the model stops broadcasting and the scoring
 # rides hash joins instead (the TFIDF_VOCAB_BROADCAST precedent)
@@ -8977,6 +9123,7 @@ QUERIES: dict[str, tuple] = {
     # driver CORRECTNESS row in any prior round enter HERE, ahead of
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
+    "bpe_merges": (q_bpe_merges, sql_bpe_merges),
     "hdr_quantiles": (q_hdr_quantiles, sql_hdr_quantiles),
     "group_moments": (q_group_moments, sql_group_moments),
     "hll_grouped": (q_hll_grouped, sql_hll_grouped),
