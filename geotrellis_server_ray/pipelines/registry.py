@@ -5921,6 +5921,18 @@ def q_bpe_merges(sf_dir: str):
     #blocks candidate rows per round (never the pair space) and broadcasts
     back one rule. K rounds = K narrow exchanges over vocab-sized data; the
     100 TB corpus is touched exactly once."""
+    rules = _bpe_train(sf_dir)
+    return pa.table({
+        "merge_rank": pa.array([r[0] for r in rules], I64),
+        "w1": pa.array([r[1] for r in rules], pa.string()),
+        "w2": pa.array([r[2] for r in rules], pa.string()),
+        "pair_count": pa.array([r[3] for r in rules], I64),
+    })
+
+
+def _bpe_train(sf_dir: str) -> list[tuple[int, str, str, int]]:
+    """The K-round training loop shared by bpe_merges (emits the rules) and
+    bpe_encode (applies them back to the corpus)."""
     words = grouped_sums(
         read(sf_dir, "documents", ["text"])
         .map_batches(_bpe_word_partial, batch_format="pyarrow"),
@@ -5958,15 +5970,10 @@ def q_bpe_merges(sf_dir: str):
             partial(apply_rule, pat=best["w1"] + _BPE_SEP + best["w2"],
                     rep=best["w1"] + best["w2"]),
             batch_format="pyarrow").materialize()
-    return pa.table({
-        "merge_rank": pa.array([r[0] for r in rules], I64),
-        "w1": pa.array([r[1] for r in rules], pa.string()),
-        "w2": pa.array([r[2] for r in rules], pa.string()),
-        "pair_count": pa.array([r[3] for r in rules], I64),
-    })
+    return rules
 
 
-def sql_bpe_merges() -> str:
+def _bpe_sql_stages() -> list[str]:
     # Every CTE is MATERIALIZED: each stage references its predecessor ~3x
     # (pair counts + the two scalar subqueries of the replace), so DuckDB's
     # default CTE inlining re-expands the chain ~3^K-fold and the unrolled
@@ -5990,10 +5997,69 @@ def sql_bpe_merges() -> str:
         stages.append(f"""w{k} AS MATERIALIZED (
   SELECT replace(sym, (SELECT w1 || {sep} || w2 FROM b{k}),
                  (SELECT w1 || w2 FROM b{k})) AS sym, cnt FROM w{k - 1})""")
+    return stages
+
+
+def sql_bpe_merges() -> str:
     union = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, w1, w2, c AS pair_count FROM b{k}"
         for k in range(1, BPE_MERGES + 1))
-    return "WITH " + ",\n".join(stages) + "\n" + union + " ORDER BY merge_rank"
+    return ("WITH " + ",\n".join(_bpe_sql_stages()) + "\n" + union
+            + " ORDER BY merge_rank")
+
+
+def q_bpe_encode(sf_dir: str):
+    """BPE tokenization with the trained merges (train -> APPLY, the second
+    half of the tokenizer lifecycle): per document, the whitespace word count
+    and the subword token count after applying the BPE_MERGES learned rules
+    in rank order — the statistic that token-budget mixing / sequence packing
+    would consume from a subword tokenizer instead of the whitespace count.
+
+    Scale shape: training as in bpe_merges (corpus read once, K vocab-sized
+    rounds); the learned rule list (K tuples, constant size) ships in the
+    task closure, and application is ONE fused streaming pass over the
+    corpus — seed symbols, K vectorized literal replaces, separator count,
+    per-doc sum (complete per block: a document never spans blocks). Zero
+    exchanges after training."""
+    rules = _bpe_train(sf_dir)
+
+    def encode(b: pa.Table) -> pa.Table:
+        parent, flat = T._explode_tokens(b)
+        x = pc.replace_substring_regex(flat, pattern="(.)",
+                                       replacement="\\1" + _BPE_SEP)
+        sym = pc.utf8_rtrim(x, characters=_BPE_SEP)
+        for _, w1, w2, _c in rules:
+            sym = pc.replace_substring(sym, pattern=w1 + _BPE_SEP + w2,
+                                       replacement=w1 + w2)
+        ntok = pc.add(pc.count_substring(sym, _BPE_SEP), 1)
+        doc = b.column("doc_id").take(
+            pa.array(parent.to_numpy(zero_copy_only=False), type=I64))
+        g = pa.table({"doc_id": doc, "n": pc.cast(ntok, I64)}) \
+            .group_by(["doc_id"]).aggregate([("n", "sum"), ([], "count_all")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "n_words": pc.cast(g.column("count_all"), I64),
+                         "n_subtokens": pc.cast(g.column("n_sum"), I64)})
+
+    return read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(encode, batch_format="pyarrow")
+
+
+def sql_bpe_encode() -> str:
+    sep = "chr(31)"
+    stages = ",\n".join(_bpe_sql_stages())
+    sym = f"array_to_string(string_split(w, ''), {sep})"
+    for k in range(1, BPE_MERGES + 1):
+        sym = (f"replace({sym}, (SELECT w1 || {sep} || w2 FROM b{k}),"
+               f" (SELECT w1 || w2 FROM b{k}))")
+    return f"""WITH {stages},
+enc AS MATERIALIZED (
+  SELECT doc_id, {sym} AS sym
+  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS w FROM documents))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(sym) - length(replace(sym, {sep}, '')) + 1) AS BIGINT)
+         AS n_subtokens
+FROM enc GROUP BY 1"""
 
 
 LM_SCALE = 1_000_000
@@ -9124,6 +9190,7 @@ QUERIES: dict[str, tuple] = {
     # everything else; round-4 additions land here too. Enforced by
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "bpe_merges": (q_bpe_merges, sql_bpe_merges),
+    "bpe_encode": (q_bpe_encode, sql_bpe_encode),
     "hdr_quantiles": (q_hdr_quantiles, sql_hdr_quantiles),
     "group_moments": (q_group_moments, sql_group_moments),
     "hll_grouped": (q_hll_grouped, sql_hll_grouped),

@@ -13,7 +13,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from geotrellis_server_ray.pipelines.registry import (
-    BPE_MERGES, q_bpe_merges, sql_bpe_merges)
+    BPE_MERGES, q_bpe_encode, q_bpe_merges, sql_bpe_encode, sql_bpe_merges)
 
 
 def ref_bpe(texts: list[str], k_max: int):
@@ -87,6 +87,48 @@ def test_bpe_matches_reference_and_oracle(ray_session, toy_sf):
     # 8 occurrences of 'aaa' contributing 2 pairs each
     r1 = out.iloc[0]
     assert (r1["w1"], r1["w2"]) == ("a", "a") and r1["pair_count"] == 16
+
+
+def ref_encode(texts: list[str], rules: pd.DataFrame):
+    """Reference application: greedy-left merge of each rule in rank order
+    over every word occurrence, then per-doc word/subtoken counts."""
+    merges = list(zip(rules["w1"], rules["w2"]))
+    rows = []
+    for doc_id, t in enumerate(texts):
+        words = [w for w in t.lower().split(" ") if w]
+        n_sub = 0
+        for w in words:
+            syms = list(w)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n_sub += len(syms)
+        rows.append((doc_id, len(words), n_sub))
+    return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_subtokens"])
+
+
+def test_bpe_encode_matches_reference_and_oracle(ray_session, toy_sf):
+    out = q_bpe_encode(toy_sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ref = ref_encode(TEXTS, ref_bpe(TEXTS, BPE_MERGES))
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # subword merging must actually compress: fewer subtokens than chars
+    n_chars = sum(len(w) for t in TEXTS for w in t.split(" ") if w)
+    assert out["n_subtokens"].sum() < n_chars
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{toy_sf}/documents.parquet')")
+    ora = con.execute(sql_bpe_encode()).fetch_df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ora, check_dtype=False)
 
 
 def test_bpe_early_stop_when_fully_merged(ray_session, tmp_path):
