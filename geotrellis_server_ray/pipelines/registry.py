@@ -6942,6 +6942,66 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM h"""
 
 
+HRW_N = 16       # rendezvous shard count
+HRW_DROP = 0     # the shard whose removal the after-drop column simulates
+
+
+def q_rendezvous_shards(sf_dir: str):
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1998) — training_shards' consistent-hashing sibling: every document goes
+    to the shard s maximizing mix64(mix64(doc_id) + s) (ties -> smallest s),
+    so REMOVING a shard moves ONLY that shard's documents (expected 1/N of
+    keys), where modulo sharding would reshuffle (N-1)/N of the corpus. The
+    query emits the assignment, the assignment with shard HRW_DROP removed,
+    and the moved flag — the churn contract is visible in the output itself
+    (moved == (shard == HRW_DROP), asserted in tests/test_hrw.py).
+
+    Scale shape: a pure per-row map — N seeded hashes per key, argmax across
+    the row, both vectorized (one (rows x N) mix64 lattice per block); zero
+    exchanges, zero driver state. The seed composition mix64(h1 + s) wraps
+    identically in uint64 and in the oracle's HUGEINT-mod-2^64 chain."""
+    from ..stages.sketch import mix64
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = mix64(ids.astype(np.uint64))
+        w = mix64((h1[:, None] + np.arange(HRW_N, dtype=np.uint64)).ravel()) \
+            .reshape(len(ids), HRW_N)
+        shard = np.argmax(w, axis=1)  # first max = smallest s on ties
+        keep = np.flatnonzero(np.arange(HRW_N) != HRW_DROP)
+        after = keep[np.argmax(w[:, keep], axis=1)]  # exact column exclusion
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "shard": pa.array(shard.astype(np.int64)),
+            "shard_after_drop": pa.array(after.astype(np.int64)),
+            "moved": pa.array((shard == HRW_DROP).astype(np.int64)),
+        })
+
+    return read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(assign, batch_format="pyarrow")
+
+
+def sql_rendezvous_shards() -> str:
+    inner = _sql_splitmix64_ctes("doc_id", "documents", carry="doc_id, ")
+    outer = _sql_splitmix64_ctes(
+        "v + s", f"(SELECT doc_id, v, unnest(range({HRW_N})) AS s FROM h)",
+        prefix="s", carry="doc_id, s, ")
+    return f"""
+WITH {inner},
+{outer},
+r AS (SELECT doc_id, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC, s) AS rk
+      FROM sh),
+r2 AS (SELECT doc_id, s,
+              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY v DESC, s) AS rk
+       FROM sh WHERE s <> {HRW_DROP})
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+       CAST(r.s AS BIGINT) AS shard,
+       CAST(r2.s AS BIGINT) AS shard_after_drop,
+       CAST(r.s = {HRW_DROP} AS BIGINT) AS moved
+FROM r JOIN r2 ON r.doc_id = r2.doc_id AND r.rk = 1 AND r2.rk = 1"""
+
+
 FK_RELS = (("orders.o_custkey", "customer.c_custkey"),
            ("lineitem.l_orderkey", "orders.o_orderkey"))
 
@@ -9191,6 +9251,7 @@ QUERIES: dict[str, tuple] = {
     # tests/test_registry_guard.py against the newest CORRECTNESS_r*.json.
     "bpe_merges": (q_bpe_merges, sql_bpe_merges),
     "bpe_encode": (q_bpe_encode, sql_bpe_encode),
+    "rendezvous_shards": (q_rendezvous_shards, sql_rendezvous_shards),
     "hdr_quantiles": (q_hdr_quantiles, sql_hdr_quantiles),
     "group_moments": (q_group_moments, sql_group_moments),
     "hll_grouped": (q_hll_grouped, sql_hll_grouped),
