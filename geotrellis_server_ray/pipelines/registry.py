@@ -8030,6 +8030,92 @@ SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
 FROM br GROUP BY 1, 2"""
 
 
+def q_hll_sliding(sf_dir: str):
+    """Rolling 7-day distinct users as sliding-window HyperLogLog — for each
+    OBSERVED day, the register table of the trailing week (days w-6..w): the
+    'rolling distinct' dashboard primitive that at 100 TB cannot afford one
+    distinct exchange per window. Registers are mergeable, so each day is
+    sketched once and every window is a max-merge of seven daily tables.
+
+    Scale shape: one corpus pass builds per-(day, bucket) register maxes
+    (<= days_in_block x 4096 rows per block, combiner-tree merge); the
+    7x window expansion + window merge then run entirely on the
+    calendar x 4096-bounded daily table — the corpus is never touched
+    again, and no (day, user) distinct exchange ever happens. Driver state
+    = the observed-day list (calendar-bounded). CORRECTNESS contract = the
+    full (window_day, bucket, reg) table; per-window estimates are
+    diagnostic (pytest vs exact trailing-week distinct counts)."""
+    from functools import partial as _p
+
+    from ..stages import sketch as SK
+
+    def day_col(b: pa.Table) -> pa.Table:
+        d = (b.column("ts").to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").astype(np.int64)) // _DAY_US
+        return pa.table({"user_id": b.column("user_id"),
+                         "day": pa.array(d, I64)})
+
+    partials = read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(day_col, batch_format="pyarrow") \
+        .map_batches(_p(SK.hll_grouped_partial_batch, key_col="user_id",
+                        group_col="day"), batch_format="pyarrow")
+    merge_d = _p(SK.hll_grouped_merge, group_col="day")
+    daily = partials.map_batches(merge_d, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge_d, batch_format="pyarrow") \
+        .materialize()
+
+    dtab = daily.map_batches(
+        lambda b: pa.table({"day": pc.unique(b.column("day"))}),
+        batch_format="pyarrow").take_all()
+    days = np.array(sorted({int(r["day"]) for r in dtab}), dtype=np.int64)
+
+    def expand(b: pa.Table) -> pa.Table:
+        empty = pa.table({"window_day": pa.array([], I64),
+                          "bucket": pa.array([], I64),
+                          "reg": pa.array([], I64)})
+        if len(b) == 0:
+            return empty
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        n = len(d)
+        w = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64), n)
+        keep = np.isin(w, days)  # only windows ending on an observed day
+        if not keep.any():
+            return empty
+        t = pa.table({
+            "window_day": pa.array(w[keep]),
+            "bucket": pa.array(np.repeat(
+                b.column("bucket").to_numpy(zero_copy_only=False), 7)[keep]),
+            "reg": pa.array(np.repeat(
+                b.column("reg").to_numpy(zero_copy_only=False), 7)[keep])})
+        g = t.group_by(["window_day", "bucket"]).aggregate([("reg", "max")])
+        return g.rename_columns(["window_day", "bucket", "reg"])
+
+    merge_w = _p(SK.hll_grouped_merge, group_col="window_day")
+    out = daily.map_batches(expand, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge_w, batch_format="pyarrow")
+    return _cast_cols(out, {"window_day": I64, "bucket": I64, "reg": I64})
+
+
+def sql_hll_sliding() -> str:
+    ctes = _sql_splitmix64_ctes(
+        "user_id",
+        f"(SELECT user_id, CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day"
+        f" FROM events)",
+        carry="day, ")
+    return f"""
+WITH {ctes},
+br AS (
+  SELECT day, v // {1 << 52} AS bucket,
+         53 - length(ltrim(bin(CAST(v % {1 << 52} AS BIGINT)), '0')) AS reg
+  FROM h),
+dr AS (SELECT day, bucket, max(reg) AS reg FROM br GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM dr)
+SELECT CAST(w.day AS BIGINT) AS window_day,
+       CAST(d.bucket AS BIGINT) AS bucket, CAST(max(d.reg) AS BIGINT) AS reg
+FROM dr d JOIN days w ON d.day BETWEEN w.day - 6 AND w.day
+GROUP BY 1, 2"""
+
+
 def moments_from_sums(n: int, s1: int, s2: int, s3: int, s4: int) -> dict:
     """Diagnostic: mean/var/skewness/excess-kurtosis from exact power sums
     (the textbook one-pass moment identities). Population (biased) form."""
@@ -9252,6 +9338,7 @@ QUERIES: dict[str, tuple] = {
     "bpe_merges": (q_bpe_merges, sql_bpe_merges),
     "bpe_encode": (q_bpe_encode, sql_bpe_encode),
     "rendezvous_shards": (q_rendezvous_shards, sql_rendezvous_shards),
+    "hll_sliding": (q_hll_sliding, sql_hll_sliding),
     "hdr_quantiles": (q_hdr_quantiles, sql_hdr_quantiles),
     "group_moments": (q_group_moments, sql_group_moments),
     "hll_grouped": (q_hll_grouped, sql_hll_grouped),

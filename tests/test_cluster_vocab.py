@@ -593,3 +593,25 @@ def test_triangle_paths_agree(ray_session, sf_correct):
                                      small_edge_threshold=thr).to_pandas())
         assert list(out.node) == [0, 1, 2, 3, 4]
         assert list(out.n_tri) == [6, 6, 6, 6, 6], thr
+
+
+def test_hll_sliding_trailing_week_estimates(ray_session, sf_correct):
+    """Sliding-window HLL: per observed day, the trailing-7-day register
+    table's estimate lands within the standard HLL band of the exact
+    trailing-week distinct user count, and window registers equal the
+    max-merge of the member days' tables."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geotrellis_server_ray.pipelines.registry import _DAY_US, q_hll_sliding
+    from geotrellis_server_ray.stages.sketch import hll_estimate
+
+    df = q_hll_sliding(sf_correct).to_pandas()
+    raw = pq.read_table(f"{sf_correct}/events.parquet",
+                        columns=["user_id", "ts"]).to_pandas()
+    day = (raw.ts.astype("datetime64[us]").astype(np.int64) // _DAY_US)
+    assert set(df.window_day) == set(day.unique())
+    for w, sub in df.groupby("window_day"):
+        exact = raw.user_id[(day >= w - 6) & (day <= w)].nunique()
+        est = hll_estimate(sub.bucket.to_numpy(), sub.reg.to_numpy())
+        assert abs(est - exact) <= max(0.08 * exact, 20), (w, est, exact)
