@@ -5930,9 +5930,22 @@ def q_bpe_merges(sf_dir: str):
     })
 
 
-def _bpe_train(sf_dir: str) -> list[tuple[int, str, str, int]]:
+BPE_LOCAL_THRESHOLD = 200_000  # word-vocab rows under which rounds run local
+
+
+def _bpe_train(sf_dir: str,
+               local_threshold: int = BPE_LOCAL_THRESHOLD
+               ) -> list[tuple[int, str, str, int]]:
     """The K-round training loop shared by bpe_merges (emits the rules) and
-    bpe_encode (applies them back to the corpus)."""
+    bpe_encode (applies them back to the corpus).
+
+    The corpus scan + word-count exchange is always distributed; the K
+    rounds then run over the materialized VOCAB-sized table. Vocab grows
+    Zipf-sublinearly, so below ``local_threshold`` rows the rounds execute
+    on the driver with the IDENTICAL pyarrow kernels (one table = one
+    block), skipping 2K Ray exchanges of toy-sized data — the gated driver
+    fast path of connected_components / copurchase_triangles, with the
+    distributed rounds forced in tests/test_bpe.py (paths-agree)."""
     words = grouped_sums(
         read(sf_dir, "documents", ["text"])
         .map_batches(_bpe_word_partial, batch_format="pyarrow"),
@@ -5954,6 +5967,20 @@ def _bpe_train(sf_dir: str) -> list[tuple[int, str, str, int]]:
             "cnt": b.column("cnt")})
 
     rules = []
+    if words.count() <= local_threshold:
+        tbl = pa.concat_tables(
+            words.iter_batches(batch_format="pyarrow")) \
+            if words.count() else pa.table({"sym": pa.array([], pa.string()),
+                                            "cnt": pa.array([], I64)})
+        for k in range(1, BPE_MERGES + 1):
+            cand = best_partial(_bpe_pair_partial(tbl))
+            if len(cand) == 0:
+                break
+            best = {c: cand.column(c)[0].as_py() for c in ("w1", "w2", "c")}
+            rules.append((k, best["w1"], best["w2"], int(best["c"])))
+            tbl = apply_rule(tbl, pat=best["w1"] + _BPE_SEP + best["w2"],
+                             rep=best["w1"] + best["w2"])
+        return rules
     for k in range(1, BPE_MERGES + 1):
         # pair keys are vocab-scaled (Zipf-bounded) -> the default native
         # combiner groupby, not the wide-key exchange (that path is for

@@ -89,6 +89,15 @@ def test_bpe_matches_reference_and_oracle(ray_session, toy_sf):
     assert (r1["w1"], r1["w2"]) == ("a", "a") and r1["pair_count"] == 16
 
 
+def test_bpe_distributed_rounds_agree_with_local(ray_session, toy_sf):
+    """Force the distributed K-round path (local_threshold=0) and require
+    bit-identical rules to the gated driver fast path."""
+    from geotrellis_server_ray.pipelines.registry import _bpe_train
+    dist = _bpe_train(toy_sf, local_threshold=0)
+    local = _bpe_train(toy_sf)
+    assert dist == local and len(local) == BPE_MERGES
+
+
 def ref_encode(texts: list[str], rules: pd.DataFrame):
     """Reference application: greedy-left merge of each rule in rank order
     over every word occurrence, then per-doc word/subtoken counts."""
