@@ -6467,6 +6467,78 @@ SELECT doc_id, span_idx, {ch} AS geohash FROM g"""
 WINSOR_QS = {"p05": 0.05, "p95": 0.95}
 
 
+QB_BINS = 8
+
+
+def q_quantile_binning(sf_dir: str):
+    """Equal-frequency (equi-depth) feature bucketization — the train->apply
+    binning step feature pipelines run before embedding categorical-izing a
+    numeric column: learn the B-1 interior edges of l_extendedprice cents as
+    EXACT order statistics (rank ceil(k*n/B)), then assign every row
+    bin = #{edges < v} (ties go to the lower bin — replayed verbatim in
+    SQL) and report per-bin count + integer min/max.
+
+    Scale shape: edge learning is the counting-selection exact-quantile
+    machinery (stages/quantiles.py — log_NB(width) pruned streaming scans,
+    the exchange carries histogram rows, never data; driver state O(NB));
+    application ships the B-1 edges in the task closure and is ONE
+    streaming pass with per-block (bin, n, lo, hi) partials folded through
+    an enum-bounded coalesced combine. No sort, no corpus exchange."""
+    from ..stages.quantiles import exact_quantiles
+
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"]) \
+        .map_batches(partial(add_cents, cols={"v": "l_extendedprice"}),
+                     batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(["v"]), batch_format="pyarrow")
+    et = exact_quantiles(ds, "v", {f"e{k}": k / QB_BINS
+                                   for k in range(1, QB_BINS)})
+    rows = et.to_pylist() if hasattr(et, "to_pylist") else et.take_all()
+    edges = np.array([r["value"] for r in
+                      sorted(rows, key=lambda r: r["q_label"])],
+                     dtype=np.int64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        bins = np.searchsorted(edges, v, side="left")  # = #{edges < v}
+        t = pa.table({"bin": pa.array(bins.astype(np.int64)), "v": pa.array(v)})
+        g = t.group_by(["bin"]).aggregate(
+            [([], "count_all"), ("v", "min"), ("v", "max")])
+        return pa.table({"bin": g.column("bin"),
+                         "n": pc.cast(g.column("count_all"), I64),
+                         "lo": g.column("v_min"), "hi": g.column("v_max")})
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["bin"]).aggregate(
+            [("n", "sum"), ("lo", "min"), ("hi", "max")])
+        return pa.table({"bin": pc.cast(g.column("bin"), I64),
+                         "n": pc.cast(g.column("n_sum"), I64),
+                         "lo_cents": pc.cast(g.column("lo_min"), I64),
+                         "hi_cents": pc.cast(g.column("hi_max"), I64)})
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .repartition(1).map_batches(combine, batch_format="pyarrow")
+
+
+def sql_quantile_binning() -> str:
+    B = QB_BINS
+    return f"""
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+nn AS (SELECT count(*) AS n FROM c),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+ed AS (SELECT s.k, r.v AS e
+       FROM (SELECT unnest(range(1, {B})) AS k) s
+       CROSS JOIN nn JOIN r ON r.rn = (s.k * nn.n + {B - 1}) // {B}),
+assigned AS (
+  SELECT c.rowid AS rid, any_value(c.v) AS v,
+         count(*) FILTER (WHERE c.v > ed.e) AS bin
+  FROM (SELECT v, ROW_NUMBER() OVER () AS rowid FROM c) c CROSS JOIN ed
+  GROUP BY 1)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v) AS BIGINT) AS lo_cents, CAST(max(v) AS BIGINT) AS hi_cents
+FROM assigned GROUP BY 1"""
+
+
 def q_winsorized_stats(sf_dir: str):
     """Winsorized (outlier-clamped) group aggregate: clamp order totals to
     the exact per-group [p05, p95] order statistics, then sum — the robust
@@ -9366,6 +9438,7 @@ QUERIES: dict[str, tuple] = {
     "bpe_encode": (q_bpe_encode, sql_bpe_encode),
     "rendezvous_shards": (q_rendezvous_shards, sql_rendezvous_shards),
     "hll_sliding": (q_hll_sliding, sql_hll_sliding),
+    "quantile_binning": (q_quantile_binning, sql_quantile_binning),
     "hdr_quantiles": (q_hdr_quantiles, sql_hdr_quantiles),
     "group_moments": (q_group_moments, sql_group_moments),
     "hll_grouped": (q_hll_grouped, sql_hll_grouped),
