@@ -5865,10 +5865,61 @@ def _bpe_word_partial(b: pa.Table) -> pa.Table:
 
 def _bpe_seed_syms(b: pa.Table) -> pa.Table:
     """word -> initial symbol string: one separator between every character
-    (array_to_string(string_split(w, ''), chr(31)) in the oracle)."""
-    x = pc.replace_substring_regex(b.column("w"), pattern="(.)",
+    (array_to_string(string_split(w, ''), chr(31)) in the oracle). (?s) so
+    RE2's '.' also matches a newline inside a token — string_split('')
+    in the oracle splits EVERY character."""
+    x = pc.replace_substring_regex(b.column("w"), pattern="(?s)(.)",
                                    replacement="\\1" + _BPE_SEP)
     return pa.table({"sym": pc.utf8_rtrim(x, characters=_BPE_SEP),
+                     "cnt": b.column("cnt")})
+
+
+def _bpe_merge_flat(flat: np.ndarray, parent: np.ndarray, w1, w2, merged):
+    """Canonical single-pass greedy-left BPE merge on a flattened symbol
+    sequence: fuse every non-overlapping (w1, w2) at WHOLE-SYMBOL positions
+    within one parent (a literal substring replace on joined strings would
+    also fire when a symbol merely ENDS with w1 / STARTS with w2 — the
+    cross-boundary fusion bug). Overlap resolution: among runs of
+    consecutive candidate positions, keep alternating ones from the run
+    start (greedy-left), vectorized via the gaps-and-islands parity trick —
+    the identical rule the SQL oracle replays with window functions.
+    Symbols may be strings (vocab-sized training tables) or
+    dictionary-encoded int ids (the corpus-sized encode pass)."""
+    n = len(flat)
+    if n < 2:
+        return flat, parent
+    cand = (flat[:-1] == w1) & (flat[1:] == w2) & (parent[:-1] == parent[1:])
+    idx = np.flatnonzero(cand)
+    if len(idx) == 0:
+        return flat, parent
+    run_start = np.ones(len(idx), bool)
+    run_start[1:] = idx[1:] != idx[:-1] + 1
+    first_of_run = idx[run_start][np.cumsum(run_start) - 1]
+    k = idx[((idx - first_of_run) % 2) == 0]
+    out = flat.copy()
+    out[k] = merged
+    drop = np.zeros(n, bool)
+    drop[k + 1] = True
+    return out[~drop], parent[~drop]
+
+
+def _bpe_apply_rule(b: pa.Table, w1: str, w2: str) -> pa.Table:
+    """Apply one merge rule to a (sym, cnt) block: split -> greedy kernel ->
+    re-join. Fully vectorized (split_pattern / kernel / binary_join)."""
+    if len(b) == 0:
+        return b
+    syms = pc.split_pattern(b.column("sym"), _BPE_SEP)
+    if isinstance(syms, pa.ChunkedArray):
+        syms = syms.combine_chunks()
+    flat = pc.list_flatten(syms).to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(syms).to_numpy(zero_copy_only=False)
+    flat, parent = _bpe_merge_flat(flat, parent, w1, w2, w1 + w2)
+    counts = np.bincount(parent, minlength=len(b))
+    offsets = np.zeros(len(b) + 1, np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     pa.array(flat, pa.string()))
+    return pa.table({"sym": pc.binary_join(lists, _BPE_SEP),
                      "cnt": b.column("cnt")})
 
 
@@ -5906,12 +5957,14 @@ def q_bpe_merges(sf_dir: str):
     """Distributed BPE vocabulary training (Sennrich et al. 2016) — learn the
     first BPE_MERGES merge rules over the corpus: start from characters,
     repeatedly take the most-frequent adjacent symbol pair (ties break on the
-    pair itself) and fuse it, greedy-left non-overlapping within a word —
-    exactly the semantics of a literal ``replace`` on separator-joined symbol
-    strings, which is how both engines apply a rule (pyarrow
-    replace_substring == SQL replace; both corners pinned against a direct
-    reference trainer in tests/test_bpe.py). The tokenizer-training step
-    every LLM data pipeline runs before token counting / packing.
+    pair itself) and fuse it at WHOLE-SYMBOL positions, greedy-left
+    non-overlapping within a word (_bpe_merge_flat — a literal substring
+    replace would also fire when a symbol merely ENDS with w1, fusing
+    across symbol boundaries; the SQL oracle replays the same greedy rule
+    with gaps-and-islands window functions, and both corners are pinned
+    against a direct reference trainer in tests/test_bpe.py). The
+    tokenizer-training step every LLM data pipeline runs before token
+    counting / packing.
 
     Scale shape (how real distributed BPE trainers work): the corpus is read
     ONCE into a (word, cnt) table — per-block partials through one
@@ -5960,12 +6013,6 @@ def _bpe_train(sf_dir: str,
         w2 = t.column("w2").to_numpy(zero_copy_only=False)
         return t.take(pa.array(np.lexsort((w2, w1, -c))[:1]))
 
-    def apply_rule(b: pa.Table, pat: str, rep: str) -> pa.Table:
-        return pa.table({
-            "sym": pc.replace_substring(b.column("sym"), pattern=pat,
-                                        replacement=rep),
-            "cnt": b.column("cnt")})
-
     rules = []
     if words.count() <= local_threshold:
         tbl = pa.concat_tables(
@@ -5978,8 +6025,7 @@ def _bpe_train(sf_dir: str,
                 break
             best = {c: cand.column(c)[0].as_py() for c in ("w1", "w2", "c")}
             rules.append((k, best["w1"], best["w2"], int(best["c"])))
-            tbl = apply_rule(tbl, pat=best["w1"] + _BPE_SEP + best["w2"],
-                             rep=best["w1"] + best["w2"])
+            tbl = _bpe_apply_rule(tbl, best["w1"], best["w2"])
         return rules
     for k in range(1, BPE_MERGES + 1):
         # pair keys are vocab-scaled (Zipf-bounded) -> the default native
@@ -5994,21 +6040,22 @@ def _bpe_train(sf_dir: str,
         best = min(cand, key=lambda r: (-int(r["c"]), r["w1"], r["w2"]))
         rules.append((k, best["w1"], best["w2"], int(best["c"])))
         words = words.map_batches(
-            partial(apply_rule, pat=best["w1"] + _BPE_SEP + best["w2"],
-                    rep=best["w1"] + best["w2"]),
+            partial(_bpe_apply_rule, w1=best["w1"], w2=best["w2"]),
             batch_format="pyarrow").materialize()
     return rules
 
 
 def _bpe_sql_stages() -> list[str]:
-    # Every CTE is MATERIALIZED: each stage references its predecessor ~3x
-    # (pair counts + the two scalar subqueries of the replace), so DuckDB's
-    # default CTE inlining re-expands the chain ~3^K-fold and the unrolled
-    # 8-merge query never finishes; materialization makes it K linear passes.
-    sep = "chr(31)"
+    # Every CTE is MATERIALIZED: each stage references its predecessor
+    # several times, so DuckDB's default CTE inlining re-expands the chain
+    # exponentially in K and the unrolled 8-merge query never finishes;
+    # materialization makes it K linear passes. The merge itself is the
+    # whole-symbol greedy-left rule of _bpe_merge_flat replayed relationally:
+    # candidate positions (s_i, s_i+1) = (w1, w2) -> gaps-and-islands run
+    # ids -> keep alternating offsets within each run -> fuse kept, drop
+    # successors, rebuild the list.
     stages = [f"""w0 AS MATERIALIZED (
-  SELECT array_to_string(string_split(w, ''), {sep}) AS sym,
-         CAST(count(*) AS BIGINT) AS cnt
+  SELECT w AS wid, string_split(w, '') AS l, CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
                                   x -> x <> '')) AS w FROM documents)
   GROUP BY 1)"""]
@@ -6016,14 +6063,34 @@ def _bpe_sql_stages() -> list[str]:
         stages.append(f"""p{k} AS MATERIALIZED (
   SELECT z[1] AS w1, z[2] AS w2, CAST(sum(cnt) AS BIGINT) AS c
   FROM (SELECT unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS z, cnt
-        FROM (SELECT string_split(sym, {sep}) AS l, cnt FROM w{k - 1})
-        WHERE length(l) >= 2)
+        FROM w{k - 1} WHERE length(l) >= 2)
   GROUP BY 1, 2)""")
         stages.append(f"b{k} AS MATERIALIZED "
                       f"(SELECT w1, w2, c FROM p{k} ORDER BY c DESC, w1, w2 LIMIT 1)")
+        stages.append(f"""c{k} AS MATERIALIZED (
+  SELECT wid, cnt, i, s, lead(s) OVER win AS ns,
+         CASE WHEN s = (SELECT w1 FROM b{k})
+               AND lead(s) OVER win = (SELECT w2 FROM b{k})
+              THEN 1 ELSE 0 END AS cand
+  FROM (SELECT wid, cnt, generate_subscripts(l, 1) AS i, unnest(l) AS s
+        FROM w{k - 1})
+  WINDOW win AS (PARTITION BY wid ORDER BY i))""")
+        stages.append(f"""k{k} AS MATERIALIZED (
+  SELECT wid, i FROM (
+    SELECT wid, i, i - MIN(i) OVER (PARTITION BY wid, isl) AS off
+    FROM (SELECT wid, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY i) AS isl
+          FROM c{k} WHERE cand = 1))
+  WHERE off % 2 = 0)""")
         stages.append(f"""w{k} AS MATERIALIZED (
-  SELECT replace(sym, (SELECT w1 || {sep} || w2 FROM b{k}),
-                 (SELECT w1 || w2 FROM b{k})) AS sym, cnt FROM w{k - 1})""")
+  SELECT c.wid, any_value(c.cnt) AS cnt,
+         list(CASE WHEN mk.i IS NOT NULL THEN c.s || c.ns ELSE c.s END
+              ORDER BY c.i) AS l
+  FROM c{k} c
+  LEFT JOIN k{k} mk ON c.wid = mk.wid AND c.i = mk.i
+  LEFT JOIN k{k} dp ON c.wid = dp.wid AND c.i = dp.i + 1
+  WHERE dp.i IS NULL
+  GROUP BY 1)""")
     return stages
 
 
@@ -6045,48 +6112,63 @@ def q_bpe_encode(sf_dir: str):
     Scale shape: training as in bpe_merges (corpus read once, K vocab-sized
     rounds); the learned rule list (K tuples, constant size) ships in the
     task closure, and application is ONE fused streaming pass over the
-    corpus — seed symbols, K vectorized literal replaces, separator count,
-    per-doc sum (complete per block: a document never spans blocks). Zero
-    exchanges after training."""
+    corpus — per block, symbols dictionary-encode to int ids and the K
+    greedy merge kernels run as pure integer numpy (_bpe_merge_flat; no
+    per-symbol string compares in the corpus-sized pass), then per-doc
+    word/subtoken counts are block-local bincounts (a document never spans
+    blocks). Zero exchanges after training."""
     rules = _bpe_train(sf_dir)
 
     def encode(b: pa.Table) -> pa.Table:
-        parent, flat = T._explode_tokens(b)
-        x = pc.replace_substring_regex(flat, pattern="(.)",
+        parent, words = T._explode_tokens(b)
+        x = pc.replace_substring_regex(words, pattern="(?s)(.)",
                                        replacement="\\1" + _BPE_SEP)
-        sym = pc.utf8_rtrim(x, characters=_BPE_SEP)
+        syms = pc.split_pattern(pc.utf8_rtrim(x, characters=_BPE_SEP),
+                                _BPE_SEP)
+        if isinstance(syms, pa.ChunkedArray):
+            syms = syms.combine_chunks()
+        de = pc.dictionary_encode(pc.list_flatten(syms))
+        if isinstance(de, pa.ChunkedArray):
+            de = de.combine_chunks()
+        vocab = {s: i for i, s in enumerate(de.dictionary.to_pylist())}
+        flat = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wpar = pc.list_parent_indices(syms).to_numpy(zero_copy_only=False)
         for _, w1, w2, _c in rules:
-            sym = pc.replace_substring(sym, pattern=w1 + _BPE_SEP + w2,
-                                       replacement=w1 + w2)
-        ntok = pc.add(pc.count_substring(sym, _BPE_SEP), 1)
-        doc = b.column("doc_id").take(
-            pa.array(parent.to_numpy(zero_copy_only=False), type=I64))
-        g = pa.table({"doc_id": doc, "n": pc.cast(ntok, I64)}) \
-            .group_by(["doc_id"]).aggregate([("n", "sum"), ([], "count_all")])
-        return pa.table({"doc_id": g.column("doc_id"),
-                         "n_words": pc.cast(g.column("count_all"), I64),
-                         "n_subtokens": pc.cast(g.column("n_sum"), I64)})
+            id1, id2 = vocab.get(w1), vocab.get(w2)
+            if id1 is None or id2 is None:
+                continue  # rule symbols absent in this block: no pair exists
+            mid = vocab.setdefault(w1 + w2, len(vocab))
+            flat, wpar = _bpe_merge_flat(flat, wpar, id1, id2, mid)
+        n_words_occ = len(syms)
+        ntok = np.bincount(wpar, minlength=n_words_occ)
+        docpar = parent.to_numpy(zero_copy_only=False)
+        ndocs = len(b)
+        n_words = np.bincount(docpar, minlength=ndocs)
+        n_sub = np.bincount(docpar, weights=ntok, minlength=ndocs)
+        keep = n_words > 0
+        doc_ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(doc_ids[keep].astype(np.int64), I64),
+            "n_words": pa.array(n_words[keep].astype(np.int64), I64),
+            "n_subtokens": pa.array(n_sub[keep].astype(np.int64), I64)})
 
     return read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(encode, batch_format="pyarrow")
 
 
 def sql_bpe_encode() -> str:
-    sep = "chr(31)"
+    # tokenization is per-word, so the corpus-wide counts join each doc's
+    # word occurrences to the TRAINED word table's final symbol counts —
+    # exactly what the engine's per-occurrence kernel computes
     stages = ",\n".join(_bpe_sql_stages())
-    sym = f"array_to_string(string_split(w, ''), {sep})"
-    for k in range(1, BPE_MERGES + 1):
-        sym = (f"replace({sym}, (SELECT w1 || {sep} || w2 FROM b{k}),"
-               f" (SELECT w1 || w2 FROM b{k}))")
     return f"""WITH {stages},
+wl AS MATERIALIZED (SELECT wid, length(l) AS nsym FROM w{BPE_MERGES}),
 enc AS MATERIALIZED (
-  SELECT doc_id, {sym} AS sym
-  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-                                          x -> x <> '')) AS w FROM documents))
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS w FROM documents)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(length(sym) - length(replace(sym, {sep}, '')) + 1) AS BIGINT)
-         AS n_subtokens
-FROM enc GROUP BY 1"""
+       CAST(sum(nsym) AS BIGINT) AS n_subtokens
+FROM enc JOIN wl ON enc.w = wl.wid GROUP BY 1"""
 
 
 LM_SCALE = 1_000_000
@@ -6493,8 +6575,10 @@ def q_quantile_binning(sf_dir: str):
     et = exact_quantiles(ds, "v", {f"e{k}": k / QB_BINS
                                    for k in range(1, QB_BINS)})
     rows = et.to_pylist() if hasattr(et, "to_pylist") else et.take_all()
+    # numeric k sort — lexicographic label order would misplace e10 vs e2
+    # (np.searchsorted silently mis-bins on an unsorted edge array)
     edges = np.array([r["value"] for r in
-                      sorted(rows, key=lambda r: r["q_label"])],
+                      sorted(rows, key=lambda r: int(r["q_label"][1:]))],
                      dtype=np.int64)
 
     def assign(b: pa.Table) -> pa.Table:

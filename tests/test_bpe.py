@@ -89,6 +89,30 @@ def test_bpe_matches_reference_and_oracle(ray_session, toy_sf):
     assert (r1["w1"], r1["w2"]) == ("a", "a") and r1["pair_count"] == 16
 
 
+def test_bpe_no_cross_symbol_fusion(ray_session, tmp_path):
+    """The whole-symbol merge corner: after rules (a,b) and (z,ab), the word
+    'zabcq' holds symbols [zab, c, q] — a literal substring replace for rule
+    (ab, c) would fire inside 'zab<SEP>c' and fuse across the symbol
+    boundary, learning (zabc, q) instead of the canonical (c, q). Engine,
+    reference trainer, and SQL oracle must all agree on the canonical rules."""
+    texts = (["ab"] * 50) + (["zab"] * 30) + (["abc"] * 20) + (["zabcq"] * 10)
+    # single doc per word keeps the corpus layout simple
+    pq.write_table(pa.table({"text": pa.array(texts, pa.string())}),
+                   tmp_path / "documents.parquet")
+    out = q_bpe_merges(str(tmp_path)).to_pandas()
+    ref = ref_bpe(texts, BPE_MERGES)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    rules = list(zip(out["w1"], out["w2"]))
+    assert rules[0] == ("a", "b") and ("z", "ab") in rules
+    assert ("zabc", "q") not in rules  # the fusion artifact must NOT appear
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ora = con.execute(sql_bpe_merges()).fetch_df()
+    pd.testing.assert_frame_equal(out, ora, check_dtype=False)
+
+
 def test_bpe_distributed_rounds_agree_with_local(ray_session, toy_sf):
     """Force the distributed K-round path (local_threshold=0) and require
     bit-identical rules to the gated driver fast path."""
