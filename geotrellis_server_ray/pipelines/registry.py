@@ -4341,6 +4341,136 @@ SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sid AS BIGINT) AS sid,
 FROM sess GROUP BY user_id, sid"""
 
 
+def _bracket_positions(k: np.ndarray, is_left: np.ndarray):
+    """For a (key, ts, right-before-left-at-ties, id)-sorted sequence,
+    return per-row positions of (a) the nearest RIGHT at-or-before and
+    (b) the nearest RIGHT strictly after, -1 when absent — the asof_join
+    banded max-accumulate run forward and on the reversed sequence (the
+    same tie layout serves both: equal-ts rights sort before lefts, so the
+    forward scan includes them — inclusive prev — while the reversed scan
+    visits them after the left — strict next)."""
+    m = len(k)
+    band = np.int64(m + 1)
+
+    def nearest(kk, il):
+        newkey = np.ones(m, dtype=bool)
+        newkey[1:] = kk[1:] != kk[:-1]
+        key_ord = np.cumsum(newkey).astype(np.int64) - 1
+        pos = np.arange(m, dtype=np.int64)
+        vals = np.where(~il, key_ord * band + pos, key_ord * band - 1)
+        return np.maximum.accumulate(vals) - key_ord * band
+
+    prev_pos = nearest(k, is_left)
+    rev = nearest(k[::-1], is_left[::-1])
+    next_pos = np.where(rev >= 0, m - 1 - rev, -1)[::-1]
+    return prev_pos, next_pos
+
+
+def q_asof_interpolate(sf_dir: str):
+    """Interpolated as-of join — the sensor-fusion / telemetry-alignment
+    primitive one step past asof_click_view's LOCF: every click gets the
+    user's view-value signal LINEARLY INTERPOLATED between the bracketing
+    views (prev = latest at-or-before, ties max event_id; next = earliest
+    strictly after, ties min event_id), falling back to LOCF with only a
+    prev, NOCB with only a next, NULL with neither. The lerp is the
+    division-safe weighted form (v0*(t1-t) + v1*(t-t0)) // (t1-t0): values
+    and weights are non-negative so floor == trunc and numpy // == DuckDB
+    // exactly (int64 headroom: cents < 2^16 x month-us < 2^42 << 2^63).
+
+    Scale shape: ONE user-hash exchange co-locating both event types, then
+    a single vectorized pass per partition — one lexsort + the asof banded
+    max-accumulate forward (prev) and on the reversed sequence (next). No
+    replication, no range join, output = click rows."""
+    from ..stages.focal import add_key_partition
+
+    jp = _nparts_for(sf_dir, "events")
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("event_type"),
+                              value_set=pa.array(["click", "view"])))
+        b = add_cents(b, cols={"cents": "value"})
+        return pa.table({
+            "event_id": pc.cast(b.column("event_id"), I64),
+            "ts": b.column("ts"), "user_id": pc.cast(b.column("user_id"), I64),
+            "is_click": pc.equal(b.column("event_type"), "click"),
+            "cents": b.column("cents")})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], I64), "click_id": pa.array([], I64),
+            "ts_us": pa.array([], I64), "prev_id": pa.array([], I64),
+            "next_id": pa.array([], I64),
+            "v_interp_cents": pa.array([], I64)})
+        if len(t) == 0:
+            return empty
+        user = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (t.column("ts").to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        il = t.column("is_click").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        # rights (views) before lefts at equal ts; rights ascending id
+        order = np.lexsort((eid, il.astype(np.int8), ts, user))
+        user, ts, eid, il, cents = (a[order] for a in
+                                    (user, ts, eid, il, cents))
+        prev_pos, next_pos = _bracket_positions(user, il)
+        ci = np.nonzero(il)[0]
+        if len(ci) == 0:
+            return empty
+        p, nx = prev_pos[ci], next_pos[ci]
+        hasp, hasn = p >= 0, nx >= 0
+        t0, v0, id0 = ts[np.maximum(p, 0)], cents[np.maximum(p, 0)], \
+            eid[np.maximum(p, 0)]
+        t1, v1, id1 = ts[np.maximum(nx, 0)], cents[np.maximum(nx, 0)], \
+            eid[np.maximum(nx, 0)]
+        tc = ts[ci]
+        both = hasp & hasn
+        v = np.zeros(len(ci), np.int64)
+        dt = np.where(both, t1 - t0, 1)
+        v = np.where(both, (v0 * (t1 - tc) + v1 * (tc - t0)) // dt,
+                     np.where(hasp, v0, v1))
+        has_any = hasp | hasn
+        return pa.table({
+            "user_id": pa.array(user[ci]),
+            "click_id": pa.array(eid[ci]),
+            "ts_us": pa.array(tc),
+            "prev_id": pa.array(id0, mask=~hasp),
+            "next_id": pa.array(id1, mask=~hasn),
+            "v_interp_cents": pa.array(v, mask=~has_any)})
+
+    return read(sf_dir, "events",
+                ["event_id", "ts", "user_id", "event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .map_batches(partial(add_key_partition, key_cols=["user_id"],
+                             num_partitions=jp), batch_format="pyarrow") \
+        .groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def sql_asof_interpolate() -> str:
+    return """
+WITH ev AS (SELECT event_id, ts, user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents FROM events
+            WHERE event_type IN ('click', 'view')),
+c AS (SELECT event_id, ts, user_id, CAST(epoch_us(ts) AS BIGINT) AS tc
+      FROM ev WHERE event_type = 'click')
+SELECT c.user_id, c.event_id AS click_id, c.tc AS ts_us,
+       p.event_id AS prev_id, nx.event_id AS next_id,
+       CAST(CASE WHEN p.t0 IS NOT NULL AND nx.t1 IS NOT NULL
+                 THEN (p.v0 * (nx.t1 - c.tc) + nx.v1 * (c.tc - p.t0))
+                      // (nx.t1 - p.t0)
+                 WHEN p.t0 IS NOT NULL THEN p.v0
+                 ELSE nx.v1 END AS BIGINT) AS v_interp_cents
+FROM c
+LEFT JOIN LATERAL (
+  SELECT v.event_id, v.cents AS v0, CAST(epoch_us(v.ts) AS BIGINT) AS t0
+  FROM ev v WHERE v.event_type = 'view' AND v.user_id = c.user_id
+    AND v.ts <= c.ts ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) p ON TRUE
+LEFT JOIN LATERAL (
+  SELECT v.event_id, v.cents AS v1, CAST(epoch_us(v.ts) AS BIGINT) AS t1
+  FROM ev v WHERE v.event_type = 'view' AND v.user_id = c.user_id
+    AND v.ts > c.ts ORDER BY v.ts, v.event_id LIMIT 1) nx ON TRUE"""
+
+
 def q_asof_click_view(sf_dir: str):
     """As-of join inside the event log: for every click, the most recent
     view of the same user at-or-before it (merge_asof per sorted group)."""
@@ -9523,6 +9653,7 @@ QUERIES: dict[str, tuple] = {
     "rendezvous_shards": (q_rendezvous_shards, sql_rendezvous_shards),
     "hll_sliding": (q_hll_sliding, sql_hll_sliding),
     "quantile_binning": (q_quantile_binning, sql_quantile_binning),
+    "asof_interpolate": (q_asof_interpolate, sql_asof_interpolate),
     "hdr_quantiles": (q_hdr_quantiles, sql_hdr_quantiles),
     "group_moments": (q_group_moments, sql_group_moments),
     "hll_grouped": (q_hll_grouped, sql_hll_grouped),
