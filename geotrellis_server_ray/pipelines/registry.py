@@ -4344,11 +4344,13 @@ FROM sess GROUP BY user_id, sid"""
 def _bracket_positions(k: np.ndarray, is_left: np.ndarray):
     """For a (key, ts, right-before-left-at-ties, id)-sorted sequence,
     return per-row positions of (a) the nearest RIGHT at-or-before and
-    (b) the nearest RIGHT strictly after, -1 when absent — the asof_join
-    banded max-accumulate run forward and on the reversed sequence (the
-    same tie layout serves both: equal-ts rights sort before lefts, so the
-    forward scan includes them — inclusive prev — while the reversed scan
-    visits them after the left — strict next)."""
+    (b) the nearest RIGHT strictly after — the asof_join banded
+    max-accumulate run forward and on the reversed sequence (the same tie
+    layout serves both: equal-ts rights sort before lefts, so the forward
+    scan includes them — inclusive prev — while the reversed scan visits
+    them after the left — strict next). The -1-when-absent contract holds
+    at LEFT positions (fuzz-proven vs brute force); a RIGHT row's prev/next
+    includes the row itself — read results only where ``is_left``."""
     m = len(k)
     band = np.int64(m + 1)
 
@@ -5993,14 +5995,21 @@ def _bpe_word_partial(b: pa.Table) -> pa.Table:
                      "cnt": pc.cast(g.column("count_all"), I64)})
 
 
+def _bpe_char_seed(words):
+    """word array -> separator-joined character symbol strings — THE single
+    seeding definition shared by training (_bpe_seed_syms) and encode, so a
+    seeding change can never diverge the two. (?s) so RE2's '.' also
+    matches a newline inside a token — string_split('') in the oracle
+    splits EVERY character."""
+    x = pc.replace_substring_regex(words, pattern="(?s)(.)",
+                                   replacement="\\1" + _BPE_SEP)
+    return pc.utf8_rtrim(x, characters=_BPE_SEP)
+
+
 def _bpe_seed_syms(b: pa.Table) -> pa.Table:
     """word -> initial symbol string: one separator between every character
-    (array_to_string(string_split(w, ''), chr(31)) in the oracle). (?s) so
-    RE2's '.' also matches a newline inside a token — string_split('')
-    in the oracle splits EVERY character."""
-    x = pc.replace_substring_regex(b.column("w"), pattern="(?s)(.)",
-                                   replacement="\\1" + _BPE_SEP)
-    return pa.table({"sym": pc.utf8_rtrim(x, characters=_BPE_SEP),
+    (array_to_string(string_split(w, ''), chr(31)) in the oracle)."""
+    return pa.table({"sym": _bpe_char_seed(b.column("w")),
                      "cnt": b.column("cnt")})
 
 
@@ -6251,10 +6260,7 @@ def q_bpe_encode(sf_dir: str):
 
     def encode(b: pa.Table) -> pa.Table:
         parent, words = T._explode_tokens(b)
-        x = pc.replace_substring_regex(words, pattern="(?s)(.)",
-                                       replacement="\\1" + _BPE_SEP)
-        syms = pc.split_pattern(pc.utf8_rtrim(x, characters=_BPE_SEP),
-                                _BPE_SEP)
+        syms = pc.split_pattern(_bpe_char_seed(words), _BPE_SEP)
         if isinstance(syms, pa.ChunkedArray):
             syms = syms.combine_chunks()
         de = pc.dictionary_encode(pc.list_flatten(syms))
